@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the SURVEY §2 operator inventory re-expressed Spark-first
+  * over the driver-generated test tables; `oracleSql` holds the DuckDB
+  * equivalent for every SQL-expressible entry (same column names — the
+  * driver's compare sorts columns by name before hashing values).
+  */
 object SparkEntry {
+
+  /** All registered gate queries, in registration order. */
+  val registry: Seq[(String, GQ)] =
+    RelationalQueries.all ++ AggWindowQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("a1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, q) => name -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, GQ(_, Some(sql))) => name -> sql }.toMap
 }

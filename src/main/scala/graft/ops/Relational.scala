@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Core relational operator library — the reusable `DataFrame => DataFrame`
+  * / `Column => Column` builders that the reference implements as
+  * driver-side Python helpers (it composes only built-in Catalyst
+  * expressions; no UDFs — see reference `etl/transform/` jobs). Everything
+  * here stays inside whole-stage codegen and is shuffle-aware for cluster
+  * scale: no `collect()` except deliberate scalar aggregates (matching the
+  * reference's two-pass z-score / calendar-span idiom).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------------
+  // Bucketing (range -> label)
+  // ---------------------------------------------------------------------
+
+  /** One `[lo, hi)` range mapped to a label. `None` = unbounded side. */
+  final case class Bucket(lo: Option[Double], hi: Option[Double], label: String)
+
+  /** Numeric -> categorical level via a folded `when` chain over `[lo,hi)`
+    * strategies, null -> `nullLabel`. Pure Column composition (codegen'd,
+    * no UDF).
+    *
+    * Reference: `etl/transform/aq-cleanse.py:160-187` (8 pollutant
+    * strategies), `weather-cleanse.py:117-137`, `wb-cleanse.py:133-155`.
+    */
+  def bucketize(c: Column, buckets: Seq[Bucket], nullLabel: String = "Unknown"): Column = {
+    val chain = buckets.foldLeft(when(c.isNull, lit(nullLabel))) { (acc, b) =>
+      val cond = (b.lo, b.hi) match {
+        case (Some(l), Some(h)) => c >= l && c < h
+        case (Some(l), None)    => c >= l
+        case (None, Some(h))    => c < h
+        case (None, None)       => lit(true)
+      }
+      acc.when(cond, lit(b.label))
+    }
+    chain.otherwise(lit(nullLabel))
+  }
+
+  // ---------------------------------------------------------------------
+  // Surrogate keys
+  // ---------------------------------------------------------------------
+
+  /** Deterministic surrogate key: `sha2(concat_ws("|", cols), 256)`.
+    * Non-string columns are cast to string first so the key is stable
+    * across input storage types.
+    *
+    * Reference: `etl/transform/ward-dimension.py:23-28`,
+    * `wb-dimension.py:69-74`, `etl/load/load_fact.py:129-139`.
+    */
+  def hashId(cols: Seq[Column]): Column =
+    sha2(concat_ws("|", cols.map(_.cast("string")): _*), 256)
+
+  def addHashId(df: DataFrame, name: String, cols: Seq[String]): DataFrame =
+    df.withColumn(name, hashId(cols.map(col)))
+
+  // ---------------------------------------------------------------------
+  // Outlier removal
+  // ---------------------------------------------------------------------
+
+  /** Z-score outlier null-out. Two passes: one fused scalar aggregate for
+    * all columns (the reference runs one Spark job per column — fused here
+    * so a 100 TB scan happens once), then a `when` rewrite. The scalar
+    * collect is a single tiny row — cluster-safe.
+    *
+    * Reference: `etl/transform/aq-cleanse.py:123-157` (threshold 3.0 at
+    * `:34`, driver loop `:239-240`).
+    */
+  def removeOutliers(df: DataFrame, cols: Seq[String], zThreshold: Double = 3.0,
+                     twoSided: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__mu_$c"), stddev_samp(col(c)).as(s"__sigma_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val mu    = Option(stats.get(2 * i)).map(_.asInstanceOf[Number].doubleValue)
+      val sigma = Option(stats.get(2 * i + 1)).map(_.asInstanceOf[Number].doubleValue)
+      (mu, sigma) match {
+        case (Some(m), Some(s)) if s > 0.0 =>
+          val z = (col(c) - lit(m)) / lit(s)
+          val bad = if (twoSided) abs(z) > zThreshold else z > zThreshold
+          acc.withColumn(c, when(bad, lit(null)).otherwise(col(c)))
+        case _ => acc
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Calendar generation
+  // ---------------------------------------------------------------------
+
+  /** Calendar dimension spanning `[min(dateCol), max(dateCol)]` of `df`:
+    * `sequence` + `explode` + date-part columns. The span is a deliberate
+    * 2-value scalar collect (reference does the same).
+    *
+    * `day_of_week` is Monday-first (reference remaps Spark's Sunday-first
+    * `dayofweek` via `when(dow==1,7).otherwise(dow-1)` at
+    * `etl/transform/date-dimension.py:57-74`).
+    *
+    * Reference: `etl/transform/date-dimension.py:36-77`.
+    */
+  def calendarFor(df: DataFrame, dateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val span = df.agg(min(to_date(col(dateCol))).as("lo"), max(to_date(col(dateCol))).as("hi")).head()
+    val (lo, hi) = (span.getDate(0), span.getDate(1))
+    val mondayFirst = when(dayofweek(col("cal_date")) === 1, lit(7))
+      .otherwise(dayofweek(col("cal_date")) - 1)
+    spark.range(1)
+      .select(explode(sequence(lit(lo), lit(hi), expr("interval 1 day"))).as("cal_date"))
+      .withColumn("year", year(col("cal_date")))
+      .withColumn("month", month(col("cal_date")))
+      .withColumn("day", dayofmonth(col("cal_date")))
+      .withColumn("quarter", quarter(col("cal_date")))
+      .withColumn("week_of_year", weekofyear(col("cal_date")))
+      .withColumn("day_name", date_format(col("cal_date"), "EEEE"))
+      .withColumn("month_name", date_format(col("cal_date"), "MMMM"))
+      .withColumn("day_of_week", mondayFirst)
+      .withColumn("is_weekend", mondayFirst >= 6)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental load (anti-join dedup)
+  // ---------------------------------------------------------------------
+
+  /** Rows of `incoming` whose key is absent from `existing` — the
+    * reference's incremental-load primitive. `broadcastExisting` mirrors
+    * the explicit broadcast hint the reference uses when the existing-key
+    * side is dimension-sized (`etl/extract/aq-extract.py:52`); leave it
+    * false when the sink is fact-sized so Spark plans a shuffled anti join.
+    *
+    * Reference: `etl/extract/lfb-extract.py:36-37`, `aq-extract.py:50-53`,
+    * `wb-extract.py:25-26`, `weather-extract.py:25-26`.
+    */
+  def newRowsOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String],
+                  broadcastExisting: Boolean = false): DataFrame = {
+    val keyDf0 = existing.select(keys.map(col): _*).distinct()
+    val keyDf = if (broadcastExisting) broadcast(keyDf0) else keyDf0
+    incoming.join(keyDf, keys, "left_anti")
+  }
+
+  /** Append-only-new-rows to a parquet path; first run (path absent)
+    * falls back to overwrite — the try/except pattern of
+    * `etl/extract/lfb-extract.py:30-52`.
+    */
+  def incrementalAppend(incoming: DataFrame, keys: Seq[String], path: String): Unit = {
+    val spark = incoming.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    existing match {
+      case Some(ex) =>
+        newRowsOnly(incoming, ex, keys).write.mode("append").parquet(path)
+      case None =>
+        incoming.write.mode("overwrite").parquet(path)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Temporal nearest-within-band join (as-of/band join)
+  // ---------------------------------------------------------------------
+
+  /** For each probe row, the single nearest reading within `±band` on a
+    * numeric time axis; probes with no reading in band keep nulls
+    * (left-join semantics).
+    *
+    * Algorithm (reference `etl/load/load_fact.py:225-297`, with the
+    * `floor(epoch)/B` vs `floor(epoch/B)` bug at `:261` corrected per
+    * SURVEY §2.4 J6): bucket both sides by `floor(t/band)`, replicate each
+    * probe into buckets {b-1, b, b+1} (explode — cheaper than the
+    * reference's two unions), equi-join on bucket, filter `|Δt| <= band`,
+    * then take the arg-min per probe. Any reading within ±band of a probe
+    * lands in exactly one of the probe's three buckets, so each candidate
+    * pair joins exactly once.
+    *
+    * Scale notes: the equi-join shuffles by bucket (AQE skew-join handles
+    * hot buckets); top-1 uses `min_by` over a groupBy — partial
+    * aggregation (map-side combine) instead of a full window sort, so the
+    * reduce side only sees one row per (probe, partition).
+    *
+    * Requires: `probe` and `readings` have disjoint column names;
+    * `probeId` unique; `tieBreak` makes the reading order total.
+    */
+  def nearestWithinBand(probe: DataFrame, probeId: String, probeTs: String,
+                        readings: DataFrame, readTs: String, band: Long,
+                        tieBreak: String): DataFrame = {
+    val rCols = readings.columns.toSeq
+    val pBucket = floor(col(probeTs) / band).cast(LongType)
+    val probeKeys = probe.select(col(probeId), col(probeTs))
+      .withColumn("__bucket", explode(array(pBucket - 1, pBucket, pBucket + 1)))
+    val readBucketed = readings
+      .withColumn("__bucket", floor(col(readTs) / band).cast(LongType))
+    val dt = abs(col(probeTs) - col(readTs))
+    val best = probeKeys.join(readBucketed, Seq("__bucket"))
+      .where(dt <= band)
+      .groupBy(col(probeId))
+      .agg(min_by(struct(rCols.map(col): _*), struct(dt, col(tieBreak))).as("__best"))
+    probe.join(best, Seq(probeId), "left")
+      .select(probe.columns.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-group top-k / latest
+  // ---------------------------------------------------------------------
+
+  /** Top-`k` rows per group by `order` (row_number semantics — ties broken
+    * by order columns, so include a unique tiebreaker for determinism).
+    *
+    * Reference: `etl/load/load_fact.py:278-290` (W2, k=1).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Stamp each row with the group-wise first value of `valueCol` under
+    * `order` — `first(...).over(partitionBy(...).orderBy(...))`, the
+    * reference's ward-code-modernization idiom.
+    *
+    * Reference: `etl/transform/lfb-cleanse.py:61-66` (W1).
+    */
+  def stampGroupFirst(df: DataFrame, out: String, valueCol: Column,
+                      partitionCols: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn(out, first(valueCol).over(Window.partitionBy(partitionCols: _*).orderBy(order: _*)))
+}

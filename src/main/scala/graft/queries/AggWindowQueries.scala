@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.ops.Relational
+
+/** SURVEY §2 aggregation / window / sort / generator / check queries, plus
+  * the four analytics aggregates of §3.3 re-expressed on the TPC-H-ish
+  * star schema (orders=fact, customer/nation=dims).
+  */
+object AggWindowQueries {
+
+  val all: Seq[(String, GQ)] = Seq(
+
+    // A1 — group-by multi-agg, TPC-H-Q1-shaped (reference:
+    // load_sample_aggregates.py:28-43).
+    "a1_pricing_summary" -> GQ(
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    // §3.3 per_month analog (reference: load_sample_aggregates.py:23-51).
+    "agg_per_month" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("year_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("year_month")),
+      "SELECT strftime(o_orderdate, '%Y-%m') AS year_month, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total_price, " +
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1"),
+
+    // §3.3 per_ward analog: fact joined to a broadcast dim, grouped
+    // (reference: load_sample_aggregates.py:54-86).
+    "agg_per_segment" -> GQ(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val c = Tables.load(s, d, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"),
+            round(avg(col("o_totalprice")), 2).as("avg_price"))
+      },
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) " +
+        "AS total_price, round(avg(o_totalprice), 2) AS avg_price FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+
+    // §3.3 types_per_ward analog: two-hop dim chain, composite group
+    // (reference: load_sample_aggregates.py:89-120).
+    "agg_types_per_nation" -> GQ(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val c = Tables.load(s, d, "customer")
+        val n = Tables.load(s, d, "nation")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+      },
+      "SELECT n_name, o_orderpriority, count(*) AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS total_price FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name, o_orderpriority"),
+
+    // §3.3 per_location_type analog: filtered aggregate (reference:
+    // load_sample_aggregates.py:123-164 filters response-time range).
+    "agg_priority_filtered" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .where(col("o_totalprice") > 100000 &&
+          year(col("o_orderdate")).between(1996, 1998))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 2).as("avg_price")),
+      "SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 2) " +
+        "AS avg_price FROM orders WHERE o_totalprice > 100000 AND " +
+        "year(o_orderdate) BETWEEN 1996 AND 1998 GROUP BY o_orderpriority"),
+
+    // A2 — pivot aggregate, long->wide with explicit pivot values for
+    // determinism (reference: aq-cleanse.py:215-219; SURVEY §7.4.4).
+    "a2_pivot_wide" -> GQ(
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(avg(col("l_quantity")), 2)),
+      "SELECT l_returnflag, round(avg(CASE WHEN l_linestatus = 'F' THEN " +
+        "l_quantity END), 2) AS \"F\", round(avg(CASE WHEN l_linestatus = 'O' " +
+        "THEN l_quantity END), 2) AS \"O\" FROM lineitem GROUP BY l_returnflag"),
+
+    // A3 — collapse-to-one-row-per-key dedup aggregation; deterministic
+    // max_by instead of the reference's order-dependent first()
+    // (reference: ward-dimension.py:42-46).
+    "a3_collapse_per_key" -> GQ(
+      (s, d) => Tables.load(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_name"), col("c_custkey")).as("latest_name"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          count(lit(1)).as("n_customers")),
+      "SELECT c_nationkey, max_by(c_name, c_custkey) AS latest_name, " +
+        "round(max(c_acctbal), 2) AS max_bal, count(*) AS n_customers " +
+        "FROM customer GROUP BY c_nationkey"),
+
+    // A4 — distinct projection (reference: derive-location-types.py:18-19).
+    "a4_distinct_domain" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct(),
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"),
+
+    // A5 — global scalar aggregate (reference: date-dimension.py:36-39,
+    // aq-cleanse.py:136-139).
+    "a5_scalar_span" -> GQ(
+      (s, d) => Tables.load(s, d, "orders").agg(
+        to_date(min(col("o_orderdate"))).as("first_day"),
+        to_date(max(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("n_rows"),
+        round(avg(col("o_totalprice")), 2).as("avg_price")),
+      "SELECT CAST(min(o_orderdate) AS DATE) AS first_day, " +
+        "CAST(max(o_orderdate) AS DATE) AS last_day, count(*) AS n_rows, " +
+        "round(avg(o_totalprice), 2) AS avg_price FROM orders"),
+
+    // A6 — duplicate-count probe: groupBy(pk).count.filter(>1)
+    // (reference: post-extract-check.py:27-34).
+    "a6_duplicate_probe" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") > 1),
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey " +
+        "HAVING count(*) > 1"),
+
+    // A8 — two-pass z-score outlier null-out (reference:
+    // aq-cleanse.py:123-157, threshold 3.0).
+    "a8_zscore_outliers" -> GQ(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events").select("event_id", "value")
+        Relational.removeOutliers(ev, Seq("value"), 3.0)
+          .select(col("event_id"), round(col("value"), 2).as("value_clean"))
+      },
+      "WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma FROM events) " +
+        "SELECT event_id, round(CASE WHEN abs((value - mu) / sigma) > 3.0 " +
+        "THEN NULL ELSE value END, 2) AS value_clean FROM events, s"),
+
+    // W1 — first() over a desc-ordered partition, stamped on every row
+    // (reference: lfb-cleanse.py:61-66 ward-code modernization).
+    "w1_stamp_group_first" -> GQ(
+      (s, d) => Relational.stampGroupFirst(
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        "latest_priority", col("o_orderpriority"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_orderkey", "o_custkey", "latest_priority"),
+      "WITH latest AS (SELECT o_custkey, o_orderpriority AS latest_priority " +
+        "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) = 1) " +
+        "SELECT o.o_orderkey, o.o_custkey, l.latest_priority FROM orders o " +
+        "JOIN latest l ON o.o_custkey = l.o_custkey"),
+
+    // W2 — row_number top-1 per group (reference: load_fact.py:278-290).
+    "w2_latest_per_group" -> GQ(
+      (s, d) => Relational.topKPerGroup(Tables.load(s, d, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc), 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("o_totalprice")),
+      "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
+        "o_totalprice FROM orders QUALIFY row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"),
+
+    // §2.10 — calendar generator: explode(sequence(min, max, 1 day)) +
+    // date parts, Monday-first dow (reference: date-dimension.py:43-77).
+    "g1_calendar_dim" -> GQ(
+      (s, d) => Relational.calendarFor(Tables.load(s, d, "orders"), "o_orderdate"),
+      "WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, " +
+        "CAST(max(o_orderdate) AS DATE) AS hi FROM orders), " +
+        "days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) " +
+        "AS cal_date FROM span) " +
+        "SELECT cal_date, CAST(year(cal_date) AS INT) AS year, " +
+        "CAST(month(cal_date) AS INT) AS month, CAST(day(cal_date) AS INT) AS day, " +
+        "CAST(quarter(cal_date) AS INT) AS quarter, " +
+        "CAST(weekofyear(cal_date) AS INT) AS week_of_year, " +
+        "dayname(cal_date) AS day_name, monthname(cal_date) AS month_name, " +
+        "CAST(isodow(cal_date) AS INT) AS day_of_week, " +
+        "isodow(cal_date) >= 6 AS is_weekend FROM days"),
+
+    // O1 — multi-column global sort of an aggregate (reference:
+    // load_sample_aggregates.py:42,77,111,155). Row order is not part of
+    // the hash contract; the sort exercises the operator.
+    "o1_ordered_agg" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("order_year"), col("o_orderpriority")),
+      "SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1, 2 " +
+        "ORDER BY n_orders DESC, order_year, o_orderpriority"),
+
+    // C4 — per-column completeness profile (reference:
+    // post-extract-check.py:37-40).
+    "c4_completeness_profile" -> GQ(
+      (s, d) => Tables.load(s, d, "customer").agg(
+        round(count(col("c_name")).cast("double") / count(lit(1)), 4).as("name_ratio"),
+        round(count(col("c_acctbal")).cast("double") / count(lit(1)), 4).as("acctbal_ratio"),
+        count(lit(1)).as("n_rows")),
+      "SELECT round(CAST(count(c_name) AS DOUBLE) / count(*), 4) AS name_ratio, " +
+        "round(CAST(count(c_acctbal) AS DOUBLE) / count(*), 4) AS acctbal_ratio, " +
+        "count(*) AS n_rows FROM customer"),
+
+    // C8 — referential-integrity audit: distinct fact FKs anti-joined to
+    // each dim (reference: ref-int-load-check.py:6-33).
+    "c8_ref_integrity" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        def missing(fk: String, dim: String, pk: String): Long =
+          li.select(col(fk)).where(col(fk).isNotNull).distinct()
+            .join(Tables.load(s, d, dim).select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .count()
+        val (mo, mp, ms) = (missing("l_orderkey", "orders", "o_orderkey"),
+          missing("l_partkey", "part", "p_partkey"),
+          missing("l_suppkey", "supplier", "s_suppkey"))
+        s.range(1).select(lit(mo).as("missing_orders"),
+          lit(mp).as("missing_parts"), lit(ms).as("missing_suppliers"))
+      },
+      "SELECT (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))) " +
+        "AS missing_orders, (SELECT count(*) FROM (SELECT DISTINCT l_partkey " +
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p " +
+        "WHERE p.p_partkey = l.l_partkey))) AS missing_parts, " +
+        "(SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))) " +
+        "AS missing_suppliers"),
+
+    // J6 — temporal nearest-within-band join (±12 h), the reference's
+    // bucket-replicate band join with corrected floor(epoch/B) bucketing
+    // (reference: load_fact.py:225-297; SURVEY §2.4 J6). `ts` is read as
+    // Long nanoseconds (spark.sql.legacy.parquet.nanosAsLong).
+    // Timestamps are compared in microseconds (`ts div 1000`) because the
+    // oracle's parquet reader truncates nanosecond timestamps to µs.
+    "j6_nearest_within_band" -> GQ(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val probe = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("p_id"), expr("ts div 1000").as("p_ts"))
+        val readings = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("r_id"), expr("ts div 1000").as("r_ts"))
+        Relational.nearestWithinBand(probe, "p_id", "p_ts",
+          readings, "r_ts", 43200L * 1000000L, "r_id")
+          .select(col("p_id"), col("r_id"), abs(col("p_ts") - col("r_ts")).as("diff_us"))
+      },
+      "WITH probe AS (SELECT event_id AS p_id, epoch_us(ts) AS p_ts FROM events " +
+        "WHERE event_type = 'error'), " +
+        "r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_ts FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT p_id, r_id, abs(p_ts - r_ts) AS diff_us FROM probe LEFT JOIN r " +
+        "ON abs(p_ts - r_ts) <= 43200000000 " +
+        "QUALIFY row_number() OVER (PARTITION BY p_id " +
+        "ORDER BY abs(p_ts - r_ts), r_id) = 1"),
+
+    // Time-bucketed event aggregation (hourly tumbling windows, batch
+    // form; integral `div` keeps the bucket math exact on int64 nanos).
+    "ev_hourly_rollup" -> GQ(
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")),
+      "SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+        "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1, 2"))
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+import graft.ops.Relational.Bucket
+
+/** SURVEY §2 operator-inventory queries: scans, sinks, projections,
+  * per-column rewrites, joins, set ops. Each query exercises the
+  * Spark-first re-expression of a reference operator (cited per entry) on
+  * the driver-generated TPC-H-ish tables.
+  */
+object RelationalQueries {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val all: Seq[(String, GQ)] = Seq(
+
+    // S1 — CSV scan with header + schema inference, via a write/read
+    // round-trip of a parquet table (reference: etl/extract/lfb-extract.py:19;
+    // the round-trip itself mirrors etl/transform/lfb-cleanse.py:36-41).
+    // Explicit casts re-enforce the canonical schema (SURVEY §1.3).
+    "s1_csv_scan_roundtrip" -> GQ(
+      (s, d) => {
+        val nation = Tables.load(s, d, "nation")
+        val tmp = tmpDir("graft_csv_")
+        nation.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+      },
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+
+    // S3 — multi-file union scan: several per-path reads combined with
+    // unionByName (reference: etl/extract/aq-extract.py:25-35).
+    "s3_multifile_union_scan" -> GQ(
+      (s, d) => {
+        val sup = Tables.load(s, d, "supplier")
+        val tmp = tmpDir("graft_multi_")
+        sup.where(col("s_suppkey") % 2 === 0)
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/even")
+        sup.where(col("s_suppkey") % 2 =!= 0)
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/odd")
+        Seq(s"$tmp/even", s"$tmp/odd")
+          .map(p => s.read.option("header", "true").option("inferSchema", "true").csv(p))
+          .reduce(_ unionByName _)
+          .select(col("s_suppkey").cast("long"), col("s_name"),
+            col("s_nationkey").cast("int"), col("s_acctbal").cast("double"))
+      },
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
+
+    // S7 + U2 — local-rows sentinel source appended via name-resolved
+    // union (reference: etl/transform/ward-dimension.py:53-55,
+    // wb-dimension.py:100-103).
+    "s7_sentinel_union_by_name" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val region = Tables.load(s, d, "region")
+        val sentinel = Seq((-1, "Unknown")).toDF("r_regionkey", "r_name")
+        region.unionByName(sentinel)
+      },
+      "SELECT r_regionkey, r_name FROM region UNION ALL SELECT -1, 'Unknown'"),
+
+    // U1 — positional union of two disjoint slices (reference:
+    // etl/load/load_fact.py:244-256 bucket replication, aq-cleanse.py:283).
+    "u1_union_positional" -> GQ(
+      (s, d) => {
+        val nation = Tables.load(s, d, "nation")
+        nation.where(col("n_nationkey") < 10).union(nation.where(col("n_nationkey") >= 10))
+      },
+      "SELECT * FROM nation"),
+
+    // J1 + K2 — the incremental-load primitive: append only rows whose key
+    // is absent from the existing sink, with overwrite fallback on first
+    // run (reference: etl/extract/lfb-extract.py:30-52).
+    "k2_incremental_append" -> GQ(
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val path = tmpDir("graft_inc_") + "/orders"
+        orders.where(year(col("o_orderdate")) < 1998)
+          .write.mode("overwrite").parquet(path)
+        Relational.incrementalAppend(orders, Seq("o_orderkey"), path)
+        s.read.parquet(path).withColumn("o_orderdate", to_date(col("o_orderdate")))
+      },
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority FROM orders"),
+
+    // P1/P2 — keep-list and drop-list projection (reference:
+    // etl/transform/aq-cleanse.py:202; lfb-cleanse.py:32).
+    "p1_p2_projection" -> GQ(
+      (s, d) => Tables.load(s, d, "part").drop("p_type", "p_size"),
+      "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part"),
+
+    // P3 — bulk rename (reference: etl/transform/wb-cleanse.py:172,
+    // load_weather_dim.py:24-38 positional-schema rename).
+    "p3_bulk_rename" -> GQ(
+      (s, d) => Tables.load(s, d, "supplier").withColumnsRenamed(Map(
+        "s_suppkey" -> "id", "s_name" -> "name",
+        "s_nationkey" -> "nation_id", "s_acctbal" -> "balance")),
+      "SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nation_id, " +
+        "s_acctbal AS balance FROM supplier"),
+
+    // P4/P5/P6 — value replacement -> null, conditional null-out, and
+    // null-fill defaults (reference: lfb-cleanse.py:33,44-55;
+    // wb-dimension.py:92; load_fact.py:356-379).
+    "p4_p5_p6_null_cleanse" -> GQ(
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+          .na.replace("c_mktsegment", Map("BUILDING" -> null))
+          .na.fill("Unknown", Seq("c_mktsegment"))
+        c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          round(coalesce(
+            when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")),
+            lit(0.0)), 2).as("acctbal_clean"))
+      },
+      "SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 'Unknown' " +
+        "ELSE c_mktsegment END AS segment, round(CASE WHEN c_acctbal < 0 " +
+        "THEN 0.0 ELSE c_acctbal END, 2) AS acctbal_clean FROM customer"),
+
+    // P8/P12 — type casts and case normalization via initcap (reference:
+    // lfb-cleanse.py:58; load_fact.py:383).
+    "p8_p12_cast_initcap" -> GQ(
+      (s, d) => Tables.load(s, d, "region").select(
+        col("r_regionkey").cast("long").as("region_id"),
+        initcap(lower(col("r_name"))).as("region_name")),
+      "SELECT CAST(r_regionkey AS BIGINT) AS region_id, " +
+        "array_to_string(list_transform(string_split(lower(r_name), ' '), " +
+        "x -> upper(x[1]) || x[2:]), ' ') AS region_name FROM region"),
+
+    // P9 — range->label bucketing via folded when-chain (reference:
+    // aq-cleanse.py:160-187, weather-cleanse.py:117-137).
+    "p9_bucketize_price" -> GQ(
+      (s, d) => Tables.load(s, d, "orders").select(col("o_orderkey"),
+        Relational.bucketize(col("o_totalprice"), Seq(
+          Bucket(None, Some(50000), "Low"),
+          Bucket(Some(50000), Some(150000), "Medium"),
+          Bucket(Some(150000), Some(300000), "High"),
+          Bucket(Some(300000), None, "Extreme")), "Unknown").as("price_band")),
+      "SELECT o_orderkey, CASE WHEN o_totalprice IS NULL THEN 'Unknown' " +
+        "WHEN o_totalprice < 50000 THEN 'Low' " +
+        "WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 'Medium' " +
+        "WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 'High' " +
+        "WHEN o_totalprice >= 300000 THEN 'Extreme' ELSE 'Unknown' END " +
+        "AS price_band FROM orders"),
+
+    // P10 — derived measures with divide-by-zero guards (reference:
+    // weather-cleanse.py:140-161, load_fact.py:379-385). Per-row arithmetic
+    // is emitted unrounded: identical IEEE op order makes the doubles
+    // bit-identical across engines, whereas round() half-tie behavior on
+    // exact-decimal products is engine-specific.
+    "p10_derived_measures" -> GQ(
+      (s, d) => Tables.load(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge"),
+        when(col("l_discount") === 0, lit(null))
+          .otherwise((col("l_tax") - col("l_discount")) / col("l_discount") * 100)
+          .as("tax_discount_pct"),
+        (col("l_partkey") % 360).as("partkey_mod"),
+        col("l_quantity").cast("int").as("qty_int")),
+      "SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, " +
+        "CASE WHEN l_discount = 0 THEN NULL ELSE " +
+        "(l_tax - l_discount) / l_discount * 100 END AS tax_discount_pct, " +
+        "l_partkey % 360 AS partkey_mod, " +
+        "CAST(floor(l_quantity) AS INT) AS qty_int FROM lineitem"),
+
+    // P11 — deterministic surrogate hash key (reference:
+    // ward-dimension.py:23-28, load_fact.py:129-139).
+    "p11_surrogate_key" -> GQ(
+      (s, d) => Tables.load(s, d, "customer").select(col("c_custkey"),
+        Relational.hashId(Seq(col("c_name"), col("c_mktsegment"),
+          col("c_nationkey"))).as("surrogate_id")),
+      "SELECT c_custkey, sha256(concat_ws('|', c_name, c_mktsegment, " +
+        "CAST(c_nationkey AS VARCHAR))) AS surrogate_id FROM customer"),
+
+    // P13 — conditional column rewiring: chained when/otherwise +
+    // coalesce override (reference: incident-type-populate.py:22-62 ≡
+    // load_fact.py:100-140, "Unknown" override :162-169).
+    "p13_conditional_rewire" -> GQ(
+      (s, d) => Tables.load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", "Critical")
+          .when(col("o_orderpriority") === "2-HIGH", "High")
+          .when(col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), "Normal")
+          .otherwise("Low").as("priority_class"),
+        coalesce(when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(col("o_orderstatus")), lit("PENDING")).as("status_resolved")),
+      "SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' THEN 'Critical' " +
+        "WHEN o_orderpriority = '2-HIGH' THEN 'High' " +
+        "WHEN o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED') THEN 'Normal' " +
+        "ELSE 'Low' END AS priority_class, " +
+        "CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END " +
+        "AS status_resolved FROM orders"),
+
+    // J1 — left-anti join as NOT-EXISTS (reference:
+    // etl/extract/lfb-extract.py:36-37; ref-int-load-check.py:17-21).
+    "j1_anti_join" -> GQ(
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        Relational.newRowsOnly(c, o.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey")).select("c_custkey", "c_name")
+      },
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+
+    // J3 — broadcast-hinted anti join (reference: aq-extract.py:52).
+    "j3_broadcast_anti_join" -> GQ(
+      (s, d) => {
+        val p = Tables.load(s, d, "part")
+        val li = Tables.load(s, d, "lineitem")
+        Relational.newRowsOnly(p, li.select(col("l_partkey").as("p_partkey")),
+          Seq("p_partkey"), broadcastExisting = true)
+          .select("p_partkey", "p_name", "p_brand")
+      },
+      "SELECT p_partkey, p_name, p_brand FROM part p WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)"),
+
+    // J4 — left-outer equi join on a single key with Unknown-default
+    // (reference: load_fact.py:180-188; dim side broadcast per SURVEY §4).
+    "j4_left_join_enrich" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val p = Tables.load(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+          .select(li("l_orderkey"), li("l_linenumber"),
+            coalesce(p("p_brand"), lit("Unknown")).as("brand"),
+            round(li("l_extendedprice"), 2).as("price"))
+      },
+      "SELECT l_orderkey, l_linenumber, coalesce(p_brand, 'Unknown') AS brand, " +
+        "round(l_extendedprice, 2) AS price FROM lineitem LEFT JOIN part " +
+        "ON l_partkey = p_partkey"),
+
+    // J5 — left-outer equi join on a composite key (reference:
+    // load_fact.py:329-336, fact <- well_being on (WardCode, YearOfCall)).
+    "j5_left_join_composite" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val dim = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(avg(col("l_quantity")), 4).as("group_avg_qty"))
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+          .join(broadcast(dim), Seq("l_returnflag", "l_linestatus"), "left")
+      },
+      "WITH dim AS (SELECT l_returnflag, l_linestatus, " +
+        "round(avg(l_quantity), 4) AS group_avg_qty FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus, " +
+        "d.group_avg_qty FROM lineitem l LEFT JOIN dim d " +
+        "ON l.l_returnflag = d.l_returnflag AND l.l_linestatus = d.l_linestatus"))
+}
