@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All registered gate queries, in registration order. */
   val registry: Seq[(String, GQ)] =
-    RelationalQueries.all ++ AggWindowQueries.all
+    RelationalQueries.all ++ AggWindowQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

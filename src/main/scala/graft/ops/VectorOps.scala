@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives: cosine/dot-product over `array<float>`
+  * columns, brute-force k-NN, and random-hyperplane LSH bucketing as the
+  * scale path. Pure Column composition (codegen'd; no UDFs).
+  *
+  * Float elements are cast to double before any arithmetic and summed with
+  * a left fold, so the result is a deterministic IEEE-754 sequence that the
+  * DuckDB oracle reproduces bit-for-bit.
+  */
+object VectorOps {
+
+  /** Dot product in double precision, left-fold order. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH, derived from
+    * sha2("p|d") so any engine can regenerate them. Component values are
+    * integers in [0, 2000000] that both engines map to [-1, 1] with one
+    * exact double division — planes are identical everywhere.
+    */
+  def hyperplaneInts(planes: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"$p|$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 2000001L
+      }
+    }
+  }
+
+  private def planeCol(ints: Seq[Long]): Column =
+    array(ints.map(m => lit(m) / 1000000.0 - 1.0): _*)
+
+  /** Sign-LSH bucket id: bit `p` set iff `dot(plane_p, v) > 0`. Vectors
+    * with high cosine similarity agree on most signs, so near-duplicates
+    * collide in the same bucket with high probability. The bucket id is a
+    * shuffle key: candidate generation becomes an equi-join instead of a
+    * cross join — the O(n²) -> O(n) scale path.
+    */
+  def lshBucket(v: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (ints, p) =>
+      when(dotD(v, planeCol(ints)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force top-k cosine neighbors of each probe vector against the
+    * whole corpus: broadcast the (small) probe set against the corpus scan,
+    * then keep the top k per probe. At 100 TB the corpus side stays
+    * partitioned; only probes replicate. Ties break on corpus id.
+    */
+  def knnBruteForce(probes: DataFrame, probeId: String, probeVec: String,
+                    corpus: DataFrame, corpusId: String, corpusVec: String,
+                    k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(probes), col(probeId) =!= col(corpusId))
+      .withColumn("sim", dotD(col(probeVec), col(corpusVec)) /
+        (l2Norm(col(probeVec)) * l2Norm(col(corpusVec))))
+    Relational.topKPerGroup(joined, Seq(col(probeId)),
+      Seq(col("sim").desc, col(corpusId)), k)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Event-stream batch analytics (JSON extraction, gap sessionization) and
+  * multimodal binary-column plumbing. `ts` arrives as Long nanoseconds
+  * (spark.sql.legacy.parquet.nanosAsLong); the oracle uses epoch_ns.
+  */
+object EventQueries {
+
+  val all: Seq[(String, GQ)] = Seq(
+
+    // JSON property extraction — per-row, pushdown-friendly projection.
+    "ev_json_extract" -> GQ(
+      (s, d) => Tables.load(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k")),
+      "SELECT event_id, json_extract_string(props, '$.k')::INT AS prop_k FROM events"),
+
+    // Gap-based sessionization (30-min inactivity gap), the batch analog of
+    // streaming session windows: lag -> new-session flag -> running sum as
+    // session index -> per-session rollup. One shuffle by user_id; sessions
+    // of one user stay on one partition — the layout a cluster wants.
+    "ev_sessionize" -> GQ(
+      (s, d) => {
+        // ts is Long nanos; compared in micros because the oracle's parquet
+        // reader truncates nanosecond timestamps to microseconds.
+        val gapUs = 1800L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        Tables.load(s, d, "events")
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("new_sess",
+            when(lag(col("tus"), 1).over(w).isNull ||
+              col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tus")).as("start_us"),
+            max(col("tus")).as("end_us"),
+            round(sum(col("value")), 2).as("session_value"))
+          .withColumn("duration_s", ((col("end_us") - col("start_us")) / 1000000L).cast("long"))
+      },
+      "WITH e AS (SELECT user_id, epoch_us(ts) tus, value FROM events), " +
+        "flagged AS (SELECT user_id, tus, value, CASE WHEN " +
+        "lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL OR " +
+        "tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000 " +
+        "THEN 1 ELSE 0 END new_sess FROM e), " +
+        "sess AS (SELECT user_id, tus, value, sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) session_idx " +
+        "FROM flagged) " +
+        "SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events, " +
+        "min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 2) AS session_value, " +
+        "((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_s " +
+        "FROM sess GROUP BY 1, 2"),
+
+    // M1 — multimodal metadata: payload as an opaque binary column; byte
+    // length, digest, magic-prefix hex, and a hash-derived format sniff
+    // (decode itself is stubbed — no codec libs in this environment).
+    "m1_media_metadata" -> GQ(
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        Tables.load(s, d, "documents").select(
+          col("doc_id"),
+          length(bin).as("n_bytes"),
+          sha2(bin, 256).as("digest"),
+          upper(hex(substring(bin, 1, 4))).as("magic"),
+          element_at(array(Multimodal.Formats.map(lit(_)): _*),
+            (pmod(graft.ops.TextOps.h60(col("text")), lit(3L)) + 1).cast("int"))
+            .as("format"))
+      },
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest, " +
+        "upper(hex(substr(text, 1, 4))) AS magic, " +
+        "['png', 'jpeg', 'wav'][((('0x' || substr(sha256(text), 1, 15))::BIGINT % 3) + 1)::INT] " +
+        "AS format FROM documents"),
+
+    // M2 — frame sampling plumbing: 4 fixed-size byte slices at a
+    // stride-derived offset per payload (posexplode = one row per frame),
+    // each digested. The schema/batch shape a video frame-sampler produces.
+    "m2_frame_sample" -> GQ(
+      (s, d) => {
+        val stride = (length(col("text")) / 4).cast("int")
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(3)),
+              i => col("text").substr(i * stride + 1, lit(8)))))
+          .toDF("doc_id", "frame_idx", "frame")
+          .select(col("doc_id"), col("frame_idx"),
+            sha2(col("frame"), 256).as("frame_sha"), length(col("frame")).as("frame_len"))
+      },
+      "WITH f AS (SELECT doc_id, (length(text) // 4)::INT stride, text FROM documents) " +
+        "SELECT doc_id, i AS frame_idx, sha256(substr(text, (i * stride + 1)::INT, 8)) " +
+        "AS frame_sha, length(substr(text, (i * stride + 1)::INT, 8)) AS frame_len " +
+        "FROM f, unnest(range(0, 4)) u(i)"),
+
+    // M3 — typed mapPartitions decode stub: documents -> Dataset[MediaRow]
+    // -> per-partition decode -> typed metadata. Exercises case-class
+    // Encoders and the iterator batch shape; the stub's hash-derived output
+    // keeps it SQL-checkable.
+    "m3_decode_stub" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decodeAll(s, media)
+      },
+      "SELECT doc_id, (('0x' || substr(sha256(text || 'w'), 1, 15))::BIGINT % 1920 + 1)::INT " +
+        "AS width, (('0x' || substr(sha256(text || 'h'), 1, 15))::BIGINT % 1080 + 1)::INT AS height, " +
+        "['png', 'jpeg', 'wav'][((('0x' || substr(sha256(text), 1, 15))::BIGINT % 3) + 1)::INT] " +
+        "AS format, octet_length(encode(text)) AS n_bytes FROM documents"))
+}

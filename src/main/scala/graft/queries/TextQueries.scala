@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash), language ID, quality scoring, token counting, and
+  * winnowing fingerprints — over the `documents` table.
+  *
+  * Every hash is sha2-anchored (TextOps.h60) so the DuckDB oracles
+  * recompute identical values; ratio metrics use a single double division
+  * of exact integers, which is IEEE-deterministic across engines.
+  */
+object TextQueries {
+
+  /** DuckDB fragment mirroring TextOps.h60. */
+  private def dH60(s: String) = s"(('0x' || substr(sha256($s), 1, 15))::BIGINT)"
+  private val P = TextOps.HashPrime
+  /** DuckDB fragment mirroring TextOps.minhashSignature's permutation. */
+  private def dPerm(i: String, h: String) =
+    s"(((1103515245 * ($i + 1) + 12345) % $P) * $h + ((134775813 * ($i + 1) + 1) % $P)) % $P"
+
+  /** DuckDB CTEs: tokens and distinct word-3-shingles with hashes. */
+  private val dShingleCtes =
+    "toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') t FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [] " +
+      "ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) shs " +
+      "FROM toks), " +
+      s"hashed AS (SELECT doc_id, len(shs) n, list_transform(shs, s -> ${dH60("s")} % $P) h FROM sh)"
+
+  val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  val all: Seq[(String, GQ)] = Seq(
+
+    // D1 — exact deduplication: hash-groupBy on the full text; canonical
+    // row = min doc_id. One shuffle on the 64-hex digest — the standard
+    // exact-dedup pass over a 100 TB corpus.
+    "d1_exact_dedup" -> GQ(
+      (s, d) => Tables.load(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies")),
+      "SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+
+    // T1 — token counting: whitespace tokens + BPE-ish greedy subword
+    // chunks via regexp_extract_all. Narrow per-row projection.
+    "t1_token_count" -> GQ(
+      (s, d) => Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("subword_tokens"),
+        length(col("text")).as("chars")),
+      "SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS subword_tokens, " +
+        "length(text) AS chars FROM documents"),
+
+    // T2 — quality scoring: type-token ratio, mean token length, stopword
+    // ratio. All per-row folds; each ratio is one exact-int double division.
+    "t2_quality_score" -> GQ(
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val n = size(t)
+        val stopArr = stopwords.map(lit(_))
+        Tables.load(s, d, "documents").select(
+          col("doc_id"), n.as("n_tokens"),
+          (size(array_distinct(t)).cast("double") / n).as("type_token_ratio"),
+          (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n).as("mean_token_len"),
+          (size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n).as("stopword_ratio"),
+          (size(array_distinct(t)).cast("double") / n > 0.15).as("is_diverse"))
+      },
+      "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents) " +
+        "SELECT doc_id, len(t) AS n_tokens, " +
+        "len(list_distinct(t))::DOUBLE / len(t) AS type_token_ratio, " +
+        "list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS mean_token_len, " +
+        s"len(list_filter(t, x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")})))::DOUBLE / len(t) AS stopword_ratio, " +
+        "len(list_distinct(t))::DOUBLE / len(t) > 0.15 AS is_diverse FROM t0"),
+
+    // T3 — language ID by distinctive-word voting: pass 1 builds per-lang
+    // relative word frequencies from the corpus (exact-int double division,
+    // argmax by (score, lang)); pass 2 assigns each word to its argmax lang
+    // (vocabulary-sized table -> broadcast join) and each doc votes by
+    // majority. Deterministic and integer-exact except single divisions.
+    "t3_langid_vote" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val wc = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        val tot = wc.groupBy("lang").agg(sum(col("c")).as("t"))
+        val assigned = wc.join(tot, "lang")
+          .withColumn("score", col("c").cast("double") / col("t"))
+          .groupBy("w")
+          .agg(max_by(col("lang"), struct(col("score"), col("lang"))).as("wlang"))
+        toks.join(broadcast(assigned), "w")
+          .groupBy(col("doc_id"), col("lang"), col("wlang")).agg(count(lit(1)).as("v"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(max_by(col("wlang"), struct(col("v"), col("wlang"))).as("pred_lang"))
+          .withColumn("correct", col("lang") === col("pred_lang"))
+      },
+      "WITH toks AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) w " +
+        "FROM documents), " +
+        "wc AS (SELECT lang, w, count(*) c FROM toks GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, sum(c) t FROM wc GROUP BY 1), " +
+        "assigned AS (SELECT w, wc.lang AS wlang FROM wc JOIN tot ON wc.lang = tot.lang " +
+        "QUALIFY row_number() OVER (PARTITION BY w ORDER BY c::DOUBLE / t DESC, wc.lang DESC) = 1), " +
+        "votes AS (SELECT doc_id, t.lang, wlang, count(*) v FROM toks t " +
+        "JOIN assigned a ON t.w = a.w GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, lang, wlang AS pred_lang, lang = wlang AS correct FROM votes " +
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, wlang DESC) = 1"),
+
+    // T4 — winnowing fingerprints (8-char grams, window 4): per-doc
+    // fingerprint count + digest of the sorted fingerprint set.
+    "t4_winnow_fingerprint" -> GQ(
+      (s, d) => TextOps.winnowFingerprints(
+        Tables.load(s, d, "documents"), "doc_id", "text", 8, 4),
+      "WITH g AS (SELECT doc_id, " +
+        "unnest(list_transform(list_transform(range(1, length(text) - 6), " +
+        s"i -> substr(text, i::INT, 8)), s -> ${dH60("s")} % 4294967296)) gh, " +
+        "unnest(range(1, length(text) - 6)) pos FROM documents), " +
+        "w AS (SELECT doc_id, pos, " +
+        "min(gh) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) win_min, " +
+        "max(pos) OVER (PARTITION BY doc_id) max_pos FROM g), " +
+        "fp AS (SELECT DISTINCT doc_id, win_min FROM w WHERE pos <= max_pos - 3) " +
+        "SELECT doc_id, count(*) AS n_fingerprints, " +
+        "sha256(array_to_string(list_sort(list(win_min)), '-')) AS fp_digest " +
+        "FROM fp GROUP BY doc_id"),
+
+    // D2 — n-gram Jaccard near-dup pairs, exact: candidates = pairs sharing
+    // >= 1 distinct 3-shingle via an inverted-index self-join (at scale:
+    // prefix filtering would prune the index), then exact Jaccard.
+    // J >= t > 0 implies a shared shingle, so this equals brute force.
+    "d2_ngram_jaccard_pairs" -> GQ(
+      (s, d) => {
+        val sh = Tables.load(s, d, "documents").select(col("doc_id"),
+          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("shs"))
+          .withColumn("n", size(col("shs")))
+        val inv = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("s"))
+        inv.as("x").join(inv.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+            col("x.n").as("n1"), col("y.n").as("n2"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .where(col("jaccard") >= 0.03)
+          .select(col("doc_id_1"), col("doc_id_2"), col("inter"), col("jaccard"))
+      },
+      s"WITH $dShingleCtes, " +
+        "inv AS (SELECT doc_id, n, unnest(shs) s FROM " +
+        "(SELECT sh.doc_id, len(shs) n, shs FROM sh)), " +
+        "pairs AS (SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, x.n n1, y.n n2, " +
+        "count(*) inter FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id_1, doc_id_2, inter, " +
+        "inter::DOUBLE / (n1 + n2 - inter) AS jaccard FROM pairs " +
+        "WHERE inter::DOUBLE / (n1 + n2 - inter) >= 0.03"),
+
+    // D3 — MinHash+LSH near-dup: 12-element signature over hashed
+    // 3-shingles, 4 bands x 3 rows; candidate pairs share a band digest
+    // (equi-join on the digest — the O(n) scale path), then exact Jaccard
+    // verification. est_sim = matching signature positions / 12.
+    "d3_minhash_lsh_pairs" -> GQ(
+      (s, d) => {
+        val sh = Tables.load(s, d, "documents").select(col("doc_id"),
+          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("shs"))
+        val sig = sh
+          .withColumn("n", size(col("shs")))
+          .withColumn("sig", TextOps.minhashSignature(TextOps.shingleHashes(col("shs")), 12))
+          .withColumn("bands", TextOps.bandDigests(col("sig"), 4, 3))
+        val ex = sig.select(col("doc_id"), posexplode(col("bands"))).toDF("doc_id", "bidx", "bh")
+        val cand = ex.as("x").join(ex.as("y"),
+            col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2")).distinct()
+        val inv = sig.select(col("doc_id"), col("n"), explode(col("shs")).as("s"))
+        val inter = cand
+          .join(inv.as("i1"), col("doc_id_1") === col("i1.doc_id"))
+          .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.s") === col("i2.s"))
+          .groupBy(col("doc_id_1"), col("doc_id_2"),
+            col("i1.n").as("n1"), col("i2.n").as("n2"))
+          .agg(count(lit(1)).as("inter"))
+        val sigs = sig.select(col("doc_id"), col("sig"))
+        cand
+          .join(inter, Seq("doc_id_1", "doc_id_2"), "left")
+          .join(sigs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+          .join(sigs.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+          .select(col("doc_id_1"), col("doc_id_2"),
+            (aggregate(zip_with(col("s1.sig"), col("s2.sig"),
+              (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (x, y) => x + y)
+              .cast("double") / 12).as("est_sim"),
+            (coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("n1") + col("n2") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+      },
+      s"WITH $dShingleCtes, " +
+        "sig AS (SELECT doc_id, n, list_transform(range(0, 12), " +
+        s"i -> list_min(list_transform(h, v -> ${dPerm("i", "v")}))) sig FROM hashed), " +
+        "bands AS (SELECT doc_id, j bidx, sha256(array_to_string(sig[j*3+1:j*3+3], '-')) bh " +
+        "FROM sig, unnest(range(0, 4)) u(j)), " +
+        "cand AS (SELECT DISTINCT x.doc_id doc_id_1, y.doc_id doc_id_2 FROM bands x " +
+        "JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+        "inv AS (SELECT doc_id, unnest(shs) s FROM sh), " +
+        "inter AS (SELECT doc_id_1, doc_id_2, count(*) inter FROM cand " +
+        "JOIN inv i1 ON doc_id_1 = i1.doc_id JOIN inv i2 ON doc_id_2 = i2.doc_id " +
+        "AND i1.s = i2.s GROUP BY 1, 2) " +
+        "SELECT c.doc_id_1, c.doc_id_2, " +
+        "len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2]))::DOUBLE / 12 AS est_sim, " +
+        "coalesce(i.inter, 0)::DOUBLE / (a.n + b.n - coalesce(i.inter, 0)) AS jaccard " +
+        "FROM cand c LEFT JOIN inter i ON c.doc_id_1 = i.doc_id_1 AND c.doc_id_2 = i.doc_id_2 " +
+        "JOIN sig a ON c.doc_id_1 = a.doc_id JOIN sig b ON c.doc_id_2 = b.doc_id"),
+
+    // D4 — SimHash signatures: 60-bit frequency-weighted sign hash per doc,
+    // one per-row fold (no shuffle at all until the optional pair scan).
+    "d4_simhash_sig" -> GQ(
+      (s, d) => Tables.load(s, d, "documents").select(col("doc_id"),
+        TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash")),
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
+        "FROM documents), " +
+        s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s " +
+        "FROM th, unnest(range(0, 60)) u(b) GROUP BY 1, 2) " +
+        "SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash " +
+        "FROM bits GROUP BY doc_id"),
+
+    // D5 — SimHash near-dup pairs by Hamming distance <= 8 on the 60-bit
+    // signatures (bit_count(xor)); brute pair scan here, banded buckets at
+    // scale (split the signature into bands exactly like D3).
+    "d5_simhash_hamming_pairs" -> GQ(
+      (s, d) => {
+        val sig = Tables.load(s, d, "documents").select(col("doc_id"),
+          TextOps.simhash60(TextOps.tokens(col("text"))).as("sh"))
+        sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+          .where(col("hamming") <= 8)
+      },
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
+        "FROM documents), " +
+        s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s " +
+        "FROM th, unnest(range(0, 60)) u(b) GROUP BY 1, 2), " +
+        "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) sh " +
+        "FROM bits GROUP BY doc_id) " +
+        "SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, " +
+        "bit_count(xor(x.sh, y.sh)) AS hamming FROM sig x JOIN sig y " +
+        "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8"))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Relational, VectorOps}
+
+/** Embedding similarity search over the `embeddings` table (64-dim unit
+  * vectors): brute-force cosine top-k as the correctness baseline, sign-LSH
+  * bucketed top-k as the scale path, and cosine near-dup pairs.
+  *
+  * All float elements are cast to double and summed left-to-right, so the
+  * DuckDB oracle's `list_reduce` fold reproduces the exact IEEE sequence —
+  * similarity values compare bit-for-bit without rounding slop.
+  */
+object VectorQueries {
+
+  /** DuckDB fragment mirroring VectorOps.dotD (left fold from 0.0:
+    * 0.0 + p1 == p1 exactly, so the no-init fold is identical).
+    */
+  private def dDot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"
+  private def dCos(a: String, b: String) =
+    s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
+
+  /** Deterministic sign-LSH hyperplanes (shared with the oracle). */
+  val Planes = 6
+  val Dim = 64
+  lazy val planeInts: Seq[Seq[Long]] = VectorOps.hyperplaneInts(Planes, Dim)
+
+  /** Multi-probe masks: the probe's own bucket plus each one-bit flip. */
+  val probeMasks: Seq[Long] = 0L +: (0 until Planes).map(p => 1L << p)
+
+  /** DuckDB fragment mirroring VectorOps.lshBucket for column `v`. */
+  private def dBucket(v: String): String =
+    planeInts.zipWithIndex.map { case (ints, p) =>
+      val plane = ints.map(m => s"$m/1000000.0 - 1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dDot(v, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val probeFilter = col("vec_id") % 50 === 0
+
+  val all: Seq[(String, GQ)] = Seq(
+
+    // E1 — brute-force cosine top-5 per probe (every 50th vector probes the
+    // whole corpus). Probe side broadcasts; corpus side stays partitioned —
+    // the exact-search baseline a 100 TB ANN path is measured against.
+    "e1_knn_bruteforce" -> GQ(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val probes = e.where(probeFilter)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        VectorOps.knnBruteForce(probes, "q_id", "q_vec", e, "vec_id", "embedding", 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      "WITH p AS (SELECT vec_id q_id, embedding q_vec FROM embeddings " +
+        "WHERE vec_id % 50 = 0) " +
+        s"SELECT q_id, vec_id AS neighbor_id, ${dCos("q_vec", "embedding")} AS sim " +
+        "FROM p JOIN embeddings e ON p.q_id != e.vec_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        s"${dCos("q_vec", "embedding")} DESC, vec_id) <= 5"),
+
+    // E2 — sign-LSH bucketed top-5: 6 deterministic hyperplanes hash each
+    // vector to a 6-bit bucket; probes multi-probe their own bucket plus
+    // every one-bit flip (7 buckets), candidates come from an equi-join on
+    // the bucket key instead of a cross join — the O(n) scale path; exact
+    // cosine re-ranks candidates. Each (probe, candidate) pair matches at
+    // most one mask, so no distinct is needed. Approximate by design, and
+    // the oracle reproduces exactly that.
+    "e2_knn_lsh" -> GQ(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
+        val probes = e.where(probeFilter)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            explode(array(probeMasks.map(m =>
+              col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        val cand = probes.join(e, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
+          .withColumn("sim", VectorOps.cosine(col("q_vec"), col("embedding")))
+        Relational.topKPerGroup(cand, Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket FROM embeddings), " +
+        "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
+        s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE vec_id % 50 = 0) " +
+        s"SELECT q_id, e.vec_id AS neighbor_id, ${dCos("q_vec", "e.embedding")} AS sim " +
+        "FROM p JOIN b e ON p.bucket = e.bucket AND p.q_id != e.vec_id " +
+        s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        s"${dCos("q_vec", "e.embedding")} DESC, e.vec_id) <= 5"),
+
+    // E3 — embedding-cosine near-dup pairs (sim >= 0.4). Brute pair scan
+    // here; at scale the D3/E2 LSH candidate step replaces the cross join.
+    "e3_cosine_neardup_pairs" -> GQ(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
+            VectorOps.cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+          .where(col("sim") >= 0.4)
+      },
+      "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
+        s"${dCos("x.embedding", "y.embedding")} AS sim " +
+        "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id " +
+        s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4"),
+
+    // E4 — per-label centroids: element-wise mean via 64 per-dimension
+    // aggregates (partial aggregation map-side; the IVF coarse-quantizer
+    // build step). Cross-engine double-sum order differs, so derived values
+    // are rounded to 6 places for the compare.
+    "e4_label_centroids" -> GQ(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val aggs = count(lit(1)).as("n") +: (0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+        val norm2 = (0 until 64).map(i => (col(s"s$i") / col("n")) * (col(s"s$i") / col("n")))
+          .reduce(_ + _)
+        e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+          .select(col("label"), col("n"),
+            round(col("s0") / col("n"), 6).as("centroid_d0"),
+            round(col("s63") / col("n"), 6).as("centroid_d63"),
+            round(sqrt(norm2), 6).as("centroid_norm"))
+      },
+      "WITH s AS (SELECT label, count(*) n" +
+        (0 until 64).map(i =>
+          s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString +
+        " FROM embeddings GROUP BY label) " +
+        "SELECT label, n, round(s0 / n, 6) AS centroid_d0, " +
+        "round(s63 / n, 6) AS centroid_d63, " +
+        "round(sqrt(" + (0 until 64).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ") +
+        "), 6) AS centroid_norm FROM s"))
+}
