@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.ops.Relational.Bucket
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bands = Seq(
+    Bucket(None, Some(0.0), "Negative"),
+    Bucket(Some(0.0), Some(10.0), "Low"),
+    Bucket(Some(10.0), None, "High"))
+
+  test("bucketize maps ranges, null -> nullLabel") {
+    val out = Seq[java.lang.Double](-5.0, 0.0, 9.99, 10.0, null).toDF("x")
+      .select(Relational.bucketize(col("x"), bands).as("b")).as[String].collect()
+    assert(out.toSeq == Seq("Negative", "Low", "Low", "High", "Unknown"))
+  }
+
+  test("bucketize is total over doubles incl. boundaries and extremes") {
+    val labels = (bands.map(_.label) :+ "Unknown").toSet
+    val rng = new scala.util.Random(42)
+    val samples: Seq[java.lang.Double] =
+      Seq[java.lang.Double](null, 0.0, -0.0, 10.0, Double.MinValue, Double.MaxValue,
+        Double.NegativeInfinity, Double.PositiveInfinity) ++
+        Seq.fill(200)(java.lang.Double.valueOf(rng.nextDouble() * 2e9 - 1e9))
+    val out = samples.toDF("x")
+      .select(Relational.bucketize(col("x"), bands).as("b")).as[String].collect()
+    assert(out.forall(labels.contains), out.mkString(","))
+  }
+
+  test("hashId is deterministic and input-sensitive") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 1)).toDF("s", "i")
+    val ids = df.select(Relational.hashId(Seq(col("s"), col("i"))).as("h")).as[String].collect()
+    assert(ids(0) == ids(2) && ids(0) != ids(1) && ids(0).length == 64)
+  }
+
+  test("removeOutliers nulls |z| > k, keeps the rest") {
+    val vals = Seq.fill(20)(10.0) ++ Seq(1000.0)
+    val out = vals.toDF("v")
+    val cleaned = Relational.removeOutliers(out, Seq("v"), 3.0)
+    assert(cleaned.where(col("v").isNull).count() == 1)
+    assert(cleaned.where(col("v") === 10.0).count() == 20)
+  }
+
+  test("calendarFor spans min..max with Monday-first dow") {
+    val df = Seq("2024-01-05", "2024-01-01").toDF("d").select(to_date(col("d")).as("d"))
+    val cal = Relational.calendarFor(df, "d").orderBy("cal_date").collect()
+    assert(cal.length == 5)
+    val first = cal.head
+    assert(first.getAs[java.sql.Date]("cal_date").toString == "2024-01-01")
+    assert(first.getAs[Int]("day_of_week") == 1) // 2024-01-01 was a Monday
+    assert(!first.getAs[Boolean]("is_weekend"))
+    assert(cal.last.getAs[String]("day_name") == "Friday")
+  }
+
+  test("nearestWithinBand picks closest reading, keeps unmatched probes") {
+    val probe = Seq((1L, 100L), (2L, 5000L)).toDF("pid", "pts")
+    val readings = Seq((10L, 90L), (11L, 130L), (12L, 999999L)).toDF("rid", "rts")
+    val out = Relational.nearestWithinBand(probe, "pid", "pts", readings, "rts", 100L, "rid")
+      .orderBy("pid").collect()
+    assert(out(0).getAs[Long]("rid") == 10L) // |100-90|=10 beats |100-130|=30
+    assert(out(1).isNullAt(out(1).fieldIndex("rid"))) // nothing within 100 of 5000
+  }
+
+  test("nearestWithinBand band edge is inclusive across bucket boundary") {
+    val probe = Seq((1L, 1000L)).toDF("pid", "pts")
+    val readings = Seq((20L, 1100L)).toDF("rid", "rts") // next bucket, |dt| == band
+    val out = Relational.nearestWithinBand(probe, "pid", "pts", readings, "rts", 100L, "rid")
+    assert(out.head.getAs[Long]("rid") == 20L)
+  }
+
+  test("topKPerGroup returns k rows per group in order") {
+    val df = Seq((1, 10), (1, 30), (1, 20), (2, 5)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
+      .orderBy("g", "v").as[(Int, Int)].collect()
+    assert(out.toSeq == Seq((1, 20), (1, 30), (2, 5)))
+  }
+
+  test("stampGroupFirst stamps every row with the group's first value") {
+    val df = Seq((1, "2024-01-02", "new"), (1, "2024-01-01", "old"), (2, "2024-01-01", "x"))
+      .toDF("g", "d", "v")
+    val out = Relational.stampGroupFirst(df, "latest", col("v"),
+      Seq(col("g")), Seq(col("d").desc))
+    assert(out.where(col("g") === 1).select("latest").as[String].collect().toSet == Set("new"))
+  }
+
+  test("newRowsOnly keeps only unseen keys; incrementalAppend is idempotent") {
+    val existing = Seq(1, 2, 3).toDF("k")
+    val incoming = Seq(2, 3, 4, 5).toDF("k")
+    assert(Relational.newRowsOnly(incoming, existing, Seq("k"))
+      .as[Int].collect().toSet == Set(4, 5))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_spec_").toString + "/t"
+    Relational.incrementalAppend(incoming, Seq("k"), dir)
+    Relational.incrementalAppend(incoming, Seq("k"), dir) // second run: no new keys
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+}

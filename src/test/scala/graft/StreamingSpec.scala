@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+
+/** Streaming = batch equivalence: each streaming plan, run to completion on
+  * the static events table via AvailableNow, must agree with the same
+  * transform run as a batch query.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // File stream sources require a directory: stage the single parquet file.
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+  private lazy val batchEvents = spark.read.schema(EventStreams.eventSchema).parquet(eventsDir)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("hourly rollup: streaming result equals batch result") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.hourlyRollup(stream), "roll", "complete")
+    val streamed = spark.table("roll")
+    val batch = EventStreams.hourlyRollup(batchEvents)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("session windows: streaming result equals batch result") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.sessionize(stream), "sess", "complete")
+    val streamed = spark.table("sess")
+    val batch = EventStreams.sessionize(batchEvents)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("mapGroupsWithState running totals equal batch per-user aggregates") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(
+      EventStreams.runningUserTotals(spark, stream).toDF(), "totals", "update")
+    // one batch -> final row per user; compare count and sum (rounded).
+    val streamed = spark.table("totals")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), round(max("total_value"), 2).as("total_value"))
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: n-grams in order; short docs -> empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.wordShingles(TextOps.tokens(col("t")), 3).as("s"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("h60 matches a reference sha2 prefix parse") {
+    // sha256("abc") = ba7816bf8f01cfe... -> first 15 hex = 0x0ba7816bf8f01cf...
+    val got = Seq("abc").toDF("t").select(TextOps.h60(col("t")).as("h")).as[Long].head()
+    assert(got == java.lang.Long.parseLong(
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad".take(15), 16))
+    assert(got == graft.ops.Multimodal.h60("abc")) // driver-side twin agrees
+  }
+
+  test("minhash signature match rate approximates Jaccard") {
+    // Two docs sharing exactly half their shingles: J = 1/3.
+    val shared = (0 until 50).map(i => s"s$i")
+    val a = shared ++ (0 until 50).map(i => s"a$i")
+    val b = shared ++ (0 until 50).map(i => s"b$i")
+    val k = 128
+    val df = Seq(a, b).toDF("shs")
+      .select(TextOps.minhashSignature(TextOps.shingleHashes(col("shs")), k).as("sig"))
+    val Array(sa, sb) = df.as[Seq[Long]].collect()
+    val matches = sa.zip(sb).count { case (x, y) => x == y }
+    val est = matches.toDouble / k
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"est=$est expected ~0.333")
+  }
+
+  test("simhash: identical docs collide; disjoint docs differ") {
+    val df = Seq("x y z x y", "x y z x y", "p q r s t").toDF("t")
+      .select(TextOps.simhash60(TextOps.tokens(col("t"))).as("h")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("winnowing fingerprints: deterministic; near-identical docs share most fingerprints") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = base.replace("today", "tomoro")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("fp_digest") == out(1).getAs[String]("fp_digest"))
+    assert(out(0).getAs[String]("fp_digest") != out(2).getAs[String]("fp_digest"))
+    assert(out.forall(_.getAs[Long]("n_fingerprints") > 0))
+  }
+
+  test("band digests: equal signatures share all bands, perturbed share fewer") {
+    val sig1 = (1L to 12L).toSeq
+    val sig2 = sig1.updated(0, 99L) // perturb first band only
+    val df = Seq(sig1, sig2).toDF("sig")
+      .select(TextOps.bandDigests(col("sig"), 4, 3).as("b")).as[Seq[String]].collect()
+    assert(df(0).drop(1) == df(1).drop(1)) // bands 1..3 identical
+    assert(df(0).head != df(1).head)       // band 0 differs
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.VectorOps
+import graft.queries.VectorQueries
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: self-similarity 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)).toDF("a", "b", "expect")
+    val bad = df.where(abs(VectorOps.cosine(col("a"), col("b")) - col("expect")) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("knnBruteForce finds the planted nearest neighbor") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = VectorOps.knnBruteForce(probes, "q_id", "q_vec",
+      corpus, "vec_id", "embedding", 1)
+    assert(out.select("vec_id").as[Long].head() == 2L)
+  }
+
+  test("lshBucket: deterministic, and identical vectors share a bucket") {
+    val planes = VectorQueries.planeInts
+    val e = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.lshBucket(col("embedding"), planes).as("bucket"))
+    val twice = Tables.load(spark, Sf0001, "embeddings")
+      .select(col("vec_id"), VectorOps.lshBucket(col("embedding"), planes).as("bucket2"))
+    assert(e.join(twice, "vec_id").where(col("bucket") =!= col("bucket2")).count() == 0)
+    assert(e.select("bucket").distinct().count() > 1) // hash actually spreads
+  }
+
+  test("LSH knn recall vs brute force is non-trivial on real embeddings") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val probes = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = VectorOps.knnBruteForce(probes, "q_id", "q_vec", e, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+
+    val planes = VectorQueries.planeInts
+    val bucketed = e.withColumn("bucket", VectorOps.lshBucket(col("embedding"), planes))
+    val p = bucketed.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(array(VectorQueries.probeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cand = p.join(bucketed, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", VectorOps.cosine(col("q_vec"), col("embedding")))
+    val approx = graft.ops.Relational.topKPerGroup(cand, Seq(col("q_id")),
+      Seq(col("sim").desc, col("vec_id")), 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.2, s"recall=$recall — LSH candidates should catch some true neighbors")
+    // and the approximate path examines far fewer pairs than brute force
+    assert(cand.count() < e.count() * probes.count())
+  }
+}
