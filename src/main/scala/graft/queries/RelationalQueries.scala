@@ -50,6 +50,52 @@ object RelationalQueries {
       },
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
 
+    // S2 + S5 — recursive directory scan with format-auto load
+    // (reference: etl/transform/aq-cleanse.py:194-199 recursiveFileLookup;
+    // ward-dimension.py:35 spark.read.load).
+    "s2_s5_recursive_scan" -> GQ(
+      (s, d) => {
+        val nation = Tables.load(s, d, "nation")
+        val tmp = tmpDir("graft_rec_")
+        nation.where(col("n_regionkey") < 2).write.mode("overwrite")
+          .parquet(s"$tmp/a/deep")
+        nation.where(col("n_regionkey") >= 2).write.mode("overwrite")
+          .parquet(s"$tmp/b")
+        s.read.option("recursiveFileLookup", "true").load(tmp)
+      },
+      "SELECT * FROM nation"),
+
+    // S6 + K4 + K5 + K6 — catalog round-trip: CREATE SCHEMA DDL,
+    // partitioned saveAsTable with Z-order-emulating clustering
+    // (repartitionByRange + sortWithinPartitions — SURVEY §2.2 K5), then a
+    // catalog scan via spark.table + SHOW TABLES sanity
+    // (reference: load_fact.py:393-408, load_sample_aggregates.py:172-183).
+    "s6_k4_catalog_roundtrip" -> GQ(
+      (s, d) => {
+        s.sql("CREATE DATABASE IF NOT EXISTS analytics")
+        s.sql("DROP TABLE IF EXISTS analytics.supplier_clustered")
+        // A fresh session's in-memory catalog doesn't know about a previous
+        // JVM's managed-table directory; clear it or saveAsTable refuses.
+        val stale = new java.io.File("spark-warehouse/analytics.db/supplier_clustered")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
+        Tables.load(s, d, "supplier")
+          .repartitionByRange(4, col("s_acctbal"))
+          .sortWithinPartitions(col("s_acctbal"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("s_nationkey").saveAsTable("analytics.supplier_clustered")
+        assert(s.sql("SHOW TABLES IN analytics").where(col("tableName") ===
+          "supplier_clustered").count() == 1)
+        s.table("analytics.supplier_clustered")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+      },
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
+
     // S7 + U2 — local-rows sentinel source appended via name-resolved
     // union (reference: etl/transform/ward-dimension.py:53-55,
     // wb-dimension.py:100-103).

@@ -132,10 +132,13 @@ object TextQueries {
     // J >= t > 0 implies a shared shingle, so this equals brute force.
     "d2_ngram_jaccard_pairs" -> GQ(
       (s, d) => {
+        // Inverted index keyed by the 31-bit shingle hash — long join keys
+        // shuffle far cheaper than the shingle strings at corpus scale.
         val sh = Tables.load(s, d, "documents").select(col("doc_id"),
-          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("shs"))
-          .withColumn("n", size(col("shs")))
-        val inv = sh.select(col("doc_id"), col("n"), explode(col("shs")).as("s"))
+          TextOps.shingleHashes(array_distinct(
+            TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
+          .withColumn("n", size(col("hs")))
+        val inv = sh.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
         inv.as("x").join(inv.as("y"),
             col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
@@ -147,8 +150,7 @@ object TextQueries {
           .select(col("doc_id_1"), col("doc_id_2"), col("inter"), col("jaccard"))
       },
       s"WITH $dShingleCtes, " +
-        "inv AS (SELECT doc_id, n, unnest(shs) s FROM " +
-        "(SELECT sh.doc_id, len(shs) n, shs FROM sh)), " +
+        "inv AS (SELECT doc_id, n, unnest(h) s FROM hashed), " +
         "pairs AS (SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, x.n n1, y.n n2, " +
         "count(*) inter FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id " +
         "GROUP BY 1, 2, 3, 4) " +
@@ -162,21 +164,26 @@ object TextQueries {
     // verification. est_sim = matching signature positions / 12.
     "d3_minhash_lsh_pairs" -> GQ(
       (s, d) => {
-        val sh = Tables.load(s, d, "documents").select(col("doc_id"),
-          array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("shs"))
-        val sig = sh
-          .withColumn("n", size(col("shs")))
-          .withColumn("sig", TextOps.minhashSignature(TextOps.shingleHashes(col("shs")), 12))
-          .withColumn("bands", TextOps.bandDigests(col("sig"), 4, 3))
-        val ex = sig.select(col("doc_id"), posexplode(col("bands"))).toDF("doc_id", "bidx", "bh")
+        // Hash each shingle exactly once (sha2 dominates the scan cost),
+        // then persist the signature table — it feeds four downstream
+        // joins; at cluster scale this materialization is the signatures
+        // table a dedup pipeline would write out between stages.
+        val sig = Tables.load(s, d, "documents").select(col("doc_id"),
+            TextOps.shingleHashes(array_distinct(
+              TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
+          .withColumn("n", size(col("hs")))
+          .withColumn("sig", TextOps.minhashSignature(col("hs"), 12))
+          .persist()
+        val ex = sig.select(col("doc_id"),
+          posexplode(TextOps.bandDigests(col("sig"), 4, 3))).toDF("doc_id", "bidx", "bh")
         val cand = ex.as("x").join(ex.as("y"),
             col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2")).distinct()
-        val inv = sig.select(col("doc_id"), col("n"), explode(col("shs")).as("s"))
+        val inv = sig.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
         val inter = cand
           .join(inv.as("i1"), col("doc_id_1") === col("i1.doc_id"))
-          .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.s") === col("i2.s"))
+          .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.h") === col("i2.h"))
           .groupBy(col("doc_id_1"), col("doc_id_2"),
             col("i1.n").as("n1"), col("i2.n").as("n2"))
           .agg(count(lit(1)).as("inter"))
@@ -199,7 +206,7 @@ object TextQueries {
         "FROM sig, unnest(range(0, 4)) u(j)), " +
         "cand AS (SELECT DISTINCT x.doc_id doc_id_1, y.doc_id doc_id_2 FROM bands x " +
         "JOIN bands y ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
-        "inv AS (SELECT doc_id, unnest(shs) s FROM sh), " +
+        "inv AS (SELECT doc_id, unnest(h) s FROM hashed), " +
         "inter AS (SELECT doc_id_1, doc_id_2, count(*) inter FROM cand " +
         "JOIN inv i1 ON doc_id_1 = i1.doc_id JOIN inv i2 ON doc_id_2 = i2.doc_id " +
         "AND i1.s = i2.s GROUP BY 1, 2) " +
@@ -227,9 +234,10 @@ object TextQueries {
     // scale (split the signature into bands exactly like D3).
     "d5_simhash_hamming_pairs" -> GQ(
       (s, d) => {
+        val cores = s.sparkContext.defaultParallelism
         val sig = Tables.load(s, d, "documents").select(col("doc_id"),
           TextOps.simhash60(TextOps.tokens(col("text"))).as("sh"))
-        sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+        sig.repartition(cores).as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
             bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
           .where(col("hamming") <= 8)

@@ -49,7 +49,8 @@ object VectorQueries {
         val e = Tables.load(s, d, "embeddings")
         val probes = e.where(probeFilter)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        VectorOps.knnBruteForce(probes, "q_id", "q_vec", e, "vec_id", "embedding", 5)
+        VectorOps.knnBruteForce(probes, "q_id", "q_vec",
+          e.repartition(s.sparkContext.defaultParallelism), "vec_id", "embedding", 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
       "WITH p AS (SELECT vec_id q_id, embedding q_vec FROM embeddings " +
@@ -70,12 +71,15 @@ object VectorQueries {
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
           .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
+          .withColumn("norm", VectorOps.l2Norm(col("embedding")))
         val probes = e.where(probeFilter)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("norm").as("q_norm"),
             explode(array(probeMasks.map(m =>
               col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
         val cand = probes.join(e, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", VectorOps.cosine(col("q_vec"), col("embedding")))
+          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
+            (col("q_norm") * col("norm")))
         Relational.topKPerGroup(cand, Seq(col("q_id")),
           Seq(col("sim").desc, col("vec_id")), 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
@@ -92,10 +96,16 @@ object VectorQueries {
     // here; at scale the D3/E2 LSH candidate step replaces the cross join.
     "e3_cosine_neardup_pairs" -> GQ(
       (s, d) => {
+        // The corpus arrives as one parquet split; spread the streamed side
+        // of the pair join across cores (a cluster blocks the pair space
+        // the same way: partition one side, broadcast the other).
+        val cores = s.sparkContext.defaultParallelism
         val e = Tables.load(s, d, "embeddings")
-        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .withColumn("norm", VectorOps.l2Norm(col("embedding")))
+        e.repartition(cores).as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
-            VectorOps.cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+            (VectorOps.dotD(col("x.embedding"), col("y.embedding")) /
+              (col("x.norm") * col("y.norm"))).as("sim"))
           .where(col("sim") >= 0.4)
       },
       "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
