@@ -42,6 +42,26 @@ object Relational {
     chain.otherwise(lit(nullLabel))
   }
 
+  /** Bucketize variant with no null/fallback label: unmatched or null
+    * inputs yield null (the well-being jobs' contract — labels get
+    * null-filled later with a configurable replacement;
+    * reference: `wb-cleanse.py:133-162` otherwise(None)).
+    */
+  def bucketizeOrNull(c: Column, buckets: Seq[Bucket]): Column = {
+    val conds = buckets.map { b =>
+      val cond = (b.lo, b.hi) match {
+        case (Some(l), Some(h)) => c >= l && c < h
+        case (Some(l), None)    => c >= l
+        case (None, Some(h))    => c < h
+        case (None, None)       => lit(true)
+      }
+      (cond, lit(b.label))
+    }
+    conds.tail.foldLeft(when(conds.head._1, conds.head._2)) {
+      case (acc, (cond, label)) => acc.when(cond, label)
+    }.otherwise(lit(null))
+  }
+
   // ---------------------------------------------------------------------
   // Surrogate keys
   // ---------------------------------------------------------------------

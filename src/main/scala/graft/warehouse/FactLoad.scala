@@ -1,0 +1,125 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Fact-table build — the warehouse's most complex dataflow (reference:
+  * etl/load/load_fact.py:143-408). Seven stages: incident-type key
+  * derivation, four dimension joins (broadcast — every dim is tiny next to
+  * the fact), the ±12 h nearest-air-quality band join, and schema-enforced
+  * finalization into a partitioned catalog table.
+  *
+  * The band join uses Relational.nearestWithinBand with the *intended*
+  * `floor(epoch/B)` bucketing on both sides (the reference's dim side
+  * computes `floor(epoch)/B` — a float bucket that only aligns on exact
+  * multiples; SURVEY §2.4 J6 documents the divergence), and a deterministic
+  * AirQualityKey tie-break where the reference's row_number over
+  * TimeDifference alone is tie-unstable.
+  */
+object FactLoad {
+
+  def run(spark: SparkSession, lfbCleanPath: String, locationTypeTable: String,
+          wardTable: String, aqCleanPath: String, weatherCleanPath: String,
+          wbDimPath: String, outputTable: String): Unit = {
+
+    val lfb0 = spark.read.parquet(lfbCleanPath)
+      .select(Model.factStage1Columns.distinct.map(col): _*)
+    // Normalize TimeOfCall to an "HH:mm:ss" string whatever the ingest
+    // inferred (CSV inference may type bare times as timestamps; the
+    // reference's unconditional date_format nulls genuine strings).
+    val timeStr = lfb0.schema("TimeOfCall").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        date_format(col("TimeOfCall"), "HH:mm:ss")
+      case _ => col("TimeOfCall").cast("string")
+    }
+    val lfb = lfb0.withColumn("TimeOfCall", timeStr)
+
+    // STAGE 1 — incident type key with Unknown override (load_fact.py:158-171)
+    val withIncident = Jobs.deriveIncidentTypeKey(lfb)
+      .withColumn("IncidentTypeKey",
+        when(col("IncidentType") === "Unknown" &&
+          col("IncidentDescription") === "Unknown incident type", lit("Unknown"))
+          .otherwise(col("IncidentTypeKey")))
+      .drop("IncidentGroup", "StopCodeDescription", "SpecialServiceType",
+        "IncidentType", "IncidentDescription")
+
+    // STAGE 2 — location type (load_fact.py:173-189)
+    val withLocation = withIncident
+      .join(broadcast(spark.table(locationTypeTable)), Seq("PropertyType"), "left")
+      .withColumn("LocationTypeKey", coalesce(col("LocationTypeKey"), lit("Unknown")))
+      .drop("PropertyType", "PropertyCategory")
+
+    // STAGE 3 — ward (load_fact.py:191-208)
+    val withWard = withLocation
+      .withColumnRenamed("IncGeo_WardCode", "WardCode")
+      .join(broadcast(spark.table(wardTable)), Seq("WardCode"), "left")
+      .withColumn("WardID", coalesce(col("WardID"), lit("Unknown")))
+      .drop("WardName", "BoroughName", "BoroughCode")
+
+    // STAGE 4 — nearest air-quality reading within ±12 h (load_fact.py:210-298)
+    // try_to_timestamp: unparseable call times degrade to "no AQ match"
+    // instead of failing the job under ANSI mode.
+    val probes = withWard.select(col("IncidentNumber"),
+      unix_seconds(expr(
+        "try_to_timestamp(concat(DateOfCall, ' ', TimeOfCall), 'yyyy-MM-dd HH:mm:ss')"))
+        .as("CallUnixEpoch"))
+      .where(col("CallUnixEpoch").isNotNull)
+    val readings = spark.read.parquet(aqCleanPath)
+      .select(col("AirQualityKey"), unix_seconds(col("ReadingDateTime")).as("ReadingUnixEpoch"))
+      .where(col("ReadingUnixEpoch").isNotNull)
+    val aqPairs = Relational.nearestWithinBand(
+        probes, "IncidentNumber", "CallUnixEpoch",
+        readings, "ReadingUnixEpoch", Model.bucketSizeSeconds, "AirQualityKey")
+      .select("IncidentNumber", "AirQualityKey")
+    val withAq = withWard.join(aqPairs, Seq("IncidentNumber"), "left")
+      .withColumn("AirQualityKey", coalesce(col("AirQualityKey"), lit("Unknown")))
+
+    // STAGE 5 — weather by call date (load_fact.py:300-316)
+    val weather = spark.read.parquet(weatherCleanPath)
+      .select(col("date").as("DateOfCall"), col("WeatherKey"))
+    val withWeather = withAq.join(broadcast(weather), Seq("DateOfCall"), "left")
+      .withColumn("WeatherKey", coalesce(col("WeatherKey"), lit("Unknown")))
+
+    // STAGE 6 — well-being by (ward, year) (load_fact.py:318-339)
+    val wellBeing = spark.read.parquet(wbDimPath)
+      .select(col("WardCode"), col("Year").as("YearOfCall"), col("WellBeingID"))
+    val withWb = withWeather.withColumn("YearOfCall", year(col("DateOfCall")))
+      .join(broadcast(wellBeing), Seq("WardCode", "YearOfCall"), "left")
+      .withColumn("WellBeingID", coalesce(col("WellBeingID"), lit("Unknown")))
+
+    // STAGE 7 — finalize: defaults, derived CostPerCall, declared schema
+    // order/types via explicit projection (load_fact.py:341-387)
+    val renamed = withWb
+      .drop("WardCode", "YearOfCall", "IncGeo_WardName",
+        "SecondPumpArriving_AttendanceTime", "SecondPumpArriving_DeployedFromStation")
+      .withColumnsRenamed(Map(
+        "FirstPumpArriving_AttendanceTime" -> "FirstPumpAttendanceTime",
+        "FirstPumpArriving_DeployedFromStation" -> "FirstPumpStation",
+        "Notional Cost (£)" -> "NotionalCost",
+        "NumStationsWithPumpsAttending" -> "StationsWithPumpsAttending",
+        "NumPumpsAttending" -> "PumpsAttending",
+        "PumpMinutesRounded" -> "PumpMinutes"))
+      .withColumn("IncidentStationGround", coalesce(col("IncidentStationGround"), lit("Unknown")))
+      .withColumn("StationsWithPumpsAttending", coalesce(col("StationsWithPumpsAttending"), lit(0)))
+      .withColumn("PumpsAttending", coalesce(col("PumpsAttending"), lit(0)))
+      .withColumn("PumpMinutes", coalesce(col("PumpMinutes"), lit(0)))
+      .withColumn("NotionalCost", coalesce(col("NotionalCost"), lit(0)))
+      .withColumn("NumCalls", coalesce(col("NumCalls"), lit(1)))
+      .withColumn("CostPerCall",
+        when(col("NumCalls") > 0, (col("NotionalCost") / col("NumCalls")).cast("int"))
+          .otherwise(lit(0)))
+
+    val finalDf = renamed.select(Model.factSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    // Partition by station ground; cluster files by (DateOfCall,
+    // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405).
+    finalDf
+      .repartitionByRange(math.max(spark.sparkContext.defaultParallelism / 2, 1),
+        col("DateOfCall"), col("NotionalCost"))
+      .sortWithinPartitions(col("DateOfCall"), col("NotionalCost"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("IncidentStationGround").saveAsTable(outputTable)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Path}
+
+/** Synthetic raw-input CSVs shaped per FIXTURES.md §1: the LFB call sheet
+  * (39 columns, incl. the tricky rows — "Special Service", Special-Ops
+  * override, literal "NULL"s, zero Latitude/USRN, ward-code modernization
+  * pairs), six air-quality station files, well-being (16 cols), weather
+  * (11 cols).
+  */
+object Fixtures {
+
+  def write(dir: Path): Pipeline.Inputs = {
+    val lfbHeader =
+      "IncidentNumber,DateOfCall,TimeOfCall,CalYear,HourOfCall,IncidentGroup," +
+        "StopCodeDescription,SpecialServiceType,PropertyCategory,PropertyType," +
+        "AddressQualifier,Postcode_full,Postcode_district,UPRN,USRN," +
+        "IncGeo_BoroughCode,IncGeo_BoroughName,ProperCase,IncGeo_WardCode," +
+        "IncGeo_WardName,IncGeo_WardNameNew,Easting_m,Northing_m," +
+        "Easting_rounded,Northing_rounded,Latitude,Longitude,FRS," +
+        "IncidentStationGround,FirstPumpArriving_AttendanceTime," +
+        "FirstPumpArriving_DeployedFromStation,SecondPumpArriving_AttendanceTime," +
+        "SecondPumpArriving_DeployedFromStation,NumStationsWithPumpsAttending," +
+        "NumPumpsAttending,PumpCount,PumpMinutesRounded,Notional Cost (£),NumCalls"
+
+    def lfbRow(id: Int, date: String, time: String, group: String, stop: String,
+               special: String, propCat: String, propType: String, wardCode: String,
+               wardName: String, lat: String, lon: String, usrn: String,
+               station: String, attend: String, cost: String, calls: String): String =
+      s"IN$id,$date,$time,2022,10,$group,$stop,$special,$propCat,$propType," +
+        s"Within same building,E1 1AA,E1,1000$id,$usrn,E09000001,City,City of London," +
+        s"$wardCode,$wardName,$wardName,532000,181000,532000,181000,$lat,$lon,LFB," +
+        s"$station,$attend,StationA,300,StationB,2,2,2,60,$cost,$calls"
+
+    val lfbRows = Seq(
+      lfbRow(1, "05-Jan-22", "10:15:00", "Fire", "Primary Fire", "NULL",
+        "Dwelling", "House", "W001", "alpha ward", "51.5", "-0.1", "12345",
+        "Soho", "240", "500", "1"),
+      lfbRow(2, "06-Jan-22", "11:00:00", "Special Service", "Flooding", "Flooding major",
+        "Dwelling", "Flat", "W001", "alpha ward", "51.6", "-0.2", "12346",
+        "Soho", "180", "400", "2"),
+      lfbRow(3, "07-Jan-22", "12:30:00", "Special Service", "Use of Special Operations Room",
+        "Other", "Outdoor", "Park", "W002", "beta ward", "51.7", "-0.3", "12347",
+        "Chelsea", "NULL", "600", "3"),
+      lfbRow(4, "08-Jan-22", "09:45:00", "False Alarm", "AFA", "NULL",
+        "Dwelling", "House", "W003", "alpha ward", "0", "0", "0",
+        "Soho", "120", "NULL", "NULL"),
+      // newer date, same ward name as W003/W001 rows -> modernization keeps
+      // the newest-dated code for "Alpha Ward"
+      lfbRow(5, "01-Feb-22", "23:59:00", "Fire", "Secondary Fire", "NULL",
+        "NULL", "NULL", "W009", "alpha ward", "51.5", "0", "12349",
+        "Soho", "90", "250", "1"),
+      lfbRow(6, "02-Feb-22", "00:10:00", "NULL", "NULL", "NULL",
+        "Vehicle", "Car", "NULL", "NULL", "51.4", "-0.4", "12350",
+        "Chelsea", "150", "350", "2"))
+
+    val lfbCsv = dir.resolve("lfb-calls.csv")
+    Files.writeString(lfbCsv, (lfbHeader +: lfbRows).mkString("\n"))
+
+    val aqHeader = "Site,Species,ReadingDateTime,Value,Units,Provisional_or_Ratified"
+    def aqFile(site: String, rows: Seq[String]): Path = {
+      val p = dir.resolve(s"aq-$site.csv")
+      Files.writeString(p, (aqHeader +: rows).mkString("\n"))
+      p
+    }
+    // readings bracketing the incident dates; shared timestamps across
+    // species (pivot), one negative (-> null), one extreme (z-score)
+    val species = Seq("CO", "NO", "NO2", "NOX", "O3", "PM1", "PM10", "PM2.5")
+    val times = Seq("05/01/2022 09:00", "06/01/2022 12:00", "07/01/2022 11:30",
+      "08/01/2022 10:00", "01/02/2022 22:00", "02/02/2022 01:00")
+    val aqPaths = (0 until 6).map { i =>
+      val site = s"ST$i"
+      val rows = for (t <- times; (sp, j) <- species.zipWithIndex) yield {
+        val v =
+          if (i == 0 && t == times.head && sp == "CO") "-5.0"
+          else (10.0 + j * 5 + i).toString
+        s"$site,$sp,$t,$v,ug/m3,Ratified"
+      }
+      aqFile(site, rows)
+    }
+
+    val wbHeader = "Old Ward Code,New ward code,Ward,Borough,Year," +
+      "Life_Expectancy,Childhood_Obesity,Incapacity_Benefit,Unemployment,Crime," +
+      "GCSE_points,Public_Transport_Access,Deliberate_Fires,Unauthorised_Absence," +
+      "Dependent_children,Homes_with_access"
+    val wbRows = Seq(
+      s"OLD1,W001,Alpha Ward,City,2022,81.5,20.0,2.5,4.0,85.0,340.0,6.0,3.0,0.8,20.0,1.0",
+      s"OLD2,W002,Beta Ward,City,2022,79.0,26.0,6.0,9.0,130.0,315.0,2.0,7.0,1.4,30.0,-1.0",
+      s"OLD3,W009,Alpha Ward,City,2022,86.0,10.0,1.0,1.5,50.0,380.0,8.0,0.05,0.5,8.0,0.5")
+    val wbCsv = dir.resolve("well-being.csv")
+    Files.writeString(wbCsv, (wbHeader +: wbRows).mkString("\n"))
+
+    val weatherHeader = "date,tavg,tmin,tmax,wdir,wspd,wpgt,pres,prcp,snow,tsun"
+    val weatherRows = Seq(
+      "2022-01-05,5.0,1.0,9.0,350.0,15.0,30.0,1010.0,1.0,0.0,26000.0",
+      "2022-01-06,-12.0,-15.0,-8.0,400.0,0.0,0.0,975.0,30.0,40.0,20000.0",
+      "2022-01-07,12.0,,18.0,90.0,45.0,60.0,1025.0,0.05,,30000.0",
+      "2022-01-08,22.0,15.0,32.0,180.0,120.0,150.0,1045.0,12.0,8.0,37000.0",
+      "2022-02-01,8.0,4.0,12.0,270.0,8.0,9.0,1005.0,,0.0,28000.0")
+    val weatherCsv = dir.resolve("weather.csv")
+    Files.writeString(weatherCsv, (weatherHeader +: weatherRows).mkString("\n"))
+
+    Pipeline.Inputs(lfbCsv.toString, aqPaths.map(_.toString), weatherCsv.toString,
+      wbCsv.toString)
+  }
+}

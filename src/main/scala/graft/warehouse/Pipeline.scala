@@ -1,0 +1,147 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Checks
+
+/** In-process DAG runner for the full warehouse pipeline, honoring the
+  * reference DAG's edges (reference: airflow/main-dw-project.py:373-454):
+  * extracts -> extract checks -> cleanses -> dimension builds -> dimension
+  * checks -> dimension loads -> fact load -> post-load checks + aggregates.
+  * Airflow/Livy/K8s are deployment concerns (SURVEY §3.1); the edges are
+  * the spec, and sequential execution preserves them trivially. At cluster
+  * scale each stage is its own spark-submit against shared storage.
+  */
+object Pipeline {
+
+  final case class Paths(stagingDir: String) {
+    val lfbRaw = s"$stagingDir/lfb-calls.parquet"
+    val lfbClean = s"$stagingDir/lfb-calls-clean.parquet"
+    val aqRaw = s"$stagingDir/air-quality.parquet"
+    val aqClean = s"$stagingDir/air-quality-clean.parquet"
+    val weatherRaw = s"$stagingDir/weather.parquet"
+    val weatherClean = s"$stagingDir/weather-clean.parquet"
+    val wbRaw = s"$stagingDir/well-being.parquet"
+    val wbClean = s"$stagingDir/well-being-clean.parquet"
+    val wardDim = s"$stagingDir/ward-dimension.parquet"
+    val wbDim = s"$stagingDir/well-being-dimension.parquet"
+    val incidentTypeDim = s"$stagingDir/incident-type.parquet"
+    val locationTypeDim = s"$stagingDir/location-types.parquet"
+    val dateDim = s"$stagingDir/date.parquet"
+  }
+
+  final case class Inputs(lfbCsv: String, aqCsvs: Seq[String], weatherCsv: String,
+                          wbCsv: String)
+
+  /** Expected raw column counts (airflow/main-dw-project.py:148-167). */
+  val expectedColumns = Map("lfb" -> 39, "aq" -> 6, "wb" -> 16, "weather" -> 11)
+
+  private def gate(stage: String, results: Seq[Either[Checks.Violation, Unit]]): Unit =
+    Checks.runAll(results).left.foreach { vs =>
+      throw new IllegalStateException(
+        s"pipeline gate '$stage' failed: ${vs.map(v => s"${v.check}: ${v.detail}").mkString("; ")}")
+    }
+
+  def run(spark: SparkSession, inputs: Inputs, paths: Paths,
+          factTable: String = "lfb_call", analyticsSchema: String = "analytics",
+          checkColumnCounts: Boolean = true): Unit = {
+
+    // --- extract stage (4 parallel tasks in the reference) ---
+    Jobs.lfbExtract(spark, inputs.lfbCsv, paths.lfbRaw)
+    Jobs.aqExtract(spark, inputs.aqCsvs, paths.aqRaw)
+    Jobs.extract(spark, inputs.weatherCsv, paths.weatherRaw, Seq("date"))
+    Jobs.extract(spark, inputs.wbCsv, paths.wbRaw, Seq("Ward", "Year"))
+
+    // --- post-extract checks (etl/checks/post-extract-check.py) ---
+    val lfbRaw = spark.read.parquet(paths.lfbRaw)
+    gate("post-extract", Seq(
+      Checks.nonEmpty(lfbRaw),
+      Checks.primaryKey(lfbRaw, Seq("IncidentNumber")),
+      Checks.completeness(lfbRaw, "IncidentNumber", 1.0)) ++
+      (if (checkColumnCounts) Seq(
+        Checks.columnCount(lfbRaw, expectedColumns("lfb")),
+        Checks.columnCount(spark.read.parquet(paths.aqRaw), expectedColumns("aq")),
+        Checks.columnCount(spark.read.parquet(paths.wbRaw), expectedColumns("wb")),
+        Checks.columnCount(spark.read.parquet(paths.weatherRaw), expectedColumns("weather")))
+      else Nil))
+
+    // --- cleanse stage ---
+    Jobs.lfbCleanse(spark, paths.lfbRaw, paths.lfbClean)
+    Jobs.aqCleanse(spark, paths.aqRaw, paths.aqClean)
+    Jobs.weatherCleanse(spark, paths.weatherRaw, paths.weatherClean)
+    Jobs.wbCleanse(spark, paths.wbRaw, paths.wbClean)
+
+    // --- dimension builds ---
+    Jobs.wardDimension(spark, paths.lfbClean, paths.wardDim)
+    Jobs.wbDimension(spark, paths.wbClean, paths.wbDim)
+    Jobs.incidentTypeDimension(spark, paths.lfbClean, paths.incidentTypeDim)
+    Jobs.locationTypeDimension(spark, paths.lfbClean, paths.locationTypeDim)
+    Jobs.dateDimension(spark, paths.lfbClean, paths.dateDim)
+
+    // --- dimension checks (etl/checks/*-dimension-check.py) ---
+    val dateDim = spark.read.parquet(paths.dateDim)
+    val wardDim = spark.read.parquet(paths.wardDim)
+    val itDim = spark.read.parquet(paths.incidentTypeDim)
+    val ltDim = spark.read.parquet(paths.locationTypeDim)
+    gate("dimension-checks", Seq(
+      Checks.nonEmpty(dateDim),
+      Checks.schemaEquals(dateDim, Model.dateDimSchema),
+      Checks.primaryKey(dateDim, Seq("Date")),
+      Checks.cardinalityAtMost(dateDim, "Month", 12),
+      Checks.cardinalityAtMost(dateDim, "DayOfWeek", 7),
+      Checks.inRange(dateDim, "Day", 1, 31),
+      Checks.inRange(dateDim, "Quarter", 1, 4),
+      Checks.nonEmpty(wardDim),
+      Checks.primaryKey(wardDim, Seq("WardCode")),
+      Checks.primaryKey(wardDim, Seq("WardID")),
+      Checks.nonEmpty(itDim),
+      Checks.primaryKey(itDim, Seq("IncidentTypeKey")),
+      Checks.nonEmpty(ltDim),
+      Checks.primaryKey(ltDim, Seq("LocationTypeKey"))))
+
+    // --- dimension loads (etl/load/load_*_dim.py) ---
+    Jobs.loadDimTable(spark, paths.dateDim, "date_dim",
+      Model.dateDimSchema.fields.map(f => f.name -> f.name).toSeq,
+      partitionBy = Some("Year"), clusterBy = Seq("Date"))
+    Jobs.loadDimTable(spark, paths.wardDim, "ward",
+      Seq("WardCode", "WardName", "BoroughName", "BoroughCode", "WardID").map(c => c -> c),
+      partitionBy = Some("BoroughCode"), clusterBy = Seq("WardID", "WardName"))
+    Jobs.loadDimTable(spark, paths.incidentTypeDim, "incident_types",
+      Seq("IncidentType", "IncidentDescription", "IncidentTypeKey").map(c => c -> c),
+      partitionBy = None, clusterBy = Seq("IncidentTypeKey"))
+    Jobs.loadDimTable(spark, paths.locationTypeDim, "location_type",
+      Seq("PropertyCategory", "PropertyType", "LocationTypeKey").map(c => c -> c),
+      partitionBy = None, clusterBy = Seq("LocationTypeKey"))
+    Jobs.loadDimTable(spark, paths.weatherClean, "weather",
+      Model.weatherDimRename, partitionBy = Some("TemperatureCategory"),
+      clusterBy = Seq("WeatherKey", "WindDirection"),
+      dropCols = Seq("date"), distinct = true)
+    Jobs.loadDimTable(spark, paths.aqClean, "air_quality",
+      Model.aqDimColumns.map(c => c -> c), partitionBy = None,
+      clusterBy = Seq("AirQualityKey", "PM10Level", "PM2_5Level", "NO2Level"),
+      dropCols = Seq("ReadingDateTime"), distinct = true)
+    val wbCols = spark.read.parquet(paths.wbDim).columns
+    Jobs.loadDimTable(spark, paths.wbDim, "well_being",
+      (wbCols.filterNot(Seq("Year", "WardCode").contains)).map(c => c -> c).toSeq,
+      partitionBy = None, clusterBy = Seq("WellBeingID"))
+
+    // --- fact load ---
+    FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+      paths.aqClean, paths.weatherClean, paths.wbDim, factTable)
+
+    // --- post-load checks + aggregates ---
+    val fact = spark.table(factTable)
+    gate("post-load", Seq(
+      Checks.nonEmpty(fact),
+      Checks.schemaEquals(
+        fact.select(Model.factSchema.fieldNames.map(col).toSeq: _*), Model.factSchema),
+      Checks.referentialIntegrity(fact, "IncidentTypeKey", spark.table("incident_types"), "IncidentTypeKey"),
+      Checks.referentialIntegrity(fact, "LocationTypeKey", spark.table("location_type"), "LocationTypeKey"),
+      Checks.referentialIntegrity(fact, "WardID", spark.table("ward"), "WardID"),
+      Checks.referentialIntegrity(fact, "AirQualityKey", spark.table("air_quality"), "AirQualityKey"),
+      Checks.referentialIntegrity(fact, "WeatherKey", spark.table("weather"), "WeatherKey"),
+      Checks.referentialIntegrity(fact, "WellBeingID", spark.table("well_being"), "WellBeingID")))
+
+    Aggregates.run(spark, factTable, analyticsSchema)
+  }
+}
