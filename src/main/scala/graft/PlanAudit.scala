@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (name <- Seq("p1_p2_projection", "agg_priority_filtered", "j4_left_join_enrich",
+        "agg_per_segment", "e2_knn_lsh", "d1_exact_dedup")) {
+      println(s"########## $name")
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      println(plan.linesIterator.filter(l =>
+        l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("Broadcast") || l.contains("WholeStageCodegen") || l.contains("Exchange")
+      ).take(14).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

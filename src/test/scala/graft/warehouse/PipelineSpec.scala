@@ -108,4 +108,21 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(paths.lfbRaw).count() == before)
     assert(spark.table("lfb_call").count() == 6)
   }
+
+  test("cumulative batches append only new incidents (reference batching/config.yaml)") {
+    // batch 1 = the January incidents; batch 2 = the full cumulative file
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(inputs.lfbCsv))
+    val batch1 = java.nio.file.Files.createTempFile("graft_batch1_", ".csv")
+    java.nio.file.Files.write(batch1,
+      java.util.List.copyOf(lines.subList(0, 5))) // header + 4 Jan rows
+    val staged = java.nio.file.Files.createTempDirectory("graft_batch_out_")
+      .resolve("lfb.parquet").toString
+    Jobs.lfbExtract(spark, batch1.toString, staged)
+    assert(spark.read.parquet(staged).count() == 4)
+    Jobs.lfbExtract(spark, inputs.lfbCsv, staged)
+    val all = spark.read.parquet(staged)
+    assert(all.count() == 6)
+    assert(all.select("IncidentNumber").distinct().count() == 6)
+  }
 }
