@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `array<float>` columns in
+  * double precision, accumulated left-to-right.
+  *
+  * Why a custom Expression (SURVEY preference order (b)): the composable
+  * form `aggregate(zip_with(a, b, _*_), 0d, _+_)` is a higher-order
+  * function — Catalyst evaluates HOFs interpreted (per-element lambda
+  * dispatch, boxing), which dominates ANN pair scans. This expression
+  * codegens one tight primitive loop, stays inside whole-stage codegen,
+  * and produces the exact same IEEE-754 sequence as the fold
+  * (`(((0+p0)+p1)+p2)...`), so results are bit-identical to the
+  * HOF form and to the DuckDB oracle's `list_reduce`.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_f expects (array<float>, array<float>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f"
+}
+
+/** Column + SQL registration for the native functions. */
+object GraftFunctions {
+
+  def dot_f(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      DotProductF(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+
+  /** Register `dot_f` in a session's function registry so `spark.sql`
+    * queries can call it too.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+}
+
+/** SparkSessionExtensions hook — `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * native functions at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+}

@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product in double precision via a 0.0-seeded left fold. Measured
-    * faster than a 64-term unrolled element_at sum (the unrolled tree
-    * exceeds codegen method limits and degrades to per-term interpreted
-    * eval; the fold is one tight loop over the primitive arrays), and the
-    * fold order is the exact IEEE sequence the DuckDB oracle's list_reduce
-    * reproduces (0.0 + p0 == p0).
+  /** Dot product of two float vectors in double precision, left-to-right
+    * accumulation — the native codegen'd expression (graft.functions
+    * .DotProductF). Its loop emits the exact IEEE sequence of a 0.0-seeded
+    * left fold, so results are bit-identical to the composable HOF form
+    * `aggregate(zip_with(...))` (kept below for dynamically-typed vectors)
+    * and to the DuckDB oracle's `list_reduce`.
     */
-  def dotD(a: Column, b: Column): Column =
+  def dotD(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot_f(a, b)
+
+  /** Composable fold form — HOFs evaluate interpreted; prefer dotD in hot
+    * paths. Bit-identical results.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.VectorOps
+
+class DotProductFSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_f is bit-identical to the HOF fold on real embeddings") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val diff = pairs.select(
+      GraftFunctions.dot_f(col("x.embedding"), col("y.embedding")).as("native"),
+      VectorOps.dotFold(col("x.embedding"), col("y.embedding")).as("fold"))
+      .where(col("native") =!= col("fold")) // bitwise: any ULP diff fails =!=
+    assert(diff.count() == 0)
+  }
+
+  test("dot_f null and length semantics") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
+      (None, Some(Seq(1f))),
+      (Some(Seq(1f, 2f, 5f)), Some(Seq(2f)))).toDF("a", "b")
+    val out = df.select(GraftFunctions.dot_f(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect()
+    assert(out(0).contains(11.0))
+    assert(out(1).isEmpty)        // null input -> null
+    assert(out(2).contains(2.0))  // min-length semantics
+  }
+
+  test("dot_f is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT dot_f(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("dot_f stays inside whole-stage codegen") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val plan = e.select(GraftFunctions.dot_f(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dot_f"), plan.take(500))
+  }
+}
