@@ -236,6 +236,23 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Skew-mitigating equi join: salt the skewed (large) side's key with a
+    * random-ish residue derived from a stable row attribute, replicate the
+    * build side once per salt value, and join on (key, salt). The hot key's
+    * rows spread over `saltFactor` reducers instead of one. Results equal
+    * the plain join (every row pairs with exactly one replica). AQE's
+    * skew-join handles most cases at runtime; explicit salting is for
+    * deterministic layouts or pre-AQE shuffles at the 100 TB scale.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(saltFactor)))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Stamp each row with the group-wise first value of `valueCol` under
     * `order` — `first(...).over(partitionBy(...).orderBy(...))`, the
     * reference's ward-code-modernization idiom.

@@ -90,6 +90,27 @@ object AggWindowQueries {
         "AS avg_price FROM orders WHERE o_totalprice > 100000 AND " +
         "year(o_orderdate) BETWEEN 1996 AND 1998 GROUP BY o_orderpriority"),
 
+    // A9 — hierarchical rollup: subtotals per (year, priority), per year,
+    // and grand total in one pass (partial-aggregation friendly; the
+    // warehouse-native form of multi-granularity aggregates).
+    "a9_rollup" -> GQ(
+      (s, d) => Tables.load(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price")),
+      "SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority, " +
+        "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price " +
+        "FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)"),
+
+    // A10 — grouping sets with grouping_id disambiguation (cube corner).
+    "a10_grouping_sets" -> GQ(
+      (s, d) => Tables.load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid")),
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "GROUPING(l_returnflag, l_linestatus) AS gid FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+
     // A2 — pivot aggregate, long->wide with explicit pivot values for
     // determinism (reference: aq-cleanse.py:215-219; SURVEY §7.4.4).
     "a2_pivot_wide" -> GQ(

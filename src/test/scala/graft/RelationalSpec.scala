@@ -86,6 +86,15 @@ class RelationalSpec extends SparkSpec {
     assert(out.where(col("g") === 1).select("latest").as[String].collect().toSet == Set("new"))
   }
 
+  test("saltedJoin equals the plain join under heavy key skew") {
+    val skewed = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k950", "A"), ("missing", "Z")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k"), "inner").orderBy("v")
+    val salted = Relational.saltedJoin(skewed, dim, Seq("k"), 8).orderBy("v")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+    assert(salted.count() == 901) // 900 hot + k950
+  }
+
   test("newRowsOnly keeps only unseen keys; incrementalAppend is idempotent") {
     val existing = Seq(1, 2, 3).toDF("k")
     val incoming = Seq(2, 3, 4, 5).toDF("k")
