@@ -16,9 +16,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the first measured query doesn't absorb
+    // session startup (scheduler, codegen compiler, parquet footer reads).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => () })
     val results = SparkEntry.registry.map { case (name, q) =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

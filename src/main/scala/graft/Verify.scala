@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has no
       // timestamp type for — read as Long nanos (oracle uses epoch_ns).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
