@@ -61,6 +61,49 @@ object EventStreams {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class TimedEvent(user_id: Long, tus: Long, value: Double)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, session_value: Double)
+  final case class SessionState(openStart: Long, openEnd: Long,
+                                n: Long, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
+    * form of session windows (use when per-session logic outgrows
+    * `session_window`, e.g. value-dependent gap rules). Emits every closed
+    * session as soon as a later event proves the gap; the still-open
+    * session stays in state. With an AvailableNow run over a static table
+    * the batch iterator arrives time-ordered per group after an explicit
+    * sort; in production the watermark bounds state and a timeout would
+    * flush open sessions.
+    */
+  def sessionizeCustom(spark: SparkSession, events: DataFrame,
+                       gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "ts div 1000 as tus", "value").as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.tus)
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.tus, e.tus, 1L, e.value)
+              case s if e.tus - s.openEnd > gapUs =>
+                closed += Session(user, s.openStart, s.openEnd, s.n, s.total)
+                st = SessionState(e.tus, e.tus, 1L, e.value)
+              case s =>
+                st = SessionState(s.openStart, e.tus, s.n + 1, s.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: a running per-user
     * (count, sum) — the minimal template for bespoke streaming state that
     * session_window/window can't express.

@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("flatMapGroupsWithState sessionization matches batch gap sessions") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.sessionizeCustom(spark, stream).toDF(), "customsess", "append")
+    val streamed = spark.table("customsess")
+      .select("user_id", "start_us", "end_us", "n_events").as[(Long, Long, Long, Long)]
+      .collect().toSet
+
+    // batch gap sessions via the window formulation; the streaming variant
+    // can't close each user's final session (NoTimeout), so drop those.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"))
+    val batch = batchEvents
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("new_sess", when(lag(col("tus"), 1).over(w).isNull ||
+        col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sidx", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sidx")
+      .agg(min("tus").as("start_us"), max("tus").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val lastIdx = batch.groupBy("user_id").agg(max("sidx").as("sidx"))
+    val closedBatch = batch.join(lastIdx, Seq("user_id", "sidx"), "left_anti")
+      .select("user_id", "start_us", "end_us", "n_events").as[(Long, Long, Long, Long)]
+      .collect().toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == closedBatch)
+  }
+
   test("mapGroupsWithState running totals equal batch per-user aggregates") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(
