@@ -103,4 +103,105 @@ object Fixtures {
     Pipeline.Inputs(lfbCsv.toString, aqPaths.map(_.toString), weatherCsv.toString,
       wbCsv.toString)
   }
+
+  /** Scaled synthetic inputs: `n` incidents over 2020-2022 across ~600
+    * wards, hourly air-quality readings, daily weather, per-(ward, year)
+    * well-being — realistic warehouse cardinalities for timing the full
+    * DAG beyond the 6-row correctness fixture. Deterministic (seeded).
+    */
+  def writeScaled(dir: Path, n: Int): Pipeline.Inputs = {
+    val rng = new scala.util.Random(42)
+    val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    val groups = Seq("Fire", "False Alarm", "Special Service")
+    val stops = Seq("Primary Fire", "Secondary Fire", "AFA", "Flooding",
+      "Use of Special Operations Room")
+    val props = Seq("House", "Flat", "Car", "Park", "Office", "Shop")
+    val stations = (0 until 40).map(i => s"Station$i")
+
+    val lfbHeader =
+      "IncidentNumber,DateOfCall,TimeOfCall,CalYear,HourOfCall,IncidentGroup," +
+        "StopCodeDescription,SpecialServiceType,PropertyCategory,PropertyType," +
+        "AddressQualifier,Postcode_full,Postcode_district,UPRN,USRN," +
+        "IncGeo_BoroughCode,IncGeo_BoroughName,ProperCase,IncGeo_WardCode," +
+        "IncGeo_WardName,IncGeo_WardNameNew,Easting_m,Northing_m," +
+        "Easting_rounded,Northing_rounded,Latitude,Longitude,FRS," +
+        "IncidentStationGround,FirstPumpArriving_AttendanceTime," +
+        "FirstPumpArriving_DeployedFromStation,SecondPumpArriving_AttendanceTime," +
+        "SecondPumpArriving_DeployedFromStation,NumStationsWithPumpsAttending," +
+        "NumPumpsAttending,PumpCount,PumpMinutesRounded,Notional Cost (£),NumCalls"
+
+    // 3 years x 12 months x 28 days = 1008 distinct valid dates; the grid
+    // enumeration keeps the weather/date dimensions unique per date.
+    val nDays = 1008
+    def dateOf(day: Int): (Int, Int, Int) = {
+      val y = 2020 + day / 336; val m = (day % 336) / 28; val d = day % 28 + 1
+      (y, m, d)
+    }
+    val lfbRows = (0 until n).iterator.map { i =>
+      val day = rng.nextInt(nDays)
+      val (y, m, d) = dateOf(day)
+      val date = f"$d%02d-${months(m)}-${y % 100}%02d"
+      val time = f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
+      val ward = rng.nextInt(600)
+      val grp = groups(rng.nextInt(groups.length))
+      val stop = stops(rng.nextInt(stops.length))
+      val prop = props(rng.nextInt(props.length))
+      s"IN$i,$date,$time,$y,10,$grp,$stop,Special $stop,Cat,$prop," +
+        s"Within,E$ward,E,1$i,${1000 + i},E090${ward / 20},B${ward / 20},Borough${ward / 20}," +
+        s"W$ward,ward $ward,ward $ward,532000,181000,532000,181000," +
+        s"${51.3 + rng.nextInt(40) / 100.0},${-0.5 + rng.nextInt(60) / 100.0},LFB," +
+        s"${stations(rng.nextInt(stations.length))},${60 + rng.nextInt(600)},StationA," +
+        s"300,StationB,${1 + rng.nextInt(3)},${1 + rng.nextInt(4)},2," +
+        s"${30 + rng.nextInt(120)},${100 + rng.nextInt(2000)},${1 + rng.nextInt(4)}"
+    }
+    val lfbCsv = dir.resolve("lfb-calls.csv")
+    writeLines(lfbCsv, Iterator(lfbHeader) ++ lfbRows)
+
+    val species = Seq("CO", "NO", "NO2", "NOX", "O3", "PM1", "PM10", "PM2.5")
+    val aqHeader = "Site,Species,ReadingDateTime,Value,Units,Provisional_or_Ratified"
+    val aqPaths = (0 until 3).map { s =>
+      val p = dir.resolve(s"aq-ST$s.csv")
+      val rows = (0 until nDays).iterator.flatMap { day =>
+        val (y, m, d) = dateOf(day)
+        Iterator(0, 6, 12, 18).flatMap(h =>
+          species.iterator.map(sp =>
+            f"ST$s,$sp,$d%02d/${m + 1}%02d/$y $h%02d:00,${5 + rng.nextInt(80)},ug/m3,Ratified"))
+      }
+      writeLines(p, Iterator(aqHeader) ++ rows)
+      p
+    }
+
+    val weatherHeader = "date,tavg,tmin,tmax,wdir,wspd,wpgt,pres,prcp,snow,tsun"
+    val weatherRows = (0 until nDays).iterator.map { day =>
+      val (y, m, d) = dateOf(day)
+      f"$y-${m + 1}%02d-$d%02d,${rng.nextInt(30) - 5},${rng.nextInt(10) - 8}," +
+        f"${10 + rng.nextInt(25)},${rng.nextInt(500)},${rng.nextInt(60)}," +
+        f"${rng.nextInt(120)},${970 + rng.nextInt(80)},${rng.nextInt(30)}," +
+        f"${rng.nextInt(10)},${20000 + rng.nextInt(20000)}"
+    }
+    val weatherCsv = dir.resolve("weather.csv")
+    writeLines(weatherCsv, Iterator(weatherHeader) ++ weatherRows)
+
+    val wbHeader = "Old Ward Code,New ward code,Ward,Borough,Year," +
+      "Life_Expectancy,Childhood_Obesity,Incapacity_Benefit,Unemployment,Crime," +
+      "GCSE_points,Public_Transport_Access,Deliberate_Fires,Unauthorised_Absence," +
+      "Dependent_children,Homes_with_access"
+    val wbRows = for (ward <- (0 until 600).iterator; y <- Iterator(2020, 2021, 2022))
+      yield f"OLD$ward,W$ward,Ward $ward,Borough${ward / 20},$y," +
+        f"${76 + rng.nextInt(12)},${8 + rng.nextInt(25)},${1 + rng.nextInt(8)}," +
+        f"${1 + rng.nextInt(12)},${40 + rng.nextInt(160)},${300 + rng.nextInt(90)}," +
+        f"${rng.nextInt(8)},${rng.nextInt(10)},${rng.nextInt(2)}.${rng.nextInt(9)}," +
+        f"${5 + rng.nextInt(40)},${rng.nextInt(3) - 1}"
+    val wbCsv = dir.resolve("well-being.csv")
+    writeLines(wbCsv, Iterator(wbHeader) ++ wbRows)
+
+    Pipeline.Inputs(lfbCsv.toString, aqPaths.map(_.toString), weatherCsv.toString,
+      wbCsv.toString)
+  }
+
+  private def writeLines(p: Path, lines: Iterator[String]): Unit = {
+    val w = Files.newBufferedWriter(p)
+    try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
+  }
 }

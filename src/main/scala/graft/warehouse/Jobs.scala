@@ -24,7 +24,11 @@ object Jobs {
               keys: Seq[String], dateCol: Option[(String, String)] = None,
               broadcastExisting: Boolean = false): Unit = {
     var df = spark.read.option("header", "true").option("inferSchema", "true").csv(inPath)
-    dateCol.foreach { case (c, fmt) => df = df.withColumn(c, to_date(col(c), fmt)) }
+    // try_to_date: unparseable dates become null (the reference runs
+    // pre-ANSI Spark where to_date nulls malformed input silently).
+    dateCol.foreach { case (c, fmt) =>
+      df = df.withColumn(c, expr(s"try_to_date($c, '$fmt')"))
+    }
     val existing =
       try Some(spark.read.parquet(outPath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }

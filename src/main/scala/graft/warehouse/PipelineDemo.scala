@@ -2,28 +2,42 @@ package graft.warehouse
 
 import org.apache.spark.sql.SparkSession
 
-/** Warehouse pipeline entry point: generates the synthetic sample inputs,
-  * runs the full DAG (extract -> cleanse -> dims -> fact -> aggregates with
-  * every quality gate), and prints the fact table + analytics aggregates.
-  * Usage: runMain graft.warehouse.PipelineDemo [workDir]
+/** Warehouse pipeline entry point: generates synthetic inputs (the 6-row
+  * correctness fixture, or `--rows n` for a scaled run over ~600 wards /
+  * 3 years), runs the full DAG (extract -> cleanse -> dims -> fact ->
+  * aggregates with every quality gate), and prints the fact table +
+  * analytics aggregates.
+  * Usage: runMain graft.warehouse.PipelineDemo [workDir] [--rows n]
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.map(java.nio.file.Paths.get(_))
+    val rows = args.sliding(2).collectFirst {
+      case Array("--rows", n) => n.toInt
+    }
+    val base = args.filterNot(_.startsWith("--")).filterNot(a =>
+        rows.exists(_.toString == a)).headOption
+      .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
     java.nio.file.Files.createDirectories(base)
+    val cores = if (rows.isDefined) "16" else "4"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", base.resolve("warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val inputs = Fixtures.write(base)
+    val inputs = rows match {
+      case Some(n) => Fixtures.writeScaled(base, n)
+      case None    => Fixtures.write(base)
+    }
     val paths = Pipeline.Paths(base.resolve("staging").toString)
+    val t0 = System.nanoTime()
     Pipeline.run(spark, inputs, paths)
+    println(f"== pipeline wall-clock: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     println(s"== fact lfb_call: ${spark.table("lfb_call").count()} rows")
     spark.table("lfb_call").show(10, truncate = false)
