@@ -79,10 +79,18 @@ object TextOps {
       sha2(concat_ws("-", transform(slice(sig, j * r + 1, lit(r)), x => x.cast("string"))), 256))
 
   /** 60-bit SimHash over a token array (frequency-weighted: repeated tokens
-    * fold repeatedly). A single per-row fold — no explode, no shuffle:
-    * each token contributes ±1 per bit position; positive sums set the bit.
+    * contribute repeatedly). No explode, no shuffle: each token contributes
+    * ±1 per bit position; positive sums set the bit. Uses the native
+    * codegen'd expression (graft.functions.SimHash60F) — integer
+    * arithmetic, bit-identical to the fold form below.
     */
-  def simhash60(toks: Column): Column = {
+  def simhash60(toks: Column): Column =
+    graft.functions.SimHash60F.simhash60(transform(toks, t => h60(t)))
+
+  /** Composable fold form of simhash60 (interpreted HOFs; kept for the
+    * equivalence spec and engines without the native function).
+    */
+  def simhash60Fold(toks: Column): Column = {
     val bitSigns = (h: Column) => array((0 until 60).map { b =>
       when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
     }: _*)

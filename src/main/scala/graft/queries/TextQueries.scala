@@ -230,17 +230,28 @@ object TextQueries {
         "FROM bits GROUP BY doc_id"),
 
     // D5 — SimHash near-dup pairs by Hamming distance <= 8 on the 60-bit
-    // signatures (bit_count(xor)); brute pair scan here, banded buckets at
-    // scale (split the signature into bands exactly like D3).
+    // signatures. EXACT banded join: split the signature into 9 disjoint
+    // bit bands — any pair within hamming 8 has >= 1 untouched band
+    // (pigeonhole), so candidates = pairs sharing a (band_idx, band_bits)
+    // key via equi-join (the O(n) scale path), then the exact hamming
+    // filter. Identical result set to a brute pair scan, guaranteed.
     "d5_simhash_hamming_pairs" -> GQ(
       (s, d) => {
-        val cores = s.sparkContext.defaultParallelism
         val sig = Tables.load(s, d, "documents").select(col("doc_id"),
-          TextOps.simhash60(TextOps.tokens(col("text"))).as("sh"))
-        sig.repartition(cores).as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+          TextOps.simhash60(TextOps.tokens(col("text"))).as("sh")).persist()
+        val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
+        val bands = sig.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 9).map(b =>
+            shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
+          .toDF("doc_id", "sh", "bidx", "bval")
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+              col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
             bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
           .where(col("hamming") <= 8)
+          .distinct()
+        cand
       },
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
         "FROM documents), " +

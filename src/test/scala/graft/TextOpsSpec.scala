@@ -36,6 +36,15 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"est=$est expected ~0.333")
   }
 
+  test("native simhash60 is bit-identical to the fold form on real docs") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val diff = docs.select(
+      TextOps.simhash60(TextOps.tokens(col("text"))).as("native"),
+      TextOps.simhash60Fold(TextOps.tokens(col("text"))).as("fold"))
+      .where(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash: identical docs collide; disjoint docs differ") {
     val df = Seq("x y z x y", "x y z x y", "p q r s t").toDF("t")
       .select(TextOps.simhash60(TextOps.tokens(col("t"))).as("h")).as[Long].collect()
