@@ -113,6 +113,35 @@ object VectorQueries {
         "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id " +
         s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4"),
 
+    // E5 — int8 quantization round-trip: per-element affine quantization
+    // of [-1,1] floats to 0..255 codes and back, with per-vector
+    // reconstruction error — the storage-compression pass of an embedding
+    // pipeline (4x smaller vectors; exact integer codes so any engine
+    // reproduces them). Error math mirrors the oracle's fold exactly.
+    "e5_int8_quantize" -> GQ(
+      (s, d) => {
+        val codes = transform(col("embedding"),
+          x => least(greatest(round((x.cast("double") + 1.0) * 127.5, 0), lit(0.0)),
+            lit(255.0)).cast("int"))
+        Tables.load(s, d, "embeddings")
+          .withColumn("codes", codes)
+          .select(col("vec_id"),
+            aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+            round(sqrt(aggregate(
+              zip_with(col("embedding"), col("codes"),
+                (x, c) => { val r = c.cast("double") / 127.5 - 1.0
+                  (x.cast("double") - r) * (x.cast("double") - r) }),
+              lit(0.0), (a, v) => a + v) / 64.0), 9).as("rmse"))
+      },
+      "WITH q AS (SELECT vec_id, embedding, list_transform(embedding, " +
+        "x -> least(greatest(round((x::DOUBLE + 1.0) * 127.5, 0), 0.0), 255.0)::INT) codes " +
+        "FROM embeddings) " +
+        "SELECT vec_id, list_sum(codes)::BIGINT AS code_sum, " +
+        "round(sqrt(list_reduce(list_transform(list_zip(embedding, codes), " +
+        "z -> (z[1]::DOUBLE - (z[2]::DOUBLE / 127.5 - 1.0)) * " +
+        "(z[1]::DOUBLE - (z[2]::DOUBLE / 127.5 - 1.0))), (a, v) -> a + v) / 64.0), 9) " +
+        "AS rmse FROM q"),
+
     // E4 — per-label centroids: element-wise mean via 64 per-dimension
     // aggregates (partial aggregation map-side; the IVF coarse-quantizer
     // build step). Cross-engine double-sum order differs, so derived values
