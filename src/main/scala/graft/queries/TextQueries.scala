@@ -126,6 +126,25 @@ object TextQueries {
         "sha256(array_to_string(list_sort(list(win_min)), '-')) AS fp_digest " +
         "FROM fp GROUP BY doc_id"),
 
+    // T5 — pairwise edit distance (unit-cost Levenshtein DP, identical
+    // definition in both engines) over a bounded candidate set — the
+    // fine-grained verifier a fuzzy-dedup pipeline runs after LSH
+    // candidate generation.
+    "t5_edit_distance" -> GQ(
+      (s, d) => {
+        val t = Tables.load(s, d, "documents").where(col("doc_id") < 30)
+          .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+        t.as("x").join(t.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+            levenshtein(col("x.prefix"), col("y.prefix")).as("edit_dist"))
+          .where(col("edit_dist") <= 40)
+      },
+      "WITH t AS (SELECT doc_id, substr(text, 1, 60) prefix FROM documents " +
+        "WHERE doc_id < 30) " +
+        "SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, " +
+        "levenshtein(x.prefix, y.prefix) AS edit_dist FROM t x JOIN t y " +
+        "ON x.doc_id < y.doc_id WHERE levenshtein(x.prefix, y.prefix) <= 40"),
+
     // D2 — n-gram Jaccard near-dup pairs, exact: candidates = pairs sharing
     // >= 1 distinct 3-shingle via an inverted-index self-join (at scale:
     // prefix filtering would prune the index), then exact Jaccard.
