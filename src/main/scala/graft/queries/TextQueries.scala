@@ -153,11 +153,14 @@ object TextQueries {
       (s, d) => {
         // Inverted index keyed by the 31-bit shingle hash — long join keys
         // shuffle far cheaper than the shingle strings at corpus scale.
-        val sh = Tables.load(s, d, "documents").select(col("doc_id"),
-          TextOps.shingleHashes(array_distinct(
-            TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
+        // Persist: the self-join references it twice and sha2-hashing every
+        // shingle dominates the scan (same materialization d3 uses).
+        val inv = Tables.load(s, d, "documents").select(col("doc_id"),
+            TextOps.shingleHashes(array_distinct(
+              TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
           .withColumn("n", size(col("hs")))
-        val inv = sh.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+          .select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+          .persist()
         inv.as("x").join(inv.as("y"),
             col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
