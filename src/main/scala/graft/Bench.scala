@@ -29,7 +29,11 @@ object Bench {
     val results = SparkEntry.registry.map { case (name, q) =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries persist intermediates (d2/d3/d5); drop them so cached
+      // blocks don't accumulate across the 60-query run.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

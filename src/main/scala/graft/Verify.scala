@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query-name filter (local debugging).
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,13 +23,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Manifest of every registered query, written BEFORE running any of
+    // them: the checker treats a manifest entry with no output dir as FAIL,
+    // so a crashed query can't silently drop out of the pass denominator.
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .map("\"" + _ + "\"").mkString("[", ",", "]"))
+    var failed = 0
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          spark.sharedState.cacheManager.clearCache()
+        } catch { case e: Throwable =>
+          failed += 1
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        }
       }
-    }
+    if (failed > 0) System.err.println(s"[verify] $failed queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

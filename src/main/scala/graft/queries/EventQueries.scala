@@ -65,15 +65,19 @@ object EventQueries {
         val bin = col("text").cast("binary")
         Tables.load(s, d, "documents").select(
           col("doc_id"),
-          length(bin).as("n_bytes"),
+          length(bin).cast("long").as("n_bytes"),
           sha2(bin, 256).as("digest"),
           upper(hex(substring(bin, 1, 4))).as("magic"),
           element_at(array(Multimodal.Formats.map(lit(_)): _*),
             (pmod(graft.ops.TextOps.h60(col("text")), lit(3L)) + 1).cast("int"))
             .as("format"))
       },
+      // hex-then-substr (8 hex chars = 4 bytes): Spark slices the first 4
+      // BYTES of the binary; substr on VARCHAR would take 4 CHARACTERS and
+      // diverge on any document starting with multibyte UTF-8. DuckDB has
+      // no BLOB substr, so slice the hex encoding instead.
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest, " +
-        "upper(hex(substr(text, 1, 4))) AS magic, " +
+        "upper(substr(hex(encode(text)), 1, 8)) AS magic, " +
         "['png', 'jpeg', 'wav'][((('0x' || substr(sha256(text), 1, 15))::BIGINT % 3) + 1)::INT] " +
         "AS format FROM documents"),
 
@@ -88,8 +92,9 @@ object EventQueries {
             posexplode(transform(sequence(lit(0), lit(3)),
               i => col("text").substr(i * stride + 1, lit(8)))))
           .toDF("doc_id", "frame_idx", "frame")
-          .select(col("doc_id"), col("frame_idx"),
-            sha2(col("frame"), 256).as("frame_sha"), length(col("frame")).as("frame_len"))
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            sha2(col("frame"), 256).as("frame_sha"),
+            length(col("frame")).cast("long").as("frame_len"))
       },
       "WITH f AS (SELECT doc_id, (length(text) // 4)::INT stride, text FROM documents) " +
         "SELECT doc_id, i AS frame_idx, sha256(substr(text, (i * stride + 1)::INT, 8)) " +

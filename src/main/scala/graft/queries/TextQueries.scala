@@ -48,9 +48,10 @@ object TextQueries {
     "t1_token_count" -> GQ(
       (s, d) => Tables.load(s, d, "documents").select(
         col("doc_id"),
-        size(TextOps.tokens(col("text"))).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("subword_tokens"),
-        length(col("text")).as("chars")),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0)))
+          .cast("long").as("subword_tokens"),
+        length(col("text")).cast("long").as("chars")),
       "SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ws_tokens, " +
         "len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS subword_tokens, " +
         "length(text) AS chars FROM documents"),
@@ -63,7 +64,7 @@ object TextQueries {
         val n = size(t)
         val stopArr = stopwords.map(lit(_))
         Tables.load(s, d, "documents").select(
-          col("doc_id"), n.as("n_tokens"),
+          col("doc_id"), n.cast("long").as("n_tokens"),
           (size(array_distinct(t)).cast("double") / n).as("type_token_ratio"),
           (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n).as("mean_token_len"),
           (size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n).as("stopword_ratio"),
@@ -136,7 +137,7 @@ object TextQueries {
           .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
         t.as("x").join(t.as("y"), col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
-            levenshtein(col("x.prefix"), col("y.prefix")).as("edit_dist"))
+            levenshtein(col("x.prefix"), col("y.prefix")).cast("long").as("edit_dist"))
           .where(col("edit_dist") <= 40)
       },
       "WITH t AS (SELECT doc_id, substr(text, 1, 60) prefix FROM documents " +
@@ -206,10 +207,13 @@ object TextQueries {
         val inter = cand
           .join(inv.as("i1"), col("doc_id_1") === col("i1.doc_id"))
           .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.h") === col("i2.h"))
-          .groupBy(col("doc_id_1"), col("doc_id_2"),
-            col("i1.n").as("n1"), col("i2.n").as("n2"))
+          .groupBy(col("doc_id_1"), col("doc_id_2"))
           .agg(count(lit(1)).as("inter"))
-        val sigs = sig.select(col("doc_id"), col("sig"))
+        // n1/n2 come from the always-matching sig joins, not the left-joined
+        // intersection aggregate: a candidate pair with zero shared shingles
+        // would otherwise get NULL sizes (and NULL jaccard) here while the
+        // oracle computes 0.0 from a.n + b.n.
+        val sigs = sig.select(col("doc_id"), col("n"), col("sig"))
         cand
           .join(inter, Seq("doc_id_1", "doc_id_2"), "left")
           .join(sigs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
@@ -219,7 +223,7 @@ object TextQueries {
               (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (x, y) => x + y)
               .cast("double") / 12).as("est_sim"),
             (coalesce(col("inter"), lit(0L)).cast("double") /
-              (col("n1") + col("n2") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+              (col("s1.n") + col("s2.n") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
       },
       s"WITH $dShingleCtes, " +
         "sig AS (SELECT doc_id, n, list_transform(range(0, 12), " +
@@ -248,7 +252,10 @@ object TextQueries {
         s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
         "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s " +
         "FROM th, unnest(range(0, 60)) u(b) GROUP BY 1, 2) " +
-        "SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash " +
+        // ::BIGINT: DuckDB sum(BIGINT) yields HUGEINT (arrow decimal128),
+        // which the driver's type-sensitive hasher rejects against Spark's
+        // int64 even when every value is equal (round-1 d4 failure).
+        "SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash " +
         "FROM bits GROUP BY doc_id"),
 
     // D5 — SimHash near-dup pairs by Hamming distance <= 8 on the 60-bit
@@ -270,7 +277,7 @@ object TextQueries {
             col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
-            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
           .where(col("hamming") <= 8)
           .distinct()
         cand
@@ -283,6 +290,6 @@ object TextQueries {
         "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) sh " +
         "FROM bits GROUP BY doc_id) " +
         "SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, " +
-        "bit_count(xor(x.sh, y.sh)) AS hamming FROM sig x JOIN sig y " +
+        "bit_count(xor(x.sh, y.sh))::BIGINT AS hamming FROM sig x JOIN sig y " +
         "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8"))
 }

@@ -83,8 +83,11 @@ object Jobs {
       .withColumn("Longitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Longitude")))
       .withColumn("Latitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Latitude")))
       .withColumn("IncGeo_WardName", initcap(col("IncGeo_WardName")))
+      // Tie-break on the code itself: two codes sharing the newest date for
+      // one ward name would otherwise stamp nondeterministically run-to-run.
       .withColumn("IncGeo_WardCode", first("IncGeo_WardCode").over(
-        Window.partitionBy("IncGeo_WardName").orderBy(col("DateOfCall").desc)))
+        Window.partitionBy("IncGeo_WardName")
+          .orderBy(col("DateOfCall").desc, col("IncGeo_WardCode").desc)))
     df.write.mode("overwrite").parquet(outPath)
   }
 

@@ -26,8 +26,19 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
-        name = qdir.rstrip("/").split("/")[-1]
+    # Full registered-query list: a manifest entry with no output dir is a
+    # crashed query — count it as FAIL instead of silently dropping it.
+    dir_names = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+    manifest_path = f"{out_dir}/_manifest.json"
+    if os.path.exists(manifest_path):
+        names = sorted(set(json.load(open(manifest_path))) | dir_names)
+    else:
+        names = sorted(dir_names)
+    for name in names:
+        qdir = f"{out_dir}/{name}/"
+        if name not in dir_names:
+            results[name] = "NO-OUTPUT (query crashed in Verify)"
+            continue
         try:
             got = con.execute(f"SELECT * FROM '{qdir}*.parquet'").fetch_arrow_table()
         except Exception as e:
@@ -50,7 +61,13 @@ def main(sf_dir, out_dir):
             continue
         g = sorted([tuple(norm(v) for v in row) for row in zip(*[got.column(c).to_pylist() for c in g_cols])])
         e = sorted([tuple(norm(v) for v in row) for row in zip(*[exp.column(c).to_pylist() for c in e_cols])])
-        if g == e:
+        # Arrow-level type drift (e.g. DuckDB HUGEINT -> decimal128 vs Spark
+        # int64) can fail the driver's hasher even when values are equal.
+        tdiff = [f"{c}: spark={got.schema.field(c).type} oracle={exp.schema.field(c).type}"
+                 for c in g_cols if str(got.schema.field(c).type) != str(exp.schema.field(c).type)]
+        if g == e and tdiff:
+            results[name] = f"TYPE-DRIFT {'; '.join(tdiff)}"
+        elif g == e:
             results[name] = f"OK ({got.num_rows} rows)"
         else:
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
