@@ -103,6 +103,72 @@ object TextOps {
       lit(0L), (a, x) => a + x)
   }
 
+  /** Exploded word-3-shingle hash rows: one row per (id, distinct shingle)
+    * with `n` = the document's distinct-shingle count and `s` = the
+    * MinHash base value `h60(shingle) % P`.
+    *
+    * This is the codegen-friendly form of
+    * `explode(shingleHashes(array_distinct(wordShingles(tokens))))`: the
+    * array/HOF version evaluates every lambda interpreted (~9x slower at
+    * sf0.1), while here shingle strings come from a window `lead` over
+    * exploded tokens and the sha2 hash is a top-level whole-stage-codegen
+    * expression. Distinctness is taken on the 60-bit hash (collision odds
+    * ~2^-60 per doc) so the shuffle moves 8-byte longs, not strings.
+    *
+    * `s` keeps duplicates when two distinct shingles collide mod P —
+    * exactly like the array form (and the oracle), which hashes the
+    * distinct *strings* and keeps the resulting value list.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wd = Window.partitionBy(idCol).orderBy("pos")
+    df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .toDF(idCol, "pos", "w")
+      .select(col(idCol),
+        concat_ws(" ", col("w"), lead("w", 1).over(wd), lead("w", 2).over(wd)).as("sh"),
+        lead("w", 2).over(wd).isNotNull.as("full"))
+      .where(col("full"))
+      .select(col(idCol), h60(col("sh")).as("h"))
+      .distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)).cast("int"))
+      .select(col(idCol), col("n"), pmod(col("h"), lit(HashPrime)).as("s"))
+  }
+
+  /** MinHash signature columns over `shingleRows` output: k min-aggregates
+    * (one shuffle by id), returning (id, n, sig) with the same values as
+    * `minhashSignature` on the collected hash array — but every permutation
+    * is a codegen'd top-level expression instead of an interpreted lambda.
+    */
+  def minhashSigRows(rows: DataFrame, idCol: String, k: Int): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min(pmod(permA(lit(i)) * col("s") + permB(lit(i)), lit(HashPrime))).as(s"m$i")
+    }
+    rows.groupBy(col(idCol), col("n"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), col("n"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** 60-bit SimHash per document, computed relationally: explode tokens
+    * (duplicates kept — SimHash is frequency-weighted), hash each token
+    * once at top level, then 60 per-bit sign sums in one hash aggregate.
+    * Bit-identical to `simhash60` over the token array. Documents whose
+    * token array is empty produce no rows (`tokens` of a non-null string
+    * is never empty, so this matches the array form on this schema).
+    */
+  def simhashRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sums = (0 until 60).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$b")
+    }
+    val sh = (0 until 60)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), h60(col("w")).as("h"))
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sh.as("simhash"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al.'s local fingerprint
     * selection): hash every `gramLen`-char shingle to 32 bits, take the
     * minimum of each sliding window of `window` consecutive grams, and keep
@@ -116,10 +182,16 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          gramLen: Int = 8, window: Int = 4): DataFrame = {
-    val grams = charShingles(col(textCol), gramLen)
+    // Grams via an exploded position sequence + top-level substr/hash —
+    // whole-stage codegen end to end (the charShingles/transform array form
+    // evaluates interpreted, ~15x slower at sf0.1). Docs shorter than
+    // gramLen yield no positions, same as the empty charShingles array.
     val exploded = df
-      .select(col(idCol), posexplode(transform(grams, g => pmod(h60(g), lit(4294967296L)))))
-      .toDF(idCol, "pos", "gh")
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - (gramLen - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        pmod(h60(col(textCol).substr(col("pos"), lit(gramLen))), lit(4294967296L)).as("gh"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val maxPos = Window.partitionBy(col(idCol))

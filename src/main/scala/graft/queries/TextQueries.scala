@@ -154,14 +154,10 @@ object TextQueries {
       (s, d) => {
         // Inverted index keyed by the 31-bit shingle hash — long join keys
         // shuffle far cheaper than the shingle strings at corpus scale.
-        // Persist: the self-join references it twice and sha2-hashing every
-        // shingle dominates the scan (same materialization d3 uses).
-        val inv = Tables.load(s, d, "documents").select(col("doc_id"),
-            TextOps.shingleHashes(array_distinct(
-              TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
-          .withColumn("n", size(col("hs")))
-          .select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
-          .persist()
+        // shingleRows keeps every hash a codegen'd top-level expression;
+        // persist because the self-join references the index twice.
+        val inv = TextOps.shingleRows(
+          Tables.load(s, d, "documents"), "doc_id", "text").persist()
         inv.as("x").join(inv.as("y"),
             col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
@@ -187,26 +183,22 @@ object TextQueries {
     // verification. est_sim = matching signature positions / 12.
     "d3_minhash_lsh_pairs" -> GQ(
       (s, d) => {
-        // Hash each shingle exactly once (sha2 dominates the scan cost),
-        // then persist the signature table — it feeds four downstream
-        // joins; at cluster scale this materialization is the signatures
-        // table a dedup pipeline would write out between stages.
-        val sig = Tables.load(s, d, "documents").select(col("doc_id"),
-            TextOps.shingleHashes(array_distinct(
-              TextOps.wordShingles(TextOps.tokens(col("text")), 3))).as("hs"))
-          .withColumn("n", size(col("hs")))
-          .withColumn("sig", TextOps.minhashSignature(col("hs"), 12))
-          .persist()
+        // Hash each shingle exactly once (codegen'd, via shingleRows), then
+        // persist both the index and the signature table — they feed four
+        // downstream joins; at cluster scale these materializations are the
+        // tables a dedup pipeline would write out between stages.
+        val inv = TextOps.shingleRows(
+          Tables.load(s, d, "documents"), "doc_id", "text").persist()
+        val sig = TextOps.minhashSigRows(inv, "doc_id", 12).persist()
         val ex = sig.select(col("doc_id"),
           posexplode(TextOps.bandDigests(col("sig"), 4, 3))).toDF("doc_id", "bidx", "bh")
         val cand = ex.as("x").join(ex.as("y"),
             col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2")).distinct()
-        val inv = sig.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
         val inter = cand
           .join(inv.as("i1"), col("doc_id_1") === col("i1.doc_id"))
-          .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.h") === col("i2.h"))
+          .join(inv.as("i2"), col("doc_id_2") === col("i2.doc_id") && col("i1.s") === col("i2.s"))
           .groupBy(col("doc_id_1"), col("doc_id_2"))
           .agg(count(lit(1)).as("inter"))
         // n1/n2 come from the always-matching sig joins, not the left-joined
@@ -242,11 +234,12 @@ object TextQueries {
         "FROM cand c LEFT JOIN inter i ON c.doc_id_1 = i.doc_id_1 AND c.doc_id_2 = i.doc_id_2 " +
         "JOIN sig a ON c.doc_id_1 = a.doc_id JOIN sig b ON c.doc_id_2 = b.doc_id"),
 
-    // D4 — SimHash signatures: 60-bit frequency-weighted sign hash per doc,
-    // one per-row fold (no shuffle at all until the optional pair scan).
+    // D4 — SimHash signatures: 60-bit frequency-weighted sign hash per doc.
+    // Relational form: explode tokens, hash at top level (codegen), 60
+    // per-bit sign sums in one hash aggregate keyed by doc.
     "d4_simhash_sig" -> GQ(
-      (s, d) => Tables.load(s, d, "documents").select(col("doc_id"),
-        TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash")),
+      (s, d) => TextOps.simhashRows(
+        Tables.load(s, d, "documents"), "doc_id", "text"),
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
         "FROM documents), " +
         s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
@@ -266,8 +259,8 @@ object TextQueries {
     // filter. Identical result set to a brute pair scan, guaranteed.
     "d5_simhash_hamming_pairs" -> GQ(
       (s, d) => {
-        val sig = Tables.load(s, d, "documents").select(col("doc_id"),
-          TextOps.simhash60(TextOps.tokens(col("text"))).as("sh")).persist()
+        val sig = TextOps.simhashRows(Tables.load(s, d, "documents"),
+          "doc_id", "text").withColumnRenamed("simhash", "sh").persist()
         val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
         val bands = sig.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 9).map(b =>
