@@ -50,6 +50,21 @@ object RelationalQueries {
       },
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
 
+    // S8 — JSON-lines source round-trip (extension beyond the reference's
+    // CSV/parquet surface): documents -> JSONL -> schema-inferred read.
+    // JSON string escaping must survive arbitrary document text; a training
+    // corpus commonly arrives exactly this way (one JSON doc per line).
+    "s8_jsonl_scan" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val tmp = tmpDir("graft_jsonl_")
+        docs.write.mode("overwrite").json(tmp)
+        s.read.json(tmp)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("source"), col("n_chars").cast("long"))
+      },
+      "SELECT doc_id, text, lang, source, n_chars FROM documents"),
+
     // S2 + S5 — recursive directory scan with format-auto load
     // (reference: etl/transform/aq-cleanse.py:194-199 recursiveFileLookup;
     // ward-dimension.py:35 spark.read.load).

@@ -69,9 +69,12 @@ object VectorQueries {
     // the oracle reproduces exactly that.
     "e2_knn_lsh" -> GQ(
       (s, d) => {
+        // Persist: probes and candidates both read the bucketed corpus —
+        // without it the 7 hyperplane dots run twice over every vector.
         val e = Tables.load(s, d, "embeddings")
           .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
           .withColumn("norm", VectorOps.l2Norm(col("embedding")))
+          .persist()
         val probes = e.where(probeFilter)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"),
@@ -141,6 +144,60 @@ object VectorQueries {
         "z -> (z[1]::DOUBLE - (z[2]::DOUBLE / 127.5 - 1.0)) * " +
         "(z[1]::DOUBLE - (z[2]::DOUBLE / 127.5 - 1.0))), (a, v) -> a + v) / 64.0), 9) " +
         "AS rmse FROM q"),
+
+    // E6 — IVF (inverted-file) ANN search, the classic two-level scale
+    // path: a coarse quantizer (per-label mean centroids — the e4 build
+    // step) partitions the corpus into inverted lists keyed by nearest
+    // centroid; probes search only their nprobe=2 nearest lists and exact
+    // cosine re-ranks. At 100 TB the inverted list id is the partition
+    // key: candidate generation is an equi-join on c_label instead of a
+    // cross join, and each probe touches nprobe/nlists of the corpus.
+    "e6_ivf_knn" -> GQ(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .withColumn("norm", VectorOps.l2Norm(col("embedding"))).persist()
+        val aggs = count(lit(1)).as("cn") +: (0 until Dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+        val cent = e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+          .select(col("label").as("c_label"),
+            array((0 until Dim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
+          .withColumn("c_norm", sqrt(VectorOps.dotFold(col("c_vec"), col("c_vec"))))
+        // nearest-centroid score of every vector (10-row broadcast)
+        val scored = e.crossJoin(broadcast(cent))
+          .withColumn("csim", VectorOps.dotFold(col("embedding"), col("c_vec")) /
+            (col("norm") * col("c_norm")))
+        val assigned = Relational.topKPerGroup(scored,
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 1)
+          .select(col("vec_id"), col("embedding"), col("norm"), col("c_label"))
+        val probes = Relational.topKPerGroup(scored.where(probeFilter),
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("norm").as("q_norm"), col("c_label"))
+        val cand = probes.join(assigned, "c_label")
+          .where(col("q_id") =!= col("vec_id"))
+          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
+            (col("q_norm") * col("norm")))
+        Relational.topKPerGroup(cand, Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      "WITH s AS (SELECT label, count(*) cn" +
+        (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString +
+        " FROM embeddings GROUP BY label), " +
+        "cent AS (SELECT label c_label, [" +
+        (0 until Dim).map(i => s"s$i / cn").mkString(", ") + "] c_vec FROM s), " +
+        "scored AS (SELECT e.vec_id, e.embedding, c.c_label, " +
+        s"${dDot("e.embedding", "c.c_vec")} / (sqrt(${dDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${dDot("c.c_vec", "c.c_vec")})) csim FROM embeddings e, cent c), " +
+        "assigned AS (SELECT vec_id, embedding, c_label FROM scored " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) = 1), " +
+        "probes AS (SELECT vec_id q_id, embedding q_vec, c_label FROM scored " +
+        "WHERE vec_id % 50 = 0 " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) <= 2) " +
+        s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
+        "FROM probes p JOIN assigned a ON p.c_label = a.c_label AND p.q_id != a.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        s"${dCos("q_vec", "a.embedding")} DESC, a.vec_id) <= 5"),
 
     // E4 — per-label centroids: element-wise mean via 64 per-dimension
     // aggregates (partial aggregation map-side; the IVF coarse-quantizer
