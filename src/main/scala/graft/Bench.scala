@@ -28,17 +28,26 @@ object Bench {
       catch { case _: Throwable => () })
     val results = SparkEntry.registry.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { q.fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        // Queries materialize/persist intermediates; drop cached blocks even
+        // on failure so one broken query can't degrade the rest of the run.
+        finally spark.sharedState.cacheManager.clearCache()
       val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist intermediates (d2/d3/d5); drop them so cached
-      // blocks don't accumulate across the 60-query run.
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A failed query poisons the run: total = -1 (a broken query must never
+    // *improve* the reported number) and the exit code is nonzero.
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,11 +37,13 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          spark.sharedState.cacheManager.clearCache()
         } catch { case e: Throwable =>
           failed += 1
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         }
+        // finally: a query that fails after persist() must still release its
+        // cached blocks, or they degrade the remaining ~60 queries.
+        finally spark.sharedState.cacheManager.clearCache()
       }
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
