@@ -26,6 +26,17 @@ object Bench {
     Tables.all.foreach(t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () })
+    // Shared inter-stage tables (shingle index, signatures, bucketed
+    // embeddings) are built once here and timed as their own phase, so
+    // per-query numbers don't depend on registry order.
+    val tMat0 = System.nanoTime()
+    val matOk =
+      try { SparkEntry.preMaterialize(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] materialize FAILED: ${e.getMessage}"); false
+      }
+      finally spark.sharedState.cacheManager.clearCache()
+    val materializeSec = (System.nanoTime() - tMat0) / 1e9
     val results = SparkEntry.registry.map { case (name, q) =>
       val t0 = System.nanoTime()
       val ok =
@@ -41,12 +52,17 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => k }
+    val failed = results.collect { case (k, _, false) => k } ++
+      (if (matOk) Nil else Seq("materialize"))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // A failed query poisons the run: total = -1 (a broken query must never
-    // *improve* the reported number) and the exit code is nonzero.
-    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // *improve* the reported number) and the exit code is nonzero. The
+    // one-time materialization cost counts toward the total — it is real
+    // work — but is reported separately so per-query numbers stay
+    // comparable across registry reorderings.
+    val total =
+      if (failed.nonEmpty) -1.0 else results.map(_._2).sum + materializeSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","materialize":$materializeSec,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -17,6 +17,16 @@ object SparkEntry {
     RelationalQueries.all ++ AggWindowQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ EventQueries.all
 
+  /** Materialize every shared inter-stage table (shingle index, MinHash and
+    * SimHash signatures, bucketed-normed embeddings) up front, so per-query
+    * timings don't depend on which query happens to touch a shared stage
+    * first. Bench times this as its own `materialize` phase.
+    */
+  def preMaterialize(spark: SparkSession, sfDir: String): Unit = {
+    TextQueries.warmInterStage(spark, sfDir)
+    VectorQueries.warmInterStage(spark, sfDir)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("a1_pricing_summary")(spark, "/root/testdata/sf0.001")

@@ -35,11 +35,38 @@ object InterStage {
 
   /** Cache key for a stage derived from `dir/table.parquet` that changes
     * when the source file changes — fixture dirs that rewrite their parquet
-    * between runs re-materialize instead of serving stale data.
+    * between runs re-materialize instead of serving stale data. A missing
+    * source fails fast (a silent `@0:0` key would look valid), and the key
+    * includes a head+tail content fingerprint so a rewrite within mtime
+    * resolution at identical byte length is still detected.
     */
   def tableKey(dir: String, table: String): String = {
     val f = new java.io.File(s"$dir/$table.parquet")
-    s"$dir/$table@${f.lastModified}:${f.length}"
+    require(f.exists, s"InterStage source does not exist: ${f.getPath}")
+    s"$dir/$table@${f.lastModified}:${f.length}:${fingerprint(f)}"
+  }
+
+  /** Cheap content fingerprint: sha-256 of the first and last 8 KiB of a
+    * file (parquet footers — where row-group offsets and statistics live —
+    * change on any rewrite), or of the child name:length:mtime listing for
+    * a directory-style parquet.
+    */
+  private def fingerprint(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    if (f.isFile) {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = math.min(8192L, raf.length).toInt
+        val buf = new Array[Byte](n)
+        raf.readFully(buf); md.update(buf)
+        raf.seek(math.max(0L, raf.length - n))
+        raf.readFully(buf); md.update(buf)
+      } finally raf.close()
+    } else {
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(c =>
+        md.update(s"${c.getName}:${c.length}:${c.lastModified}".getBytes("UTF-8")))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
 
   /** Materialize `df` under `key` if not already done this JVM; return a

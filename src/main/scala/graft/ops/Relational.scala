@@ -236,6 +236,22 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** k=1 fast path of topKPerGroup: the row minimizing the orderable `key`
+    * per group via `min_by` over a groupBy. Unlike the window form this
+    * partial-aggregates map-side — each map partition emits one candidate
+    * row per group instead of shuffling and sorting every row — which is
+    * the shape that survives a 100× scale-up (e.g. nearest-centroid
+    * assignment over the whole corpus in IVF indexing). `key` must make the
+    * order total (include a unique tiebreaker); equivalent to
+    * `topKPerGroup(df, groups, keyAscendingOrder, 1)`.
+    */
+  def top1PerGroup(df: DataFrame, groups: Seq[Column], key: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(groups: _*)
+      .agg(min_by(struct(cols.map(col): _*), key).as("__best"))
+      .select(cols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
   /** Skew-mitigating equi join: salt the skewed (large) side's key with a
     * random-ish residue derived from a stable row attribute, replicate the
     * build side once per salt value, and join on (key, salt). The hot key's

@@ -48,6 +48,30 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|shingle3",
       TextOps.shingleRows(Tables.load(s, d, "documents"), "doc_id", "text"))
 
+  /** 12-element MinHash signature table derived from the shingle index
+    * (d3's candidate source), materialized once per corpus per JVM.
+    */
+  private def minhashSigTable(s: SparkSession, d: String) =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|minhash12",
+      TextOps.minhashSigRows(shingleIndex(s, d), "doc_id", 12))
+
+  /** 60-bit SimHash signature table (shared by d4 and d5), materialized
+    * once per corpus per JVM.
+    */
+  private def simhashTable(s: SparkSession, d: String) =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
+      TextOps.simhashRows(Tables.load(s, d, "documents"), "doc_id", "text"))
+
+  /** Build every inter-stage table the text queries share, so a caller
+    * (Bench) can account the one-time materialization cost in a dedicated
+    * warm phase instead of whichever query happens to run first.
+    */
+  def warmInterStage(s: SparkSession, d: String): Unit = {
+    minhashSigTable(s, d)  // builds the shingle index first
+    simhashTable(s, d)
+    ()
+  }
+
   val all: Seq[(String, GQ)] = Seq(
 
     // D1 — exact deduplication: hash-groupBy on the full text; canonical
@@ -213,9 +237,7 @@ object TextQueries {
         // index and the signature table are materialized inter-stage
         // parquet (index shared with d2) — they feed four downstream joins.
         val inv = shingleIndex(s, d)
-        val sig = InterStage.materialize(s,
-          InterStage.tableKey(d, "documents") + "|minhash12",
-          TextOps.minhashSigRows(inv, "doc_id", 12))
+        val sig = minhashSigTable(s, d)
         val ex = sig.select(col("doc_id"),
           posexplode(TextOps.bandDigests(col("sig"), 4, 3))).toDF("doc_id", "bidx", "bh")
         val cand = ex.as("x").join(ex.as("y"),
@@ -267,9 +289,7 @@ object TextQueries {
     // Relational form: explode tokens, hash at top level (codegen), 60
     // per-bit sign sums in one hash aggregate keyed by doc.
     "d4_simhash_sig" -> GQ(
-      (s, d) => InterStage.materialize(s,
-        InterStage.tableKey(d, "documents") + "|simhash60",
-        TextOps.simhashRows(Tables.load(s, d, "documents"), "doc_id", "text")),
+      (s, d) => simhashTable(s, d),
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
         "FROM documents), " +
         s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
@@ -291,10 +311,7 @@ object TextQueries {
       (s, d) => {
         // Signature table materialized (not persisted): the band explode
         // reads it twice via the self-join, and nothing stays cached.
-        val sig = InterStage.materialize(s,
-          InterStage.tableKey(d, "documents") + "|simhash60",
-          TextOps.simhashRows(Tables.load(s, d, "documents"), "doc_id", "text"))
-          .withColumnRenamed("simhash", "sh")
+        val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
         val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
         val bands = sig.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 9).map(b =>

@@ -31,6 +31,19 @@ object VectorQueries {
   /** Multi-probe masks: the probe's own bucket plus each one-bit flip. */
   val probeMasks: Seq[Long] = 0L +: (0 until Planes).map(p => 1L << p)
 
+  /** Pair-recall masks for e3: all bucket flips of Hamming weight <= 2
+    * (1 + 6 + 15 = 22 masks). At the sim=0.4 threshold a pair disagrees on
+    * each plane with p ~ acos(0.4)/pi ~ 0.37, so <=1-bit probing sees only
+    * ~28% of qualifying pairs; widening to <=2 bits roughly doubles recall
+    * (~61%) while candidate generation stays a bucket equi-join. Each pair
+    * still matches exactly one mask (m = bucket_x XOR bucket_y), so no
+    * distinct is needed.
+    */
+  val pairMasks: Seq[Long] = 0L +:
+    ((0 until Planes).map(p => 1L << p) ++
+      (for { p <- 0 until Planes; q <- p + 1 until Planes }
+        yield (1L << p) | (1L << q)))
+
   /** DuckDB fragment mirroring VectorOps.lshBucket for column `v`. */
   private def dBucket(v: String): String =
     planeInts.zipWithIndex.map { case (ints, p) =>
@@ -50,6 +63,14 @@ object VectorQueries {
       Tables.load(s, d, "embeddings")
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
         .withColumn("norm", VectorOps.l2Norm(col("embedding"))))
+
+  /** Build the inter-stage table the vector queries share (see
+    * TextQueries.warmInterStage for why Bench calls this up front).
+    */
+  def warmInterStage(s: SparkSession, d: String): Unit = {
+    normedBuckets(s, d)
+    ()
+  }
 
   val all: Seq[(String, GQ)] = Seq(
 
@@ -106,19 +127,21 @@ object VectorQueries {
 
     // E3 — embedding-cosine near-dup pairs (sim >= 0.4) via sign-LSH
     // candidate generation + exact cosine verify: every vector multi-probes
-    // its own bucket plus each one-bit flip, candidates come from an
+    // its own bucket plus each <=2-bit flip (pairMasks — recall ~61% at the
+    // threshold vs ~28% for 1-bit probing), candidates come from an
     // equi-join on the bucket key (the O(n) scale path — the bucket id is
     // the shuffle/partition key at 100 TB), and the exact cosine filter
     // re-verifies. A pair (x, y) matches at most one probe mask
     // (m = bucket_x XOR bucket_y), so no distinct is needed. Approximate by
-    // design — pairs more than one plane apart are unseen — and the oracle
-    // reproduces exactly that candidate set.
+    // design — pairs more than two planes apart are unseen — the oracle
+    // reproduces exactly that candidate set, and e3b is the exact
+    // brute-force baseline this path is measured against (as e1 is to e2).
     "e3_cosine_neardup_pairs" -> GQ(
       (s, d) => {
         val b = normedBuckets(s, d)
         val probes = b.select(col("vec_id").as("q_id"),
           col("embedding").as("q_vec"), col("norm").as("q_norm"),
-          explode(array(probeMasks.map(m =>
+          explode(array(pairMasks.map(m =>
             col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
         probes.join(b, Seq("bucket")).where(col("q_id") < col("vec_id"))
           .select(col("q_id").as("vec_id_1"), col("vec_id").as("vec_id_2"),
@@ -128,10 +151,30 @@ object VectorQueries {
       },
       s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket FROM embeddings), " +
         "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
-        s"unnest([${probeMasks.mkString(", ")}]) u(m)) " +
+        s"unnest([${pairMasks.mkString(", ")}]) u(m)) " +
         s"SELECT q_id vec_id_1, e.vec_id vec_id_2, ${dCos("q_vec", "e.embedding")} AS sim " +
         "FROM p JOIN b e ON p.bucket = e.bucket AND p.q_id < e.vec_id " +
         s"WHERE ${dCos("q_vec", "e.embedding")} >= 0.4"),
+
+    // E3b — exact brute-force near-dup pairs: the correctness baseline the
+    // e3 LSH path is measured against (recall = |e3| / |e3b| at the same
+    // threshold). Deliberately O(n²/2): norms come precomputed from the
+    // shared inter-stage table, the dot product is the codegen'd native
+    // expression, and the pair join is a broadcast-nested-loop by design —
+    // run it on samples at corpus scale, never on the full 100 TB.
+    "e3b_cosine_neardup_exact" -> GQ(
+      (s, d) => {
+        val b = normedBuckets(s, d).select(
+          col("vec_id"), col("embedding"), col("norm"))
+        b.as("x").join(b.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id_1"), col("y.vec_id").as("vec_id_2"),
+            (VectorOps.dotD(col("x.embedding"), col("y.embedding")) /
+              (col("x.norm") * col("y.norm"))).as("sim"))
+          .where(col("sim") >= 0.4)
+      },
+      s"SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, ${dCos("x.embedding", "y.embedding")} AS sim " +
+        "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id " +
+        s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4"),
 
     // E5 — int8 quantization round-trip: per-element affine quantization
     // of [-1,1] floats to 0..255 codes and back, with per-vector
@@ -169,10 +212,14 @@ object VectorQueries {
     // cosine re-ranks. At 100 TB the inverted list id is the partition
     // key: candidate generation is an equi-join on c_label instead of a
     // cross join, and each probe touches nprobe/nlists of the corpus.
+    // The corpus (with norms) comes from the shared inter-stage table —
+    // nothing is pinned in the block cache — and the corpus-wide
+    // nearest-centroid assignment is a min_by hash aggregate (map-side
+    // partials), not a window sort over corpus × nlists rows.
     "e6_ivf_knn" -> GQ(
       (s, d) => {
-        val e = Tables.load(s, d, "embeddings")
-          .withColumn("norm", VectorOps.l2Norm(col("embedding"))).persist()
+        val e = normedBuckets(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
         val aggs = count(lit(1)).as("cn") +: (0 until Dim).map(i =>
           sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
         val cent = e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
@@ -183,8 +230,10 @@ object VectorQueries {
         val scored = e.crossJoin(broadcast(cent))
           .withColumn("csim", VectorOps.dotFold(col("embedding"), col("c_vec")) /
             (col("norm") * col("c_norm")))
-        val assigned = Relational.topKPerGroup(scored,
-            Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 1)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("c_label"), col("csim"))
+        val assigned = Relational.top1PerGroup(scored, Seq(col("vec_id")),
+            struct(negate(col("csim")), col("c_label")))
           .select(col("vec_id"), col("embedding"), col("norm"), col("c_label"))
         val probes = Relational.topKPerGroup(scored.where(probeFilter),
             Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 2)
