@@ -203,16 +203,32 @@ object Relational {
     *
     * Requires: `probe` and `readings` have disjoint column names;
     * `probeId` unique; `tieBreak` makes the reading order total.
+    *
+    * `legacyEpochBug = true` reproduces the reference's
+    * `floor(epoch) / B` reading bucket (`etl/load/load_fact.py:261` — the
+    * parentheses bug SURVEY §7.4.1 documents): the reading side buckets to
+    * a fractional double, so a reading can only ever land in a probe's
+    * integral bucket when its epoch is an exact multiple of `band`, and
+    * almost every probe keeps nulls. Off by default; exists only so the
+    * divergence from the reference is demonstrable rather than asserted.
     */
   def nearestWithinBand(probe: DataFrame, probeId: String, probeTs: String,
                         readings: DataFrame, readTs: String, band: Long,
-                        tieBreak: String): DataFrame = {
+                        tieBreak: String,
+                        legacyEpochBug: Boolean = false): DataFrame = {
     val rCols = readings.columns.toSeq
     val pBucket = floor(col(probeTs) / band).cast(LongType)
+    // Legacy mode joins on fractional doubles (that IS the bug); the
+    // corrected path keeps compact long keys for the shuffle.
+    val keyType = if (legacyEpochBug) "double" else "long"
     val probeKeys = probe.select(col(probeId), col(probeTs))
       .withColumn("__bucket", explode(array(pBucket - 1, pBucket, pBucket + 1)))
+      .withColumn("__bucket", col("__bucket").cast(keyType))
+    val readBucket =
+      if (legacyEpochBug) floor(col(readTs)) / band // the reference's :261
+      else floor(col(readTs) / band).cast(LongType)
     val readBucketed = readings
-      .withColumn("__bucket", floor(col(readTs) / band).cast(LongType))
+      .withColumn("__bucket", readBucket.cast(keyType))
     val dt = abs(col(probeTs) - col(readTs))
     val best = probeKeys.join(readBucketed, Seq("__bucket"))
       .where(dt <= band)

@@ -121,5 +121,10 @@ object FactLoad {
       .sortWithinPartitions(col("DateOfCall"), col("NotionalCost"))
       .write.mode("overwrite").format("parquet")
       .partitionBy("IncidentStationGround").saveAsTable(outputTable)
+
+    // K6: surface the loaded table's metadata, the parquet stand-in for the
+    // reference's Delta `DESCRIBE DETAIL` (load_fact.py:408; SURVEY §2.2).
+    val detail = spark.sql(s"DESCRIBE EXTENDED $outputTable").collect()
+    require(detail.nonEmpty, s"DESCRIBE EXTENDED $outputTable returned no rows")
   }
 }

@@ -323,7 +323,7 @@ object Jobs {
   def loadDimTable(spark: SparkSession, inPath: String, table: String,
                    columns: Seq[(String, String)], partitionBy: Option[String],
                    clusterBy: Seq[String], dropCols: Seq[String] = Nil,
-                   distinct: Boolean = false): Unit = {
+                   distinct: Boolean = false, cacheTable: Boolean = false): Unit = {
     var df = spark.read.parquet(inPath).drop(dropCols: _*)
     if (distinct) df = df.distinct()
     df = df.select(columns.map { case (from, to) => col(from).as(to) }: _*)
@@ -334,5 +334,39 @@ object Jobs {
       else df
     val writer = clustered.write.mode("overwrite").format("parquet")
     partitionBy.fold(writer)(p => writer.partitionBy(p)).saveAsTable(table)
+    // K6: pin small dimension tables in the block cache for the fact-build
+    // joins (reference: etl/load/load_air_quality_dim.py:56). CACHE TABLE
+    // is eager; Pipeline uncaches after the fact load.
+    if (cacheTable) spark.sql(s"CACHE TABLE $table")
+  }
+
+  /** Cumulative batch-split preprocessor (reference:
+    * batching/lfb-preprocess.py:34-58, batching/config.yaml:1-3): union the
+    * raw incident CSVs column-by-name (the reference's pandas concat), parse
+    * the date column, and write cumulative CSV batches under
+    * `outPath/1..N` — batch i holds every row with date < splitDates(i)
+    * (rows with unparseable dates compare null and drop out, matching
+    * pandas NaT semantics), and the final batch N+1 is the full dataset.
+    * Everything is read untyped (dtype=str in the reference) and the date
+    * is re-formatted to `dateFmt` on the way out, so batches are byte-level
+    * drop-in inputs for the extract jobs.
+    */
+  def batchSplit(spark: SparkSession, inPaths: Seq[String], outPath: String,
+                 dateCol: String, dateFmt: String,
+                 splitDates: Seq[String]): Unit = {
+    val raw = inPaths.map(p => spark.read.option("header", "true").csv(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val parsed = raw
+      .withColumn("__d", expr(s"try_to_date($dateCol, '$dateFmt')"))
+      .cache()
+    try {
+      val batches = splitDates.map(d =>
+        parsed.where(col("__d") < to_date(lit(d)))) :+ parsed
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.withColumn(dateCol, date_format(col("__d"), dateFmt)).drop("__d")
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$outPath/${i + 1}")
+      }
+    } finally { parsed.unpersist(); () }
   }
 }

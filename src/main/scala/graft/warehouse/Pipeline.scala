@@ -119,7 +119,8 @@ object Pipeline {
     Jobs.loadDimTable(spark, paths.aqClean, "air_quality",
       Model.aqDimColumns.map(c => c -> c), partitionBy = None,
       clusterBy = Seq("AirQualityKey", "PM10Level", "PM2_5Level", "NO2Level"),
-      dropCols = Seq("ReadingDateTime"), distinct = true)
+      dropCols = Seq("ReadingDateTime"), distinct = true,
+      cacheTable = true) // reference caches this dim (load_air_quality_dim.py:56)
     val wbCols = spark.read.parquet(paths.wbDim).columns
     Jobs.loadDimTable(spark, paths.wbDim, "well_being",
       (wbCols.filterNot(Seq("Year", "WardCode").contains)).map(c => c -> c).toSeq,
@@ -128,6 +129,9 @@ object Pipeline {
     // --- fact load ---
     FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
       paths.aqClean, paths.weatherClean, paths.wbDim, factTable)
+    // The cached dim served the fact-build joins; a library run must not
+    // leave pinned blocks behind (K6 — the reference leaks this cache).
+    spark.sql("UNCACHE TABLE IF EXISTS air_quality")
 
     // --- post-load checks + aggregates ---
     val fact = spark.table(factTable)

@@ -71,6 +71,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("rid") == 20L)
   }
 
+  test("nearestWithinBand legacyEpochBug reproduces the reference's dead join") {
+    // Reference load_fact.py:261 buckets readings by floor(epoch)/B instead
+    // of floor(epoch/B): a reading's bucket is fractional — and so never
+    // equals an integral probe bucket — unless its epoch is an exact
+    // multiple of the band. rts=140 is 10 away from pts=150 but unseen
+    // (bucket 1.4); rts=200 (bucket 2.0) is found by pts=210.
+    val probe = Seq((1L, 150L), (2L, 210L)).toDF("pid", "pts")
+    val readings = Seq((10L, 140L), (20L, 200L)).toDF("rid", "rts")
+    val buggy = Relational.nearestWithinBand(probe, "pid", "pts",
+      readings, "rts", 100L, "rid", legacyEpochBug = true).orderBy("pid").collect()
+    assert(buggy(0).getAs[Long]("rid") == 20L) // only the %band==0 reading
+    assert(buggy(1).getAs[Long]("rid") == 20L)
+    val fixed = Relational.nearestWithinBand(probe, "pid", "pts",
+      readings, "rts", 100L, "rid").orderBy("pid").collect()
+    assert(fixed(0).getAs[Long]("rid") == 10L) // corrected path sees 140
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val df = Seq((1, 10), (1, 30), (1, 20), (2, 5)).toDF("g", "v")
     val out = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
