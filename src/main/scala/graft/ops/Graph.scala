@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for the dedup pipeline: near-dup PAIRS
+  * (d2/d3/d5/e3) become CLUSTERS, and each cluster elects one canonical
+  * document to keep — the step between candidate generation and the actual
+  * corpus prune in a large-scale training-data dedup.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation with pointer jumping:
+    * every node starts labeled with its own id, and each round every node
+    * takes the minimum of (its label, its neighbors' labels, its LABEL'S
+    * label). The last term is the pointer-jumping/path-halving step —
+    * label chains collapse geometrically, so convergence takes
+    * O(log diameter) rounds instead of the O(diameter) of plain hash-min
+    * (a transitive near-dup chain of 300 docs converges in ~8 rounds, not
+    * ~300). Every round is shuffle-joins plus a partial-aggregating
+    * groupBy — no driver-side graph state, no collect — the same shape as
+    * the large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond").
+    *
+    * Lineage is truncated every round with `localCheckpoint` (iterative
+    * plans otherwise grow unboundedly and re-execute from the source); on a
+    * real cluster prefer reliable `checkpoint` with a checkpoint dir.
+    *
+    * @param nodes one row per node
+    * @param idCol node id column in `nodes` (any orderable type)
+    * @param edges undirected edge list; endpoints must appear in `nodes`
+    * @return (idCol, cluster_id): cluster_id = min node id reachable
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: Column, dstCol: Column,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .union(edges.select(dstCol.as("a"), srcCol.as("b")))
+      .persist()
+    try {
+      // Only nodes that touch an edge can ever change label: iterate over
+      // those, and union the untouched singletons back in at the end. In a
+      // near-dup graph duplicates are a small fraction of the corpus, so
+      // this shrinks every round's join and checkpoint by 10-100x.
+      val inEdges = sym.select(col("a").as("n")).distinct()
+      var labels = inEdges.select(col("n"), col("n").as("lbl"))
+        .localCheckpoint()
+      // Live edge list, re-expressed over current labels each round.
+      // Contraction is what keeps late rounds cheap: an edge whose two
+      // endpoints already share a label disappears, so the per-round
+      // neighbor-min join shrinks geometrically while labels converge.
+      var live = sym.localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // min label among (contracted) neighbors, pushed to each
+        // representative node
+        val fromNeighbors = live.join(labels, live("a") === labels("n"))
+          .groupBy(col("b").as("n2")).agg(min(col("lbl")).as("nlbl"))
+        // pointer jump: my label's label — path halving, so label chains
+        // collapse in O(log diameter) rounds. Every label value is itself
+        // a node id in `labels` (inductively: labels start as own ids and
+        // every update takes a min over existing label values), so the
+        // inner self-join hits exactly one row per node.
+        val jumped = labels.as("l1").join(labels.as("l2"),
+            col("l1.lbl") === col("l2.n"))
+          .select(col("l1.n").as("n"), col("l2.lbl").as("jlbl"))
+        val merged = labels
+          .join(fromNeighbors, labels("n") === col("n2"), "left")
+          .join(jumped, Seq("n"))
+          .select(col("n"), col("lbl"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl")).as("next"))
+          .localCheckpoint() // one materialization serves both uses below
+        converged = merged.where(col("next") < col("lbl")).isEmpty
+        labels = merged.select(col("n"), col("next").as("lbl"))
+        if (!converged) {
+          val la = labels.select(col("n").as("a"), col("lbl").as("la"))
+          val lb = labels.select(col("n").as("b"), col("lbl").as("lb"))
+          live = live.join(la, "a").join(lb, "b")
+            .where(col("la") =!= col("lb"))
+            .select(col("la").as("a"), col("lb").as("b"))
+            .distinct()
+            .localCheckpoint()
+        }
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      val singletons = nodes.select(col(idCol).as("n"))
+        .join(inEdges, Seq("n"), "left_anti")
+        .select(col("n"), col("n").as("lbl"))
+      labels.unionByName(singletons)
+        .select(col("n").as(idCol), col("lbl").as("cluster_id"))
+    } finally { sym.unpersist(); () }
+  }
+}

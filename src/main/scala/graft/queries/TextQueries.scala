@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{InterStage, TextOps}
+import graft.ops.{Graph, InterStage, Relational, TextOps}
 
 /** Training-data text pipeline: deduplication (exact, MinHash+LSH, n-gram
   * Jaccard, SimHash), language ID, quality scoring, token counting, and
@@ -62,13 +63,53 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
       TextOps.simhashRows(Tables.load(s, d, "documents"), "doc_id", "text"))
 
+  /** SimHash near-dup pairs at Hamming distance <= 8, via the EXACT 9-band
+    * pigeonhole join (see d5): any pair within hamming 8 of a 60-bit
+    * signature shares at least one untouched band, so candidates come from
+    * a band-key equi-join (the O(n) scale path) and the exact hamming
+    * filter makes the result identical to a brute pair scan. Shared by d5
+    * (the pair gate) and d6 (the clustering gate).
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|shpairs8",
+      simhashPairsPlan(s, d))
+
+  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
+    val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 9).map(b =>
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
+      .toDF("doc_id", "sh", "bidx", "bval")
+    bands.as("x").join(bands.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 8)
+      .distinct()
+  }
+
+  /** DuckDB CTEs computing the 60-bit SimHash signature table (`sig`:
+    * doc_id, sh) — the oracle mirror of TextOps.simhashRows, shared by the
+    * d4/d5/d6 oracles.
+    */
+  private val dSimhashCtes =
+    "toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
+      "FROM documents), " +
+      s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
+      "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s " +
+      "FROM th, unnest(range(0, 60)) u(b) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) sh " +
+      "FROM bits GROUP BY doc_id)"
+
   /** Build every inter-stage table the text queries share, so a caller
     * (Bench) can account the one-time materialization cost in a dedicated
     * warm phase instead of whichever query happens to run first.
     */
   def warmInterStage(s: SparkSession, d: String): Unit = {
     minhashSigTable(s, d)  // builds the shingle index first
-    simhashTable(s, d)
+    simhashPairs(s, d)     // builds the simhash signature table first
     ()
   }
 
@@ -308,32 +349,124 @@ object TextQueries {
     // key via equi-join (the O(n) scale path), then the exact hamming
     // filter. Identical result set to a brute pair scan, guaranteed.
     "d5_simhash_hamming_pairs" -> GQ(
+      (s, d) => simhashPairs(s, d),
+      s"WITH $dSimhashCtes " +
+        "SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, " +
+        "bit_count(xor(x.sh, y.sh))::BIGINT AS hamming FROM sig x JOIN sig y " +
+        "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8"),
+
+    // D6 — near-dup CLUSTERS: connected components over the d5 SimHash
+    // pair graph, electing the min doc_id of each component as the
+    // canonical survivor — the step that turns pairwise similarity into
+    // the actual corpus prune ("keep one per cluster") of a training-data
+    // dedup pipeline. The component labels come from iterated min-label
+    // propagation (Graph.connectedComponents — O(diameter) shuffle-join
+    // rounds, no driver-side graph); the oracle recomputes the same
+    // closure with a recursive CTE, which is only feasible because the
+    // banded pair join is EXACTLY the brute-force pair set.
+    "d6_dup_clusters" -> GQ(
       (s, d) => {
-        // Signature table materialized (not persisted): the band explode
-        // reads it twice via the self-join, and nothing stays cached.
-        val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
-        val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
-        val bands = sig.select(col("doc_id"), col("sh"),
-          posexplode(array((0 until 9).map(b =>
-            shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
-          .toDF("doc_id", "sh", "bidx", "bval")
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"),
-            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-          .where(col("hamming") <= 8)
-          .distinct()
-        cand
+        val docs = Tables.load(s, d, "documents").select("doc_id")
+        val cc = Graph.connectedComponents(docs, "doc_id",
+          simhashPairs(s, d), col("doc_id_1"), col("doc_id_2"))
+        cc.withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      },
+      s"WITH RECURSIVE $dSimhashCtes, " +
+        "pairs AS (SELECT x.doc_id a, y.doc_id b FROM sig x JOIN sig y " +
+        "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8), " +
+        "sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+        "reach(n, m) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a) " +
+        "SELECT n AS doc_id, min(m) AS cluster_id, min(m) = n AS is_canonical " +
+        "FROM reach GROUP BY n"),
+
+    // T6 — repetition / boilerplate stats (Gopher-style quality rules):
+    // per doc, the fraction of word bigrams inside the single most
+    // frequent bigram and inside any repeated bigram. Bigrams come from a
+    // lead() over (doc, position) — the per-doc window sort is bounded by
+    // document length, which is capped in any real corpus, so the shape
+    // survives scale-up; counts are exact ints, ratios one IEEE division.
+    "t6_repetition_stats" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = toks.withColumn("nxt", lead("w", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("b"))
+        val bc = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        val agg = bc.groupBy("doc_id").agg(
+          sum(col("c")).as("n_bigrams"), max(col("c")).as("mx"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+        docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            when(col("n_bigrams") > 0,
+              col("mx").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+            when(col("n_bigrams") > 0,
+              col("dup").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+      },
+      "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) b FROM t0), " +
+        "bc AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2), " +
+        // ::BIGINT: DuckDB sum(BIGINT) widens to HUGEINT, which the
+        // driver's type-sensitive hasher rejects against Spark's int64.
+        "agg AS (SELECT doc_id, sum(c)::BIGINT nb, max(c) mx, " +
+        "sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT dup FROM bc GROUP BY 1) " +
+        "SELECT t0.doc_id, len(t) AS n_tokens, coalesce(nb, 0) AS n_bigrams, " +
+        "CASE WHEN nb > 0 THEN mx::DOUBLE / nb END AS top_bigram_frac, " +
+        "CASE WHEN nb > 0 THEN dup::DOUBLE / nb END AS dup_bigram_frac " +
+        "FROM t0 LEFT JOIN agg ON t0.doc_id = agg.doc_id"),
+
+    // T7 — deterministic stratified sampling: keep a document iff the
+    // first hex nibble of sha256(salt|doc_id) clears the stratum's rate
+    // (1/16 for the over-represented lang, 4/16 elsewhere). Pure
+    // per-row projection+filter — no shuffle, no RNG state, reproducible
+    // under retries and across engines, and the rate is tunable per
+    // stratum without rebalancing (the standard down-sampling pass when
+    // mixing corpus sources for training).
+    "t7_stratified_sample" -> GQ(
+      (s, d) => {
+        val nib = substring(
+          sha2(concat_ws("|", lit("sample42"), col("doc_id")), 256), 1, 1)
+        Tables.load(s, d, "documents")
+          .where(when(col("lang") === "en", nib === "0")
+            .otherwise(nib.isin("0", "1", "2", "3")))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      "SELECT doc_id, lang, source FROM documents WHERE CASE WHEN lang = 'en' " +
+        "THEN substr(sha256('sample42|' || doc_id::VARCHAR), 1, 1) = '0' " +
+        "ELSE substr(sha256('sample42|' || doc_id::VARCHAR), 1, 1) " +
+        "IN ('0', '1', '2', '3') END"),
+
+    // T8 — top-3 distinctive terms per document by tf·idf, with idf as the
+    // rational 1/df instead of log(N/df): the ranking emphasis is the
+    // same (monotone decreasing in df) and a single IEEE division is
+    // bit-identical across engines where log is not. The vocabulary-sized
+    // df table broadcasts; the per-doc top-3 is a row_number window over
+    // doc-partitioned scored terms.
+    "t8_tfidf_topk" -> GQ(
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfc), "w")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+        Relational.topKPerGroup(scored, Seq(col("doc_id")),
+            Seq(col("score").desc, col("w")), 3)
+          .select("doc_id", "w", "tf", "df", "score")
       },
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
         "FROM documents), " +
-        s"th AS (SELECT doc_id, ${dH60("w")} h FROM toks), " +
-        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s " +
-        "FROM th, unnest(range(0, 60)) u(b) GROUP BY 1, 2), " +
-        "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) sh " +
-        "FROM bits GROUP BY doc_id) " +
-        "SELECT x.doc_id doc_id_1, y.doc_id doc_id_2, " +
-        "bit_count(xor(x.sh, y.sh))::BIGINT AS hamming FROM sig x JOIN sig y " +
-        "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8"))
+        "tf AS (SELECT doc_id, w, count(*) tf FROM toks GROUP BY 1, 2), " +
+        "dfc AS (SELECT w, count(*) df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, tf.w, tf, df, tf::DOUBLE / df AS score " +
+        "FROM tf JOIN dfc ON tf.w = dfc.w " +
+        "QUALIFY row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tf::DOUBLE / df DESC, tf.w) <= 3"))
 }
