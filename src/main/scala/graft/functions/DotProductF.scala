@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: dot product of two `array<float>` columns in
-  * double precision, accumulated left-to-right.
+/** Native Catalyst expression: dot product of two `array<float>` /
+  * `array<double>` columns (any mix) in double precision, accumulated
+  * left-to-right. Array elements must be non-null (embedding vectors and
+  * derived centroids are).
   *
   * Why a custom Expression (SURVEY preference order (b)): the composable
   * form `aggregate(zip_with(a, b, _*_), 0d, _+_)` is a higher-order
@@ -23,16 +25,26 @@ case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dot_f expects (array<float>, array<float>), got " +
+          s"dot_f expects (array<float|double>, array<float|double>), got " +
             s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
   }
+
+  private lazy val leftIsFloat = elemType(left.dataType).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right.dataType).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,7 +53,9 @@ case class DotProductF(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -52,11 +66,13 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getL = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ($getL) * ($getR);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -50,7 +50,7 @@ object Graph {
       // endpoints already share a label disappears, so the per-round
       // neighbor-min join shrinks geometrically while labels converge.
       var live = sym.localCheckpoint()
-      var converged = false
+      var converged = live.isEmpty
       var iter = 0
       while (!converged && iter < maxIter) {
         // min label among (contracted) neighbors, pushed to each
@@ -65,26 +65,49 @@ object Graph {
         val jumped = labels.as("l1").join(labels.as("l2"),
             col("l1.lbl") === col("l2.n"))
           .select(col("l1.n").as("n"), col("l2.lbl").as("jlbl"))
-        val merged = labels
+        labels = labels
           .join(fromNeighbors, labels("n") === col("n2"), "left")
           .join(jumped, Seq("n"))
-          .select(col("n"), col("lbl"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl")).as("next"))
-          .localCheckpoint() // one materialization serves both uses below
-        converged = merged.where(col("next") < col("lbl")).isEmpty
-        labels = merged.select(col("n"), col("next").as("lbl"))
-        if (!converged) {
-          val la = labels.select(col("n").as("a"), col("lbl").as("la"))
-          val lb = labels.select(col("n").as("b"), col("lbl").as("lb"))
-          live = live.join(la, "a").join(lb, "b")
-            .where(col("la") =!= col("lb"))
-            .select(col("la").as("a"), col("lb").as("b"))
-            .distinct()
-            .localCheckpoint()
-        }
+          .select(col("n"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl")).as("lbl"))
+          .localCheckpoint()
+        val la = labels.select(col("n").as("a"), col("lbl").as("la"))
+        val lb = labels.select(col("n").as("b"), col("lbl").as("lb"))
+        live = live.join(la, "a").join(lb, "b")
+          .where(col("la") =!= col("lb"))
+          .select(col("la").as("a"), col("lb").as("b"))
+          .distinct()
+          .localCheckpoint()
+        // Phase-1 exit = the contracted edge list is empty. An edge dies
+        // exactly when its endpoints share a label, and a death merges the
+        // two endpoints' pointer families (later updates only re-point a
+        // node INTO the chain of its current label, so merged families never
+        // split). An empty live set therefore means one pointer family per
+        // component, rooted at the component min (the min node's label
+        // starts at itself and least() can never raise it). No separate
+        // changed-label scan per round: the emptiness check reads the
+        // checkpoint blocks the contraction just wrote.
+        converged = live.isEmpty
         iter += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // Phase 2 — collapse leftover pointer chains (nodes whose label
+      // improved on the last contraction rounds without their dependents
+      // hearing about it). Jump-only rounds: no edge joins, one label
+      // self-join per round, O(log chain length) rounds. l(lbl) <= lbl
+      // always, so the jump alone is the new label.
+      var stable = false
+      while (!stable && iter < maxIter) {
+        val merged = labels.as("l1").join(labels.as("l2"),
+            col("l1.lbl") === col("l2.n"))
+          .select(col("l1.n").as("n"), col("l1.lbl").as("lbl"),
+            col("l2.lbl").as("jlbl"))
+          .localCheckpoint()
+        stable = merged.where(col("jlbl") < col("lbl")).isEmpty
+        labels = merged.select(col("n"), col("jlbl").as("lbl"))
+        iter += 1
+      }
+      require(stable, s"connectedComponents chains did not collapse in $maxIter rounds")
       val singletons = nodes.select(col(idCol).as("n"))
         .join(inEdges, Seq("n"), "left_anti")
         .select(col("n"), col("n").as("lbl"))

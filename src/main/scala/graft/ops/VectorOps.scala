@@ -35,15 +35,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH, derived from
-    * sha2("p|d") so any engine can regenerate them. Component values are
-    * integers in [0, 2000000] that both engines map to [-1, 1] with one
-    * exact double division — planes are identical everywhere.
+    * sha2("<salt>p|d") so any engine can regenerate them. Component values
+    * are integers in [0, 2000000] that both engines map to [-1, 1] with one
+    * exact double division — planes are identical everywhere. A non-empty
+    * `salt` yields an independent table (for band-OR recall amplification).
     */
-  def hyperplaneInts(planes: Int, dim: Int): Seq[Seq[Long]] = {
+  def hyperplaneInts(planes: Int, dim: Int, salt: String = ""): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     (0 until planes).map { p =>
       (0 until dim).map { d =>
-        val hex = md.digest(s"$p|$d".getBytes("UTF-8"))
+        val hex = md.digest(s"$salt$p|$d".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(15)
         java.lang.Long.parseLong(hex, 16) % 2000001L
       }

@@ -57,6 +57,45 @@ object EventQueries {
         "((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_s " +
         "FROM sess GROUP BY 1, 2"),
 
+    // X2 — PII pattern scrub: sequential regexp redaction of email /
+    // IPv4 / digit-run patterns with per-pattern match counts — the
+    // pre-training privacy scrub pass. Pure per-row projection (no
+    // shuffle, whole-stage codegen'd regexes precompiled per task), so it
+    // composes with any scan at 100 TB. Patterns are RE2-safe (no
+    // lookaround) so any engine reproduces them; on this synthetic corpus
+    // only digit runs fire, which the counts make visible. Each stage
+    // scrubs the previous stage's output and counts on its own input, so
+    // nothing double-counts (replacement tokens contain no digits).
+    "x2_pii_scrub" -> GQ(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+        val num = "[0-9]+"
+        val s1 = regexp_replace(col("props"), email, "<EMAIL>")
+        val s2 = regexp_replace(s1, ipv4, "<IP>")
+        val s3 = regexp_replace(s2, num, "<NUM>")
+        Tables.load(s, d, "events").select(
+          col("event_id"),
+          size(regexp_extract_all(col("props"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(s1, lit(ipv4), lit(0)))
+            .cast("long").as("n_ipv4"),
+          size(regexp_extract_all(s2, lit(num), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          s3.as("scrubbed"),
+          (length(col("props")) - length(s3)).cast("long").as("len_delta"))
+      },
+      "WITH s AS (SELECT event_id, props, " +
+        "regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') s1 " +
+        "FROM events), " +
+        "s2t AS (SELECT *, regexp_replace(s1, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IP>', 'g') s2 FROM s), " +
+        "s3t AS (SELECT *, regexp_replace(s2, '[0-9]+', '<NUM>', 'g') s3 FROM s2t) " +
+        "SELECT event_id, " +
+        "len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(s1, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b')) AS n_ipv4, " +
+        "len(regexp_extract_all(s2, '[0-9]+')) AS n_digit_runs, " +
+        "s3 AS scrubbed, length(props) - length(s3) AS len_delta FROM s3t"),
+
     // M1 — multimodal metadata: payload as an opaque binary column; byte
     // length, digest, magic-prefix hex, and a hash-derived format sniff
     // (decode itself is stubbed — no codec libs in this environment).

@@ -65,6 +65,25 @@ object RelationalQueries {
       },
       "SELECT doc_id, text, lang, source, n_chars FROM documents"),
 
+    // S9 — ORC source/sink round-trip (extension beyond the reference's
+    // CSV/parquet surface): columnar-format interop matters at corpus scale
+    // — ORC ships with Spark, carries column statistics for predicate
+    // pushdown like parquet, and a 100 TB lakehouse commonly mixes both.
+    // The filter is applied AFTER the ORC re-read so the gate proves
+    // ORC-side predicate pushdown, not parquet's.
+    "s9_orc_roundtrip" -> GQ(
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+        val tmp = tmpDir("graft_orc_")
+        cust.write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .where(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal"))
+      },
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer " +
+        "WHERE c_acctbal > 0"),
+
     // S2 + S5 — recursive directory scan with format-auto load
     // (reference: etl/transform/aq-cleanse.py:194-199 recursiveFileLookup;
     // ward-dimension.py:35 spark.read.load).

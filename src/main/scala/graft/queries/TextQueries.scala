@@ -468,5 +468,63 @@ object TextQueries {
         "SELECT doc_id, tf.w, tf, df, tf::DOUBLE / df AS score " +
         "FROM tf JOIN dfc ON tf.w = dfc.w " +
         "QUALIFY row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY tf::DOUBLE / df DESC, tf.w) <= 3"))
+        "ORDER BY tf::DOUBLE / df DESC, tf.w) <= 3"),
+
+    // X1 — benchmark decontamination: flag training documents sharing any
+    // word-3-gram with a held-out evaluation set (docs with doc_id % 97 = 0
+    // stand in for the benchmark corpus). This is the standard n-gram
+    // overlap check run before training (GPT-3 appendix C / Dolma style).
+    // The eval 3-gram set is corpus-small (distinct hashes of a few docs),
+    // so at 100 TB it broadcasts and the check is a map-side semi-join over
+    // the existing shingle inverted index — no new scan of the corpus, no
+    // shuffle of text. Counts are exact ints; the ratio is one division.
+    "x1_decontaminate" -> GQ(
+      (s, d) => {
+        val inv = shingleIndex(s, d)
+        val evalSet = inv.where(col("doc_id") % 97 === 0)
+          .select("s").distinct()
+        val train = inv.where(col("doc_id") % 97 =!= 0)
+        val hits = train.join(broadcast(evalSet), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        train.select(col("doc_id"), col("n")).distinct()
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+            coalesce(col("c"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("c"), lit(0L)).cast("double") / col("n"))
+              .as("contamination_frac"),
+            (coalesce(col("c"), lit(0L)) > 0).as("is_contaminated"))
+      },
+      s"WITH $dShingleCtes, " +
+        "inv AS (SELECT doc_id, n, unnest(h) s FROM hashed), " +
+        "ev AS (SELECT DISTINCT s FROM inv WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT * FROM inv WHERE doc_id % 97 != 0), " +
+        "ct AS (SELECT doc_id, count(*) c FROM tr JOIN ev USING (s) GROUP BY 1) " +
+        "SELECT h.doc_id, h.n::BIGINT AS n_shingles, " +
+        "coalesce(c, 0)::BIGINT AS n_contaminated, " +
+        "coalesce(c, 0)::DOUBLE / h.n AS contamination_frac, " +
+        "coalesce(c, 0) > 0 AS is_contaminated " +
+        "FROM hashed h LEFT JOIN ct USING (doc_id) " +
+        "WHERE h.doc_id % 97 != 0 AND h.n > 0"),
+
+    // T9 — deterministic train/val/test split: the first byte of
+    // sha2("split42|" || doc_id) buckets each document into 256 cells;
+    // cells [0,205) -> train (~80%), [205,230) -> val (~10%), rest -> test.
+    // Pure per-row projection — no RNG state, no shuffle, stable under
+    // retries, reproducible by any engine, and membership is decidable per
+    // row without seeing the rest of the corpus (the property that matters
+    // when the corpus is 100 TB across 10^6 files).
+    "t9_hash_split" -> GQ(
+      (s, d) => {
+        val bucket = conv(substring(
+          sha2(concat_ws("|", lit("split42"), col("doc_id")), 256), 1, 2), 16, 10)
+          .cast("long")
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), bucket.as("bucket"),
+            when(bucket < 205, "train").when(bucket < 230, "val")
+              .otherwise("test").as("split"))
+      },
+      "SELECT doc_id, ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT AS bucket, " +
+        "CASE WHEN ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT < 205 THEN 'train' " +
+        "WHEN ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT < 230 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"))
 }

@@ -23,10 +23,15 @@ object VectorQueries {
   private def dCos(a: String, b: String) =
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
 
-  /** Deterministic sign-LSH hyperplanes (shared with the oracle). */
+  /** Deterministic sign-LSH hyperplanes (shared with the oracle). Two
+    * independent 6-plane tables: e2 probes table 1 only; e3 band-ORs both
+    * (a pair is a candidate if EITHER table buckets it together) — the
+    * d3-style recall amplification: miss probability multiplies per table.
+    */
   val Planes = 6
   val Dim = 64
   lazy val planeInts: Seq[Seq[Long]] = VectorOps.hyperplaneInts(Planes, Dim)
+  lazy val planeInts2: Seq[Seq[Long]] = VectorOps.hyperplaneInts(Planes, Dim, "t2|")
 
   /** Multi-probe masks: the probe's own bucket plus each one-bit flip. */
   val probeMasks: Seq[Long] = 0L +: (0 until Planes).map(p => 1L << p)
@@ -34,10 +39,12 @@ object VectorQueries {
   /** Pair-recall masks for e3: all bucket flips of Hamming weight <= 2
     * (1 + 6 + 15 = 22 masks). At the sim=0.4 threshold a pair disagrees on
     * each plane with p ~ acos(0.4)/pi ~ 0.37, so <=1-bit probing sees only
-    * ~28% of qualifying pairs; widening to <=2 bits roughly doubles recall
-    * (~61%) while candidate generation stays a bucket equi-join. Each pair
-    * still matches exactly one mask (m = bucket_x XOR bucket_y), so no
-    * distinct is needed.
+    * ~28% of qualifying pairs; <=2 bits lifts a single table to ~61%, and
+    * band-ORing the two independent tables to ~1-(1-0.61)^2 ~ 85%.
+    * Candidate generation stays a bucket equi-join per table; within one
+    * table a pair matches exactly one mask (m = bucket_x XOR bucket_y), so
+    * duplicates only arise across tables and one id-pair distinct removes
+    * them.
     */
   val pairMasks: Seq[Long] = 0L +:
     ((0 until Planes).map(p => 1L << p) ++
@@ -45,23 +52,26 @@ object VectorQueries {
         yield (1L << p) | (1L << q)))
 
   /** DuckDB fragment mirroring VectorOps.lshBucket for column `v`. */
-  private def dBucket(v: String): String =
-    planeInts.zipWithIndex.map { case (ints, p) =>
+  private def dBucket(v: String, table: Seq[Seq[Long]] = planeInts): String =
+    table.zipWithIndex.map { case (ints, p) =>
       val plane = ints.map(m => s"$m/1000000.0 - 1.0").mkString("[", ", ", "]")
       s"(CASE WHEN ${dDot(v, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private val probeFilter = col("vec_id") % 50 === 0
 
-  /** The corpus with its L2 norm and sign-LSH bucket precomputed — one
-    * materialized inter-stage table shared by e2/e3/e6, so the 7 hyperplane
-    * dot products and the norm run exactly once per vector per session and
-    * nothing stays in the block cache after a query returns.
+  /** The corpus with its L2 norm and both sign-LSH table buckets
+    * precomputed — one materialized inter-stage table shared by e2/e3/e6,
+    * so the 13 hyperplane dot products and the norm run exactly once per
+    * vector per session and nothing stays in the block cache after a query
+    * returns. (Queries that don't touch `bucket2` never pay for it: the
+    * parquet reader prunes the column.)
     */
   private def normedBuckets(s: SparkSession, d: String) =
-    InterStage.materialize(s, InterStage.tableKey(d, "embeddings") + "|lsh6norm",
+    InterStage.materialize(s, InterStage.tableKey(d, "embeddings") + "|lsh6x2norm",
       Tables.load(s, d, "embeddings")
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
+        .withColumn("bucket2", VectorOps.lshBucket(col("embedding"), planeInts2))
         .withColumn("norm", VectorOps.l2Norm(col("embedding"))))
 
   /** Build the inter-stage table the vector queries share (see
@@ -126,35 +136,51 @@ object VectorQueries {
         s"${dCos("q_vec", "e.embedding")} DESC, e.vec_id) <= 5"),
 
     // E3 — embedding-cosine near-dup pairs (sim >= 0.4) via sign-LSH
-    // candidate generation + exact cosine verify: every vector multi-probes
-    // its own bucket plus each <=2-bit flip (pairMasks — recall ~61% at the
-    // threshold vs ~28% for 1-bit probing), candidates come from an
-    // equi-join on the bucket key (the O(n) scale path — the bucket id is
-    // the shuffle/partition key at 100 TB), and the exact cosine filter
-    // re-verifies. A pair (x, y) matches at most one probe mask
-    // (m = bucket_x XOR bucket_y), so no distinct is needed. Approximate by
-    // design — pairs more than two planes apart are unseen — the oracle
-    // reproduces exactly that candidate set, and e3b is the exact
+    // candidate generation + exact cosine verify. Band-OR across the TWO
+    // independent hash tables (as d3 ORs its MinHash bands): a pair is a
+    // candidate if either table buckets it within a <=2-bit flip, so the
+    // per-table ~61% recall at the threshold compounds to ~85%. Per table,
+    // candidates come from an equi-join on the bucket key (the O(n) scale
+    // path — the bucket id is the shuffle/partition key at 100 TB); the
+    // cross-table distinct moves only 16-byte id pairs, and the exact
+    // cosine re-verify joins the vectors back afterwards. Approximate by
+    // design — pairs >2 planes apart in BOTH tables are unseen — the
+    // oracle reproduces exactly that candidate set, and e3b is the exact
     // brute-force baseline this path is measured against (as e1 is to e2).
     "e3_cosine_neardup_pairs" -> GQ(
       (s, d) => {
         val b = normedBuckets(s, d)
-        val probes = b.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_vec"), col("norm").as("q_norm"),
-          explode(array(pairMasks.map(m =>
-            col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-        probes.join(b, Seq("bucket")).where(col("q_id") < col("vec_id"))
-          .select(col("q_id").as("vec_id_1"), col("vec_id").as("vec_id_2"),
-            (VectorOps.dotD(col("q_vec"), col("embedding")) /
-              (col("q_norm") * col("norm"))).as("sim"))
+        def candIds(bcol: String) = {
+          val probes = b.select(col("vec_id").as("q_id"),
+            explode(array(pairMasks.map(m =>
+              col(bcol).bitwiseXOR(lit(m))): _*)).as(bcol))
+          probes.join(b.select(col("vec_id"), col(bcol)), Seq(bcol))
+            .where(col("q_id") < col("vec_id"))
+            .select(col("q_id"), col("vec_id"))
+        }
+        val cand = candIds("bucket").union(candIds("bucket2"))
+          .distinct().toDF("id1", "id2")
+        val v = b.select(col("vec_id"), col("embedding"), col("norm"))
+        cand.join(v.as("x"), col("id1") === col("x.vec_id"))
+          .join(v.as("y"), col("id2") === col("y.vec_id"))
+          .select(col("id1").as("vec_id_1"), col("id2").as("vec_id_2"),
+            (VectorOps.dotD(col("x.embedding"), col("y.embedding")) /
+              (col("x.norm") * col("y.norm"))).as("sim"))
           .where(col("sim") >= 0.4)
       },
-      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket FROM embeddings), " +
-        "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
-        s"unnest([${pairMasks.mkString(", ")}]) u(m)) " +
-        s"SELECT q_id vec_id_1, e.vec_id vec_id_2, ${dCos("q_vec", "e.embedding")} AS sim " +
-        "FROM p JOIN b e ON p.bucket = e.bucket AND p.q_id < e.vec_id " +
-        s"WHERE ${dCos("q_vec", "e.embedding")} >= 0.4"),
+      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket, " +
+        s"${dBucket("embedding", planeInts2)} bucket2 FROM embeddings), " +
+        "p1 AS (SELECT vec_id q_id, xor(bucket, m) bucket FROM b, " +
+        s"unnest([${pairMasks.mkString(", ")}]) u(m)), " +
+        "p2 AS (SELECT vec_id q_id, xor(bucket2, m) bucket2 FROM b, " +
+        s"unnest([${pairMasks.mkString(", ")}]) u(m)), " +
+        "cand AS (SELECT q_id, e.vec_id vid FROM p1 JOIN b e " +
+        "ON p1.bucket = e.bucket AND p1.q_id < e.vec_id " +
+        "UNION SELECT q_id, e.vec_id vid FROM p2 JOIN b e " +
+        "ON p2.bucket2 = e.bucket2 AND p2.q_id < e.vec_id) " +
+        s"SELECT c.q_id vec_id_1, c.vid vec_id_2, ${dCos("x.embedding", "y.embedding")} AS sim " +
+        "FROM cand c JOIN b x ON c.q_id = x.vec_id JOIN b y ON c.vid = y.vec_id " +
+        s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4"),
 
     // E3b — exact brute-force near-dup pairs: the correctness baseline the
     // e3 LSH path is measured against (recall = |e3| / |e3b| at the same
@@ -225,10 +251,13 @@ object VectorQueries {
         val cent = e.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
           .select(col("label").as("c_label"),
             array((0 until Dim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
-          .withColumn("c_norm", sqrt(VectorOps.dotFold(col("c_vec"), col("c_vec"))))
-        // nearest-centroid score of every vector (10-row broadcast)
+          .withColumn("c_norm", sqrt(VectorOps.dotD(col("c_vec"), col("c_vec"))))
+        // nearest-centroid score of every vector (10-row broadcast); the
+        // dot is the native codegen'd expression — it accepts the
+        // float-array embedding against the double-array centroid and
+        // emits the same IEEE sequence as the interpreted fold.
         val scored = e.crossJoin(broadcast(cent))
-          .withColumn("csim", VectorOps.dotFold(col("embedding"), col("c_vec")) /
+          .withColumn("csim", VectorOps.dotD(col("embedding"), col("c_vec")) /
             (col("norm") * col("c_norm")))
           .select(col("vec_id"), col("embedding"), col("norm"),
             col("c_label"), col("csim"))

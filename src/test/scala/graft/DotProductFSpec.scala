@@ -29,6 +29,19 @@ class DotProductFSpec extends SparkSpec {
     assert(out(2).contains(2.0))  // min-length semantics
   }
 
+  test("dot_f double-array and mixed float/double operands match the fold") {
+    // float embedding x double centroid — the e6 IVF scoring shape
+    val e = Tables.load(spark, Sf0001, "embeddings")
+      .withColumn("dvec", transform(col("embedding"), x => x.cast("double") * 1.5))
+    val diff = e.select(
+      GraftFunctions.dot_f(col("embedding"), col("dvec")).as("mixed"),
+      VectorOps.dotFold(col("embedding"), col("dvec")).as("foldMixed"),
+      GraftFunctions.dot_f(col("dvec"), col("dvec")).as("dd"),
+      VectorOps.dotFold(col("dvec"), col("dvec")).as("foldDd"))
+      .where(col("mixed") =!= col("foldMixed") || col("dd") =!= col("foldDd"))
+    assert(diff.count() == 0)
+  }
+
   test("dot_f is SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT dot_f(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
