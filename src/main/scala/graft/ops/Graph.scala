@@ -42,14 +42,33 @@ object Graph {
       // those, and union the untouched singletons back in at the end. In a
       // near-dup graph duplicates are a small fraction of the corpus, so
       // this shrinks every round's join and checkpoint by 10-100x.
-      val inEdges = sym.select(col("a").as("n")).distinct()
-      var labels = inEdges.select(col("n"), col("n").as("lbl"))
+      //
+      // Round 0 is folded into initialization: label(n) = min(n, min
+      // neighbor) comes from ONE groupBy over the symmetric edge list —
+      // the same progress as a full propagate-join round at a fraction of
+      // its shuffles, and the groupBy keys double as the edge-touching
+      // node set (sym holds both directions, so grouping by `a` covers
+      // every such node). Near-dup cliques collapse onto their min node
+      // here, before the first join round ever runs.
+      var labels = sym.groupBy(col("a").as("n"))
+        .agg(min(col("b")).as("nb"))
+        .select(col("n"), least(col("n"), col("nb")).as("lbl"))
         .localCheckpoint()
+      val inEdges = labels.select(col("n"))
       // Live edge list, re-expressed over current labels each round.
       // Contraction is what keeps late rounds cheap: an edge whose two
       // endpoints already share a label disappears, so the per-round
       // neighbor-min join shrinks geometrically while labels converge.
-      var live = sym.localCheckpoint()
+      def contract(edges: DataFrame, lbls: DataFrame): DataFrame = {
+        val la = lbls.select(col("n").as("a"), col("lbl").as("la"))
+        val lb = lbls.select(col("n").as("b"), col("lbl").as("lb"))
+        edges.join(la, "a").join(lb, "b")
+          .where(col("la") =!= col("lb"))
+          .select(col("la").as("a"), col("lb").as("b"))
+          .distinct()
+          .localCheckpoint()
+      }
+      var live = contract(sym, labels)
       var converged = live.isEmpty
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -71,13 +90,7 @@ object Graph {
           .select(col("n"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl")).as("lbl"))
           .localCheckpoint()
-        val la = labels.select(col("n").as("a"), col("lbl").as("la"))
-        val lb = labels.select(col("n").as("b"), col("lbl").as("lb"))
-        live = live.join(la, "a").join(lb, "b")
-          .where(col("la") =!= col("lb"))
-          .select(col("la").as("a"), col("lb").as("b"))
-          .distinct()
-          .localCheckpoint()
+        live = contract(live, labels)
         // Phase-1 exit = the contracted edge list is empty. An edge dies
         // exactly when its endpoints share a label, and a death merges the
         // two endpoints' pointer families (later updates only re-point a

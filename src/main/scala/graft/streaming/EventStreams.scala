@@ -58,6 +58,22 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Streaming exact deduplication — the streaming twin of the batch d1
+    * pass: digest the dedup key columns to one sha-256 key, then
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key. The
+    * watermark is what makes exact dedup feasible on an unbounded stream:
+    * state for keys older than the delay is evicted, so dedup state is
+    * bounded by the churn inside the watermark horizon instead of growing
+    * with the whole history (at ingest scale, pair this with an upstream
+    * daily partition so re-delivered late files stay inside the horizon).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withColumn("digest", sha2(concat_ws("|",
+        col("user_id"), col("event_type"), col("props")), 256))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("digest")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -78,6 +78,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == closedBatch)
   }
 
+  test("streaming dedup keeps exactly the batch-distinct digest set") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.dedupStream(stream), "dedup", "append")
+    val streamed = spark.table("dedup").select("digest")
+    val batchDigests = batchEvents
+      .select(sha2(concat_ws("|",
+        col("user_id"), col("event_type"), col("props")), 256).as("digest"))
+    // the corpus must actually contain duplicates for this to test anything
+    assert(batchDigests.count() > batchDigests.distinct().count())
+    assert(streamed.count() == streamed.distinct().count())
+    assert(streamed.exceptAll(batchDigests.distinct()).count() == 0)
+    assert(batchDigests.distinct().exceptAll(streamed).count() == 0)
+  }
+
   test("mapGroupsWithState running totals equal batch per-user aggregates") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(
