@@ -506,6 +506,67 @@ object TextQueries {
         "FROM hashed h LEFT JOIN ct USING (doc_id) " +
         "WHERE h.doc_id % 97 != 0 AND h.n > 0"),
 
+    // X3 — quality funnel: the Gopher-style keep/drop decision a corpus
+    // actually ships through, composing the t2/t6 signals into ordered
+    // rules with a reason code (first failing rule wins — the funnel shape
+    // every production filter uses so drop rates are attributable per
+    // rule). One pass over tokens + the t6 bigram aggregate; thresholds
+    // are exact-integer or single-division comparisons, so the decision is
+    // bit-reproducible in any engine.
+    "x3_quality_funnel" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val t = TextOps.tokens(col("text"))
+        val n = size(t).cast("long")
+        val scored = docs.select(col("doc_id"), n.as("n_tokens"),
+          (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n)
+            .as("mean_len"),
+          (size(array_distinct(t)).cast("double") / n).as("ttr"))
+        val toks = docs.select(col("doc_id"),
+          posexplode(t).as(Seq("pos", "w")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = toks.withColumn("nxt", lead("w", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("nb"), max(col("c")).as("mx"))
+        scored.join(bg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("n_tokens") < 50, "too_short")
+              .when(col("n_tokens") > 100000, "too_long")
+              .when(col("mean_len") < 2.0, "tokens_too_short")
+              .when(col("mean_len") > 12.0, "tokens_too_long")
+              .when(col("ttr") < 0.05, "low_diversity")
+              .when(col("nb") > 0 && col("mx").cast("double") / col("nb") > 0.2,
+                "repetitive")
+              .otherwise("keep").as("verdict"))
+          .withColumn("kept", col("verdict") === "keep")
+      },
+      "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents), " +
+        "scored AS (SELECT doc_id, len(t) n_tokens, " +
+        "list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) mean_len, " +
+        "len(list_distinct(t))::DOUBLE / len(t) ttr FROM t0), " +
+        "bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) b FROM t0), " +
+        "bc AS (SELECT doc_id, b, count(*) c FROM bgl GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, sum(c) nb, max(c) mx FROM bc GROUP BY 1) " +
+        "SELECT s.doc_id, CASE WHEN n_tokens < 50 THEN 'too_short' " +
+        "WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN mean_len < 2.0 THEN 'tokens_too_short' " +
+        "WHEN mean_len > 12.0 THEN 'tokens_too_long' " +
+        "WHEN ttr < 0.05 THEN 'low_diversity' " +
+        "WHEN nb > 0 AND mx::DOUBLE / nb > 0.2 THEN 'repetitive' " +
+        "ELSE 'keep' END AS verdict, " +
+        "CASE WHEN n_tokens < 50 THEN 'too_short' " +
+        "WHEN n_tokens > 100000 THEN 'too_long' " +
+        "WHEN mean_len < 2.0 THEN 'tokens_too_short' " +
+        "WHEN mean_len > 12.0 THEN 'tokens_too_long' " +
+        "WHEN ttr < 0.05 THEN 'low_diversity' " +
+        "WHEN nb > 0 AND mx::DOUBLE / nb > 0.2 THEN 'repetitive' " +
+        "ELSE 'keep' END = 'keep' AS kept " +
+        "FROM scored s LEFT JOIN agg ON s.doc_id = agg.doc_id"),
+
     // T9 — deterministic train/val/test split: the first byte of
     // sha2("split42|" || doc_id) buckets each document into 256 cells;
     // cells [0,205) -> train (~80%), [205,230) -> val (~10%), rest -> test.

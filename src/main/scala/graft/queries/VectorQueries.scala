@@ -294,6 +294,64 @@ object VectorQueries {
         "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
         s"${dCos("q_vec", "a.embedding")} DESC, a.vec_id) <= 5"),
 
+    // E7 — binary sign-sketch ANN: compress each 64-dim float vector to 64
+    // sign bits packed in two 32-bit words (256 bytes -> 8: the binary-
+    // quantization storage path), scan signatures with xor+popcount hamming
+    // (no float math), keep the top-5 least-hamming candidates per probe,
+    // and exact-cosine re-rank only those. At 100 TB the signature table is
+    // ~32x smaller than the vectors — the hamming scan streams it at
+    // memory bandwidth while the float vectors are only fetched for the
+    // k survivors (here via a self-join on the candidate ids). sim of a
+    // candidate uses the full vectors, so the output is exact cosine over
+    // an approximate (hamming top-k) candidate set; the oracle reproduces
+    // the same set bit-for-bit (ties break on vec_id).
+    "e7_binary_sign_ann" -> GQ(
+      (s, d) => {
+        def word(v: org.apache.spark.sql.Column, off: Int) =
+          (0 until 32).map(i =>
+            when(element_at(v, off + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _)
+        val sigs = normedBuckets(s, d)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            word(col("embedding"), 0).as("sig_lo"),
+            word(col("embedding"), 32).as("sig_hi"))
+        val sigOnly = sigs.select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+        val probes = sigOnly.where(probeFilter)
+          .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+            col("sig_hi").as("q_hi"))
+        val ham = sigOnly.crossJoin(broadcast(probes))
+          .where(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (bit_count(col("q_lo").bitwiseXOR(col("sig_lo"))) +
+              bit_count(col("q_hi").bitwiseXOR(col("sig_hi"))))
+              .cast("long").as("hamming"))
+        val top = Relational.topKPerGroup(ham, Seq(col("q_id")),
+          Seq(col("hamming"), col("vec_id")), 5)
+        val v = sigs.select(col("vec_id"), col("embedding"), col("norm"))
+        top.join(v.as("q"), col("q_id") === col("q.vec_id"))
+          .join(v.as("c"), top("vec_id") === col("c.vec_id"))
+          .select(col("q_id"), top("vec_id").as("neighbor_id"), col("hamming"),
+            (VectorOps.dotD(col("q.embedding"), col("c.embedding")) /
+              (col("q.norm") * col("c.norm"))).as("sim"))
+      },
+      "WITH sig AS (SELECT vec_id, embedding, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_lo, ") +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
+        "p AS (SELECT vec_id q_id, sig_lo q_lo, sig_hi q_hi FROM sig " +
+        "WHERE vec_id % 50 = 0), " +
+        "top AS (SELECT q_id, vec_id, bit_count(xor(q_lo, sig_lo)) + " +
+        "bit_count(xor(q_hi, sig_hi)) AS hamming FROM p JOIN sig " +
+        "ON p.q_id != sig.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "bit_count(xor(q_lo, sig_lo)) + bit_count(xor(q_hi, sig_hi)), vec_id) <= 5) " +
+        s"SELECT q_id, t.vec_id AS neighbor_id, t.hamming::BIGINT AS hamming, " +
+        s"${dCos("q.embedding", "c.embedding")} AS sim " +
+        "FROM top t JOIN sig q ON t.q_id = q.vec_id JOIN sig c ON t.vec_id = c.vec_id"),
+
     // E4 — per-label centroids: element-wise mean via 64 per-dimension
     // aggregates (partial aggregation map-side; the IVF coarse-quantizer
     // build step). Cross-engine double-sum order differs, so derived values
