@@ -10,7 +10,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("p1_p2_projection", "agg_priority_filtered", "j4_left_join_enrich",
-        "agg_per_segment", "e2_knn_lsh", "d1_exact_dedup")) {
+        "agg_per_segment", "e2_knn_lsh", "d1_exact_dedup",
+        "x1_decontaminate", "e7_binary_sign_ann", "e3_cosine_neardup_pairs",
+        "e6_ivf_knn", "x2_pii_scrub", "x3_quality_funnel")) {
       println(s"########## $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>

@@ -67,11 +67,21 @@ object VectorQueries {
     * returns. (Queries that don't touch `bucket2` never pay for it: the
     * parquet reader prunes the column.)
     */
+  /** One 32-bit word of the e7 binary sign signature: bit i of `word(v, o)`
+    * is set iff element o+i+1 of `v` is positive.
+    */
+  private def signWord(v: org.apache.spark.sql.Column, off: Int) =
+    (0 until 32).map(i =>
+      when(element_at(v, off + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   private def normedBuckets(s: SparkSession, d: String) =
     InterStage.materialize(s, InterStage.tableKey(d, "embeddings") + "|lsh6x2norm",
       Tables.load(s, d, "embeddings")
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
         .withColumn("bucket2", VectorOps.lshBucket(col("embedding"), planeInts2))
+        .withColumn("sig_lo", signWord(col("embedding"), 0))
+        .withColumn("sig_hi", signWord(col("embedding"), 32))
         .withColumn("norm", VectorOps.l2Norm(col("embedding"))))
 
   /** Build the inter-stage table the vector queries share (see
@@ -307,14 +317,12 @@ object VectorQueries {
     // the same set bit-for-bit (ties break on vec_id).
     "e7_binary_sign_ann" -> GQ(
       (s, d) => {
-        def word(v: org.apache.spark.sql.Column, off: Int) =
-          (0 until 32).map(i =>
-            when(element_at(v, off + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _)
+        // Signatures come precomputed from the shared inter-stage table —
+        // the hamming scan below reads (vec_id, sig_lo, sig_hi) only, so
+        // the parquet reader streams ~16 bytes a row, never the vectors.
         val sigs = normedBuckets(s, d)
           .select(col("vec_id"), col("embedding"), col("norm"),
-            word(col("embedding"), 0).as("sig_lo"),
-            word(col("embedding"), 32).as("sig_hi"))
+            col("sig_lo"), col("sig_hi"))
         val sigOnly = sigs.select(col("vec_id"), col("sig_lo"), col("sig_hi"))
         val probes = sigOnly.where(probeFilter)
           .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
