@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests for the properties that matter at cluster
+  * scale. These assert on the EXECUTED plan, so a refactor that silently
+  * reintroduces a nested-loop pair join, an unnecessary shuffle, or a
+  * full-table scan fails here before it ever reaches a benchmark.
+  */
+class ScalePlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    // AdaptiveSparkPlan.toString appends the pre-adaptive "Initial Plan";
+    // assertions must see only the final one or every operator counts twice
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // Pre-bucketing both sides of a recurring big-big join on the join key
+    // is the standard way to amortize the shuffle across every downstream
+    // run at 100 TB: each bucket pair joins in place.
+    spark.sql("CREATE DATABASE IF NOT EXISTS scalecheck")
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS scalecheck.$t")
+      val stale = new java.io.File(s"spark-warehouse/scalecheck.db/$t")
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stale)
+      }
+    }
+    Tables.load(spark, Sf0001, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("scalecheck.orders_b")
+    Tables.load(spark, Sf0001, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("scalecheck.lineitem_b")
+    // disable broadcast so the tiny test tables take the big-big join path
+    // the bucketing exists for
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        executedPlan(spark.table("scalecheck.orders_b")
+          .join(spark.table("scalecheck.lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // the only exchange allowed is the one feeding the final aggregation
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"bucketed join should not shuffle the join keys:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("partitioned table scans prune partitions at the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables.load(spark, Sf0001, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
+    // the pruned scan must not read the full table: partition count check
+    val files = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!files.contains("PartitionFilters: []"), files)
+  }
+
+  test("e3 LSH pair generation plans no nested-loop join") {
+    // Regression guard for the round-2 finding: the near-dup pair join must
+    // stay a bucket equi-join; a BroadcastNestedLoopJoin here is the O(n^2)
+    // plan that cannot survive corpus scale.
+    val plan = executedPlan(
+      SparkEntry.queries("e3_cosine_neardup_pairs")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("x1 decontamination broadcasts the eval n-gram set") {
+    // The eval-set side must broadcast: at 100 TB the training-side index
+    // never shuffles for this check.
+    val plan = executedPlan(
+      SparkEntry.queries("x1_decontaminate")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("pruned projections reach the parquet reader") {
+    val q = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>") ||
+      scan.contains("ReadSchema: struct<l_orderkey"), scan)
+    assert(!scan.contains("l_comment"), scan)
+  }
+}
