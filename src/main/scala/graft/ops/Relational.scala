@@ -238,6 +238,66 @@ object Relational {
       .select(probe.columns.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** As-of join: for each probe row, the most recent reading at or before
+    * the probe's time, per equi-`keys`, looking back at most `horizon`
+    * time units; probes with no qualifying reading keep nulls (left-join
+    * semantics). The one-sided sibling of [[nearestWithinBand]] and the
+    * standard enrichment join of event pipelines ("state as of this
+    * event": last price tick, last config change, last session start).
+    *
+    * Algorithm: bucket both sides by `floor(t/horizon)`; replicate each
+    * probe into buckets {b-1, b} (a reading at most `horizon` back is in
+    * one of the two); equi-join on (keys, bucket); filter
+    * `0 <= Δt <= horizon`; arg-min Δt per probe via `min_by` — partial
+    * aggregation, no window sort, so the reduce side sees one candidate
+    * per (probe, map partition). The bucketed equi-join is the shape that
+    * scales: the shuffle key is (keys, bucket), never a range predicate.
+    *
+    * Requires: column names disjoint between the two frames except `keys`;
+    * `probeId` unique; `tieBreak` (a readings column) makes the reading
+    * order total.
+    */
+  def asOfJoin(probe: DataFrame, probeId: String, probeTs: String,
+               readings: DataFrame, readTs: String, horizon: Long,
+               keys: Seq[String], tieBreak: String): DataFrame = {
+    val rCols = readings.columns.toSeq.filterNot(keys.contains)
+    val pBucket = floor(col(probeTs) / horizon).cast(LongType)
+    val probeKeys = probe
+      .select((Seq(col(probeId), col(probeTs)) ++ keys.map(col)): _*)
+      .withColumn("__bucket", explode(array(pBucket - 1, pBucket)))
+    val readBucketed = readings
+      .withColumn("__bucket", floor(col(readTs) / horizon).cast(LongType))
+    val dt = col(probeTs) - col(readTs)
+    val best = probeKeys.join(readBucketed, "__bucket" +: keys)
+      .where(dt >= 0 && dt <= horizon)
+      .groupBy(col(probeId))
+      .agg(min_by(struct(rCols.map(col): _*), struct(dt, col(tieBreak))).as("__best"))
+    probe.join(best, Seq(probeId), "left")
+      .select(probe.columns.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  /** Range join: match each point row to every `[lo, hi)` range row it
+    * falls in. The naive plan for a range predicate is a nested-loop join;
+    * this instead buckets points by `floor(p/step)` once and replicates
+    * each RANGE row into every bucket it overlaps, so candidates come from
+    * a bucket equi-join and the range predicate only re-verifies. With
+    * ranges typically numbering thousands and points numbering billions,
+    * replicating ranges (not points) is the asymmetry that survives scale;
+    * `step` trades range-side replication against per-bucket selectivity.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                step: Long): DataFrame = {
+    val pB = points
+      .withColumn("__bucket", floor(col(pointCol) / step).cast(LongType))
+    val rB = ranges.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / step).cast(LongType),
+        (ceil(col(hiCol) / step) - 1).cast(LongType))))
+    pB.join(rB, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
   // ---------------------------------------------------------------------
   // Per-group top-k / latest
   // ---------------------------------------------------------------------

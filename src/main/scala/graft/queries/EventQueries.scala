@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Relational}
 
 /** Event-stream batch analytics (JSON extraction, gap sessionization) and
   * multimodal binary-column plumbing. `ts` arrives as Long nanoseconds
@@ -56,6 +56,45 @@ object EventQueries {
         "min(tus) AS start_us, max(tus) AS end_us, round(sum(value), 2) AS session_value, " +
         "((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_s " +
         "FROM sess GROUP BY 1, 2"),
+
+    // J7 — as-of join: each purchase event picks up the user's most recent
+    // click at or before it, looking back at most one hour — the "state as
+    // of this event" enrichment every event pipeline runs (attribution,
+    // last-config, last-tick). Bucketed one-sided band join + min_by
+    // (Relational.asOfJoin): the shuffle key is (user, hour-bucket), never
+    // a range predicate, and the arg-min partial-aggregates map-side.
+    "j7_asof_join" -> GQ(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .withColumn("tus", expr("ts div 1000"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tus"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_event_id"),
+            col("tus").as("c_tus"))
+        // unmatched probes keep left-join nulls in the operator; the GATE
+        // coalesces them to -1 sentinels (the column-sorting comparator
+        // can't order mixed null/non-null values)
+        Relational.asOfJoin(purchases, "event_id", "tus",
+            clicks, "c_tus", 3600L * 1000000L, Seq("user_id"), "c_event_id")
+          .select(col("event_id"), col("user_id"), col("tus"),
+            coalesce(col("c_event_id"), lit(-1L)).as("c_event_id"),
+            coalesce(col("c_tus"), lit(-1L)).as("c_tus"),
+            coalesce(((col("tus") - col("c_tus")) / 1000000L).cast("long"),
+              lit(-1L)).as("gap_s"))
+      },
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) tus FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, event_id c_event_id, epoch_us(ts) c_tus " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.tus, " +
+        "coalesce(c_event_id, -1) AS c_event_id, " +
+        "coalesce(c_tus, -1) AS c_tus, " +
+        "coalesce((p.tus - c_tus) // 1000000, -1) AS gap_s " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c_tus <= p.tus " +
+        "AND p.tus - c_tus <= 3600000000 " +
+        "QUALIFY row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c_tus DESC, c_event_id) = 1"),
 
     // X2 — PII pattern scrub: sequential regexp redaction of email /
     // IPv4 / digit-run patterns with per-pattern match counts — the

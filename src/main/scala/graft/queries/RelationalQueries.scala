@@ -151,6 +151,33 @@ object RelationalQueries {
       },
       "SELECT * FROM nation"),
 
+    // J8 — range join: every order matched to the price tier whose
+    // [lo, hi) interval contains it, via Relational.rangeJoin — points
+    // bucket once, RANGE rows replicate into each bucket they overlap, and
+    // the candidate set comes from a bucket equi-join with the interval
+    // predicate as the re-verify (the asymmetry that scales: billions of
+    // points, thousands of ranges). The tier table is a local-rows source;
+    // at sf scale it would broadcast anyway — the gate exercises the
+    // general bucketed form.
+    "j8_range_join" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          (0.0, 1000.0, "bronze"), (1000.0, 10000.0, "silver"),
+          (10000.0, 50000.0, "gold"), (50000.0, 150000.0, "platinum"),
+          (150000.0, 300000.0, "diamond"), (300000.0, 500000.0, "elite"))
+          .toDF("lo", "hi", "tier")
+        val pts = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Relational.rangeJoin(pts, "o_totalprice", tiers, "lo", "hi", 50000L)
+          .select(col("o_orderkey"), col("o_totalprice"), col("tier"))
+      },
+      "SELECT o_orderkey, o_totalprice, tier FROM orders " +
+        "JOIN (VALUES (0.0, 1000.0, 'bronze'), (1000.0, 10000.0, 'silver'), " +
+        "(10000.0, 50000.0, 'gold'), (50000.0, 150000.0, 'platinum'), " +
+        "(150000.0, 300000.0, 'diamond'), (300000.0, 500000.0, 'elite')) " +
+        "t(lo, hi, tier) ON o_totalprice >= lo AND o_totalprice < hi"),
+
     // J1 + K2 — the incremental-load primitive: append only rows whose key
     // is absent from the existing sink, with overwrite fallback on first
     // run (reference: etl/extract/lfb-extract.py:30-52).

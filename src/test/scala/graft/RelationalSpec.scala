@@ -112,6 +112,40 @@ class RelationalSpec extends SparkSpec {
     assert(salted.count() == 901) // 900 hot + k950
   }
 
+  test("asOfJoin takes the latest at-or-before reading within horizon, per key") {
+    val probes = Seq((1L, 100L, "u"), (2L, 250L, "u"), (3L, 100L, "v"),
+      (4L, 500L, "u")).toDF("pid", "pts", "k")
+    val reads = Seq((10L, 100L, "u"), (11L, 90L, "u"), (12L, 240L, "u"),
+      (13L, 95L, "v"), (14L, 390L, "u")).toDF("rid", "rts", "k")
+    val out = Relational.asOfJoin(probes, "pid", "pts", reads, "rts",
+        100L, Seq("k"), "rid")
+      .select("pid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(10L)) // exact tie at ts=100 beats ts=90
+    assert(out(2L).contains(12L)) // latest before, not the probe's own time
+    assert(out(3L).contains(13L)) // per-key isolation: v never sees u's reads
+    assert(out(4L).isEmpty)       // 390 is 110 back -> outside horizon, null
+  }
+
+  test("asOfJoin ties on equal timestamps break by the tiebreak column") {
+    val probes = Seq((1L, 100L, "u")).toDF("pid", "pts", "k")
+    val reads = Seq((20L, 100L, "u"), (10L, 100L, "u")).toDF("rid", "rts", "k")
+    val out = Relational.asOfJoin(probes, "pid", "pts", reads, "rts",
+        100L, Seq("k"), "rid")
+      .select("rid").as[Long].collect()
+    assert(out.toSeq == Seq(10L))
+  }
+
+  test("rangeJoin matches [lo,hi) semantics across bucket-spanning ranges") {
+    val pts = Seq(0.0, 999.0, 1000.0, 75000.0, 149999.9, 150000.0)
+      .toDF("p").withColumn("id", monotonically_increasing_id())
+    val ranges = Seq((0.0, 1000.0, "a"), (1000.0, 150000.0, "b"),
+      (150000.0, 200000.0, "c")).toDF("lo", "hi", "tier")
+    val out = Relational.rangeJoin(pts, "p", ranges, "lo", "hi", 50000L)
+      .select("p", "tier").as[(Double, String)].collect().toSet
+    assert(out == Set((0.0, "a"), (999.0, "a"), (1000.0, "b"),
+      (75000.0, "b"), (149999.9, "b"), (150000.0, "c")))
+  }
+
   test("newRowsOnly keeps only unseen keys; incrementalAppend is idempotent") {
     val existing = Seq(1, 2, 3).toDF("k")
     val incoming = Seq(2, 3, 4, 5).toDF("k")
