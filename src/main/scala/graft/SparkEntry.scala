@@ -21,10 +21,21 @@ object SparkEntry {
     * SimHash signatures, bucketed-normed embeddings) up front, so per-query
     * timings don't depend on which query happens to touch a shared stage
     * first. Bench times this as its own `materialize` phase.
+    *
+    * The three chains are independent, so they run as CONCURRENT Spark
+    * jobs in the one session (a SparkSession schedules jobs from multiple
+    * threads fine; the cluster interleaves their stages) — wall time is
+    * the longest chain, not the sum. Await rethrows the first failure.
     */
   def preMaterialize(spark: SparkSession, sfDir: String): Unit = {
-    TextQueries.warmInterStage(spark, sfDir)
-    VectorQueries.warmInterStage(spark, sfDir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Seq(
+      Future(TextQueries.warmShingleChain(spark, sfDir)),
+      Future(TextQueries.warmSimhashChain(spark, sfDir)),
+      Future(VectorQueries.warmInterStage(spark, sfDir)))
+      .foreach(Await.result(_, Duration.Inf))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

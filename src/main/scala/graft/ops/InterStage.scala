@@ -32,6 +32,7 @@ object InterStage {
   }
 
   private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Cache key for a stage derived from `dir/table.parquet` that changes
     * when the source file changes — fixture dirs that rewrite their parquet
@@ -71,11 +72,16 @@ object InterStage {
 
   /** Materialize `df` under `key` if not already done this JVM; return a
     * reader over the parquet. `df` is by-name: never constructed on a hit.
+    * Concurrent callers with DIFFERENT keys materialize in parallel (the
+    * path suffix is an atomic counter, so no collision); same-key races
+    * are benign — TrieMap may run the writer twice, both to valid paths,
+    * and one wins the map.
     */
   def materialize(spark: SparkSession, key: String, df: => DataFrame): DataFrame = {
     val path = done.getOrElseUpdate(key, {
       val p = root.resolve(
-        "t" + java.lang.Integer.toHexString(key.hashCode) + "_" + done.size).toString
+        "t" + java.lang.Integer.toHexString(key.hashCode) + "_" +
+          seq.getAndIncrement()).toString
       df.write.mode("overwrite").parquet(p)
       p
     })

@@ -105,10 +105,23 @@ object TextQueries {
 
   /** Build every inter-stage table the text queries share, so a caller
     * (Bench) can account the one-time materialization cost in a dedicated
-    * warm phase instead of whichever query happens to run first.
+    * warm phase instead of whichever query happens to run first. The two
+    * chains are independent — SparkEntry.preMaterialize runs them (and the
+    * vector chain) as concurrent jobs in the one session.
     */
   def warmInterStage(s: SparkSession, d: String): Unit = {
+    warmShingleChain(s, d)
+    warmSimhashChain(s, d)
+  }
+
+  /** Shingle index → MinHash signatures (d2/d3/x1). */
+  def warmShingleChain(s: SparkSession, d: String): Unit = {
     minhashSigTable(s, d)  // builds the shingle index first
+    ()
+  }
+
+  /** SimHash signatures → hamming pair set (d4/d5/d6). */
+  def warmSimhashChain(s: SparkSession, d: String): Unit = {
     simhashPairs(s, d)     // builds the simhash signature table first
     ()
   }
