@@ -58,6 +58,27 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Checkpointed incremental file ingest — the streaming twin of the K2
+    * batch incremental append: every run processes exactly the source
+    * files not yet recorded in the checkpoint's file log and appends them
+    * to a parquet sink, then stops (AvailableNow). Re-running after a
+    * crash or on a schedule never re-processes a file — the offset log
+    * commits atomically with the sink's transaction log — which is the
+    * exactly-once ingestion contract a training corpus needs when the
+    * landing zone receives files continuously. Returns after the run
+    * terminates.
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String,
+                        sinkDir: String, checkpointDir: String): Unit = {
+    val q = readEventStream(spark, srcDir)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact deduplication — the streaming twin of the batch d1
     * pass: digest the dedup key columns to one sha-256 key, then
     * `dropDuplicatesWithinWatermark` keeps the first arrival per key. The

@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == closedBatch)
   }
 
+  test("incremental ingest is exactly-once across restarts and new files") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ingest_src_")
+    val sink = java.nio.file.Files.createTempDirectory("graft_ingest_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      src.resolve("batch1.parquet"))
+    val perFile = spark.read.schema(EventStreams.eventSchema)
+      .parquet(s"$src/batch1.parquet").count()
+
+    EventStreams.incrementalIngest(spark, src.toString, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == perFile)
+
+    // restart with no new files: the checkpoint must prevent reprocessing
+    EventStreams.incrementalIngest(spark, src.toString, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == perFile)
+
+    // a newly landed file is processed exactly once
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      src.resolve("batch2.parquet"))
+    EventStreams.incrementalIngest(spark, src.toString, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 2 * perFile)
+  }
+
   test("streaming dedup keeps exactly the batch-distinct digest set") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.dedupStream(stream), "dedup", "append")
