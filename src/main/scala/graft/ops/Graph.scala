@@ -72,23 +72,27 @@ object Graph {
       var converged = live.isEmpty
       var iter = 0
       while (!converged && iter < maxIter) {
-        // min label among (contracted) neighbors, pushed to each
-        // representative node
-        val fromNeighbors = live.join(labels, live("a") === labels("n"))
+        // One join + one groupBy computes BOTH propagation terms: the
+        // pointer jump (my label's label — path halving, so label chains
+        // collapse in O(log diameter) rounds) is just label propagation
+        // along the pointer edge lbl(n) -> n, so appending those edges to
+        // the live set lets the single neighbor-min aggregate deliver
+        // min(neighbor labels, label's label) at once — two fewer shuffles
+        // per round than separate neighbor and jump joins. Every label
+        // value is itself a node id in `labels` (inductively: labels start
+        // at min(self, a neighbor) and every update takes a min over
+        // existing label values), so pointer edges always find their
+        // source's label row. The left join keeps isolated-but-unconverged
+        // nodes (none exist — every node has a pointer edge — but the
+        // coalesce documents the intent).
+        val aug = live.unionByName(
+          labels.select(col("lbl").as("a"), col("n").as("b")))
+        val fromNeighbors = aug.join(labels, aug("a") === labels("n"))
           .groupBy(col("b").as("n2")).agg(min(col("lbl")).as("nlbl"))
-        // pointer jump: my label's label — path halving, so label chains
-        // collapse in O(log diameter) rounds. Every label value is itself
-        // a node id in `labels` (inductively: labels start as own ids and
-        // every update takes a min over existing label values), so the
-        // inner self-join hits exactly one row per node.
-        val jumped = labels.as("l1").join(labels.as("l2"),
-            col("l1.lbl") === col("l2.n"))
-          .select(col("l1.n").as("n"), col("l2.lbl").as("jlbl"))
         labels = labels
           .join(fromNeighbors, labels("n") === col("n2"), "left")
-          .join(jumped, Seq("n"))
           .select(col("n"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl")).as("lbl"))
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .localCheckpoint()
         live = contract(live, labels)
         // Phase-1 exit = the contracted edge list is empty. An edge dies
