@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native expressions for the int8 affine quantization round-trip
+  * (e5): per element, code = clamp(round((x + 1) * 127.5), 0, 255) and the
+  * reconstruction r = code / 127.5 - 1.
+  *
+  * The composable HOF form (`transform` + `aggregate` + `zip_with`)
+  * evaluates every lambda interpreted — the per-element dispatch the
+  * round-2 review flagged as the e5 throughput bug at corpus scale. These
+  * expressions codegen one tight primitive loop each and reproduce the
+  * HOF results bit-for-bit: the code is exact integer math (sum order
+  * free) and the squared-error accumulates left-to-right exactly like the
+  * `aggregate` fold (and the DuckDB oracle's `list_reduce`).
+  *
+  * `Math.round` (floor(v+0.5)) equals Spark's HALF_UP `round` here: v is
+  * in [0, 255] where v+0.5 is exact, so the two roundings cannot differ.
+  */
+private[functions] trait QuantLoop { self: UnaryExpression =>
+  protected def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${other.simpleString}")
+    }
+
+  protected def elemJava(arr: String, i: String): String =
+    if (childIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def elemEval(arr: ArrayData, i: Int): Double =
+    if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def code(x: Double): Long =
+    math.min(math.max(Math.round((x + 1.0) * 127.5), 0L), 255L)
+}
+
+/** Sum of the int8 codes of a vector (exact integer; order-free). */
+case class QuantCodeSumF(child: Expression)
+    extends UnaryExpression with QuantLoop {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) { acc += code(elemEval(arr, i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  double $v = (${elemJava(arr, i)} + 1.0) * 127.5;
+         |  $acc += java.lang.Math.min(java.lang.Math.max(java.lang.Math.round($v), 0L), 255L);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantCodeSumF = copy(child = c)
+  override def prettyName: String = "quant_code_sum"
+}
+
+/** Left-fold sum of squared reconstruction errors of the int8 round-trip
+  * — the same IEEE sequence as `aggregate(zip_with(...), 0d, _+_)`.
+  */
+case class QuantSqErrF(child: Expression)
+    extends UnaryExpression with QuantLoop {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = elemEval(arr, i)
+      val d = x - (code(x).toDouble / 127.5 - 1.0)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  double $x = ${elemJava(arr, i)};
+         |  long $c = java.lang.Math.min(java.lang.Math.max(
+         |    java.lang.Math.round(($x + 1.0) * 127.5), 0L), 255L);
+         |  double $d = $x - (((double) $c) / 127.5 - 1.0);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantSqErrF = copy(child = c)
+  override def prettyName: String = "quant_sq_err"
+}
+
+object QuantizeF {
+  def quantCodeSum(a: Column): Column =
+    ColumnBridge.toColumn(QuantCodeSumF(ColumnBridge.toExpr(a)))
+  def quantSqErr(a: Column): Column =
+    ColumnBridge.toColumn(QuantSqErrF(ColumnBridge.toExpr(a)))
+}

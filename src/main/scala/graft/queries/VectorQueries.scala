@@ -216,21 +216,19 @@ object VectorQueries {
     // of [-1,1] floats to 0..255 codes and back, with per-vector
     // reconstruction error — the storage-compression pass of an embedding
     // pipeline (4x smaller vectors; exact integer codes so any engine
-    // reproduces them). Error math mirrors the oracle's fold exactly.
+    // reproduces them). Both per-vector reductions are native codegen'd
+    // one-pass loops (graft.functions.QuantizeF) — the HOF
+    // transform/aggregate/zip_with form evaluates interpreted per element
+    // — and the squared-error loop accumulates in exactly the oracle
+    // fold's IEEE order.
     "e5_int8_quantize" -> GQ(
       (s, d) => {
-        val codes = transform(col("embedding"),
-          x => least(greatest(round((x.cast("double") + 1.0) * 127.5, 0), lit(0.0)),
-            lit(255.0)).cast("int"))
+        import graft.functions.QuantizeF
         Tables.load(s, d, "embeddings")
-          .withColumn("codes", codes)
           .select(col("vec_id"),
-            aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
-            round(sqrt(aggregate(
-              zip_with(col("embedding"), col("codes"),
-                (x, c) => { val r = c.cast("double") / 127.5 - 1.0
-                  (x.cast("double") - r) * (x.cast("double") - r) }),
-              lit(0.0), (a, v) => a + v) / 64.0), 9).as("rmse"))
+            QuantizeF.quantCodeSum(col("embedding")).as("code_sum"),
+            round(sqrt(QuantizeF.quantSqErr(col("embedding")) / 64.0), 9)
+              .as("rmse"))
       },
       "WITH q AS (SELECT vec_id, embedding, list_transform(embedding, " +
         "x -> least(greatest(round((x::DOUBLE + 1.0) * 127.5, 0), 0.0), 255.0)::INT) codes " +
