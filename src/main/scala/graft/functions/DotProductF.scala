@@ -92,12 +92,25 @@ object GraftFunctions {
     ColumnBridge.toColumn(
       DotProductF(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
 
-  /** Register `dot_f` in a session's function registry so `spark.sql`
-    * queries can call it too.
+  /** All native expressions, by SQL name, with their builders. */
+  private[functions] val natives: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_f", classOf[DotProductF],
+      (e: Seq[Expression]) => DotProductF(e(0), e(1))),
+    ("simhash60", classOf[SimHash60F],
+      (e: Seq[Expression]) => SimHash60F(e(0))),
+    ("quant_code_sum", classOf[QuantCodeSumF],
+      (e: Seq[Expression]) => QuantCodeSumF(e(0))),
+    ("quant_sq_err", classOf[QuantSqErrF],
+      (e: Seq[Expression]) => QuantSqErrF(e(0))))
+
+  /** Register every native function in a session's function registry so
+    * `spark.sql` queries can call them too.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    natives.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
 
 /** SparkSessionExtensions hook — `.withExtensions(new GraftExtensions)`
@@ -106,8 +119,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
-      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    GraftFunctions.natives.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

@@ -42,11 +42,18 @@ class DotProductFSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
-  test("dot_f is SQL-callable after registration") {
+  test("all native functions are SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT dot_f(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
       .as[Double].head()
     assert(r == 11.0)
+    val q = spark.sql(
+      "SELECT quant_code_sum(array(0.0f)) AS cs, quant_sq_err(array(1.0f)) AS se, " +
+        "simhash60(array(3L)) AS sh")
+    val row = q.head()
+    assert(row.getLong(0) == 128L)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getLong(2) == 3L) // bits 0 and 1 positive, others negative
   }
 
   test("dot_f stays inside whole-stage codegen") {
