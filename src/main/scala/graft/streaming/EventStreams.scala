@@ -58,6 +58,31 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: attribute each purchase to every click
+    * by the same user in the preceding hour — the streaming twin of the j7
+    * as-of enrichment (kept as a full interval join here; streaming
+    * arg-min needs a downstream aggregation). Both sides carry watermarks
+    * and the join condition bounds click_time to a purchase-relative
+    * interval, so Spark can size and expire the join state: clicks older
+    * than watermark + interval drop from state — the property that keeps a
+    * stream-stream join runnable forever at ingest scale.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = withEventTime(clicks).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val p = withEventTime(purchases).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "2 hours")
+    p.join(c, expr(
+      "p_user = c_user AND click_time <= purchase_time " +
+        "AND click_time >= purchase_time - interval 1 hour"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_time"), col("click_time"))
+  }
+
   /** Checkpointed incremental file ingest — the streaming twin of the K2
     * batch incremental append: every run processes exactly the source
     * files not yet recorded in the checkpoint's file log and appends them

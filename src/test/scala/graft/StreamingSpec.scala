@@ -78,6 +78,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == closedBatch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val clicks = EventStreams.readEventStream(spark, eventsDir)
+    val purchases = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.clickAttribution(clicks, purchases), "attr", "append")
+    val streamed = spark.table("attr")
+    val batch = EventStreams.clickAttribution(batchEvents, batchEvents)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("incremental ingest is exactly-once across restarts and new files") {
     val src = java.nio.file.Files.createTempDirectory("graft_ingest_src_")
     val sink = java.nio.file.Files.createTempDirectory("graft_ingest_sink_").toString
