@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one local SparkSession recipe every main (Verify, Bench, ProfCC,
+  * PlanAudit) builds from, so a session-config change (a new legacy flag,
+  * an extensions addition) happens in exactly one place and profiling
+  * never silently diverges from the benchmarked configuration.
+  */
+object Sessions {
+
+  /** `local[threads]` session with the graft extensions installed.
+    * `threads` doubles as the shuffle-partition count — at local scale
+    * one partition per core is the right size (the 200 default just adds
+    * scheduling overhead); a cluster deployment sets its own.
+    */
+  def local(threads: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has no
+      // timestamp type for — read as Long nanos (oracle uses epoch_ns).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * in [0, 255] where v+0.5 is exact, so the two roundings cannot differ.
   */
 private[functions] trait QuantLoop { self: UnaryExpression =>
-  protected def childIsFloat: Boolean =
+  // hoisted once per expression instance (as DotProductF does), not
+  // re-derived per element in the interpreted eval path
+  protected lazy val childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

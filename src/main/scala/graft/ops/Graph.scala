@@ -113,8 +113,14 @@ object Graph {
       // hearing about it). Jump-only rounds: no edge joins, one label
       // self-join per round, O(log chain length) rounds. l(lbl) <= lbl
       // always, so the jump alone is the new label.
+      // Phase 2 gets its OWN round budget: sharing phase 1's counter would
+      // make a graph that contracts in exactly maxIter rounds throw here
+      // spuriously (the loop must run at least once just to observe
+      // stability), and near-budget graphs would be left too few jump
+      // rounds to collapse long chains.
       var stable = false
-      while (!stable && iter < maxIter) {
+      var jumps = 0
+      while (!stable && jumps < maxIter) {
         val merged = labels.as("l1").join(labels.as("l2"),
             col("l1.lbl") === col("l2.n"))
           .select(col("l1.n").as("n"), col("l1.lbl").as("lbl"),
@@ -122,7 +128,7 @@ object Graph {
           .localCheckpoint()
         stable = merged.where(col("jlbl") < col("lbl")).isEmpty
         labels = merged.select(col("n"), col("jlbl").as("lbl"))
-        iter += 1
+        jumps += 1
       }
       require(stable, s"connectedComponents chains did not collapse in $maxIter rounds")
       val singletons = nodes.select(col(idCol).as("n"))

@@ -290,9 +290,17 @@ object Relational {
                 step: Long): DataFrame = {
     val pB = points
       .withColumn("__bucket", floor(col(pointCol) / step).cast(LongType))
+    // Empty/inverted ranges (lo >= hi) must replicate into NO buckets:
+    // Spark's sequence() silently flips to a descending step when
+    // start > stop (same pitfall TextOps.wordShingles guards), which here
+    // would fabricate bucket rows — or, for wildly inverted dirty data,
+    // build a giant array and kill the job. Explode of the empty array
+    // drops the row instead.
+    val buckets = sequence(floor(col(loCol) / step).cast(LongType),
+      (ceil(col(hiCol) / step) - 1).cast(LongType))
     val rB = ranges.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / step).cast(LongType),
-        (ceil(col(hiCol) / step) - 1).cast(LongType))))
+      explode(when(col(loCol) < col(hiCol), buckets)
+        .otherwise(array().cast("array<long>"))))
     pB.join(rB, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

@@ -115,8 +115,14 @@ object EventStreams {
     */
   def dedupStream(events: DataFrame): DataFrame =
     withEventTime(events)
+      // concat_ws SKIPS nulls, so a bare column digest would collide rows
+      // whose keys differ only in null placement ((1, null, "x") vs
+      // (1, "x", null)) and dedup would silently drop real data; coalesce
+      // each key to a NUL sentinel first.
       .withColumn("digest", sha2(concat_ws("|",
-        col("user_id"), col("event_type"), col("props")), 256))
+        coalesce(col("user_id").cast("string"), lit("\u0000")),
+        coalesce(col("event_type"), lit("\u0000")),
+        coalesce(col("props"), lit("\u0000"))), 256))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("digest")
 

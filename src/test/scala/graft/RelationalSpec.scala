@@ -146,6 +146,17 @@ class RelationalSpec extends SparkSpec {
       (75000.0, "b"), (149999.9, "b"), (150000.0, "c")))
   }
 
+  test("rangeJoin ignores empty and inverted ranges instead of fabricating buckets") {
+    val pts = Seq(0.0, 100000.0).toDF("p")
+    val ranges = Seq(
+      (100000.0, 100000.0, "empty_on_boundary"), // sequence(2,1) trap
+      (500000.0, 0.0, "inverted"),               // would be a giant desc array
+      (0.0, 200000.0, "real")).toDF("lo", "hi", "tier")
+    val out = Relational.rangeJoin(pts, "p", ranges, "lo", "hi", 50000L)
+      .select("p", "tier").as[(Double, String)].collect().toSet
+    assert(out == Set((0.0, "real"), (100000.0, "real")))
+  }
+
   test("newRowsOnly keeps only unseen keys; incrementalAppend is idempotent") {
     val existing = Seq(1, 2, 3).toDF("k")
     val incoming = Seq(2, 3, 4, 5).toDF("k")

@@ -120,7 +120,9 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("dedup").select("digest")
     val batchDigests = batchEvents
       .select(sha2(concat_ws("|",
-        col("user_id"), col("event_type"), col("props")), 256).as("digest"))
+        coalesce(col("user_id").cast("string"), lit("\u0000")),
+        coalesce(col("event_type"), lit("\u0000")),
+        coalesce(col("props"), lit("\u0000"))), 256).as("digest"))
     // the corpus must actually contain duplicates for this to test anything
     assert(batchDigests.count() > batchDigests.distinct().count())
     assert(streamed.count() == streamed.distinct().count())
