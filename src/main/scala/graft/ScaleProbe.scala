@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10x scale probe: synthesizes a corpus 10x the sf0.1 documents /
+  * embeddings tables under /tmp (each copy perturbed so it stays a NEAR
+  * duplicate — the oversampled-corpus hard case where dup clusters grow
+  * 10x and pair counts grow 100x), then times the dedup/ANN suite on it.
+  * Answers "which operators hold at 10x and which shapes are inherently
+  * quadratic" with measurements instead of argument.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val big = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+
+    // documents x copies: copy i appends a distinguishing token, so copies
+    // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    docs
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+
+    // embeddings x copies: tiny per-copy perturbation on one dimension.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb.count()
+    emb
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      .select((col("vec_id") + col("copy") * nVec).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
+            .otherwise(x).cast("float")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    println(s"[scale] corpus at $big: ${nDocs * copies} docs, ${nVec * copies} vecs")
+    def timed(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val n = SparkEntry.queries(name)(spark, big).count()
+        println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
+      } catch {
+        case e: Throwable =>
+          println(f"[scale] $name FAILED after ${(System.nanoTime() - t0) / 1e9}%.1f s: ${e.getMessage.take(200)}")
+      } finally spark.sharedState.cacheManager.clearCache()
+    }
+    val t0 = System.nanoTime()
+    SparkEntry.preMaterialize(spark, big)
+    println(f"[scale] materialize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
+      "d4_simhash_sig", "d5_simhash_hamming_pairs", "d6_dup_clusters",
+      "t4_winnow_fingerprint", "x1_decontaminate",
+      "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
+      "e7_binary_sign_ann").foreach(timed)
+    spark.stop()
+  }
+}
