@@ -331,8 +331,16 @@ object VectorQueries {
             (bit_count(col("q_lo").bitwiseXOR(col("sig_lo"))) +
               bit_count(col("q_hi").bitwiseXOR(col("sig_hi"))))
               .cast("long").as("hamming"))
-        val top = Relational.topKPerGroup(ham, Seq(col("q_id")),
-          Seq(col("hamming"), col("vec_id")), 5)
+        // bounded-heap top-k aggregate, not a window: every map partition
+        // reduces its slice of the corpus-sized hamming scan to <= 5 pairs
+        // per probe before the shuffle (a row_number window would shuffle
+        // and sort the whole scan — probes x corpus rows)
+        val top = ham.groupBy(col("q_id"))
+          .agg(graft.functions.TopKPairAgg.topkPairs(
+            col("hamming"), col("vec_id"), 5).as("top"))
+          .select(col("q_id"), explode(col("top")).as("p"))
+          .select(col("q_id"), col("p.id").as("vec_id"),
+            col("p.ord").as("hamming"))
         val v = sigs.select(col("vec_id"), col("embedding"), col("norm"))
         top.join(v.as("q"), col("q_id") === col("q.vec_id"))
           .join(v.as("c"), top("vec_id") === col("c.vec_id"))
