@@ -101,7 +101,10 @@ object GraftFunctions {
     ("quant_code_sum", classOf[QuantCodeSumF],
       (e: Seq[Expression]) => QuantCodeSumF(e(0))),
     ("quant_sq_err", classOf[QuantSqErrF],
-      (e: Seq[Expression]) => QuantSqErrF(e(0))))
+      (e: Seq[Expression]) => QuantSqErrF(e(0))),
+    ("topk_pairs", classOf[TopKPairAgg],
+      (e: Seq[Expression]) => TopKPairAgg(e(0), e(1),
+        e(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
 
   /** Register every native function in a session's function registry so
     * `spark.sql` queries can call them too.

@@ -54,6 +54,12 @@ class DotProductFSpec extends SparkSpec {
     assert(row.getLong(0) == 128L)
     assert(row.getDouble(1) == 0.0)
     assert(row.getLong(2) == 3L) // bits 0 and 1 positive, others negative
+    val agg = spark.sql(
+      "SELECT topk_pairs(o, i, 2) AS t FROM VALUES (3L, 30L), (1L, 10L), " +
+        "(2L, 20L) AS v(o, i)")
+      .selectExpr("t[0].ord", "t[0].id", "t[1].ord", "t[1].id").head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3)) ==
+      ((1L, 10L, 2L, 20L)))
   }
 
   test("dot_f stays inside whole-stage codegen") {
