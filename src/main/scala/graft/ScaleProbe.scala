@@ -18,11 +18,14 @@ object ScaleProbe {
 
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
+    // Copy ids offset by max(id)+1 (not count) so sparse or offset id
+    // spaces can't collide between copies.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
+    val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     docs
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+      .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
         concat(col("text"), lit(" copytag"), col("copy")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
@@ -30,9 +33,10 @@ object ScaleProbe {
     // embeddings x copies: tiny per-copy perturbation on one dimension.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nVec = emb.count()
+    val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     emb
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("vec_id") + col("copy") * nVec).as("vec_id"),
+      .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
             .otherwise(x).cast("float")).as("embedding"),

@@ -103,8 +103,21 @@ object GraftFunctions {
     ("quant_sq_err", classOf[QuantSqErrF],
       (e: Seq[Expression]) => QuantSqErrF(e(0))),
     ("topk_pairs", classOf[TopKPairAgg],
-      (e: Seq[Expression]) => TopKPairAgg(e(0), e(1),
-        e(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+      (e: Seq[Expression]) => {
+        // k is a structural parameter of the aggregate (buffer size), so it
+        // must be a foldable positive integer — anything else dies here as
+        // an analysis error, not a ClassCastException at eval time.
+        def bad(why: String) = new org.apache.spark.sql.AnalysisException(
+          "INTERNAL_ERROR",
+          Map("message" -> s"topk_pairs: k must be a positive integer literal; $why"))
+        if (!e(2).foldable) throw bad("got a non-foldable expression")
+        val k = e(2).eval() match {
+          case n: java.lang.Number if n.longValue() > 0 &&
+            n.longValue() <= Int.MaxValue => n.intValue()
+          case other => throw bad(s"got $other")
+        }
+        TopKPairAgg(e(0), e(1), k).toAggregateExpression()
+      }))
 
   /** Register every native function in a session's function registry so
     * `spark.sql` queries can call them too.

@@ -183,6 +183,35 @@ object Relational {
   // Temporal nearest-within-band join (as-of/band join)
   // ---------------------------------------------------------------------
 
+  /** floor(c / d) as a bucket key. For integral time columns this is exact
+    * integer math (`(c - pmod(c, d)) div d` — pmod's non-negative remainder
+    * makes the quotient a true floor for negatives too, and `div` is
+    * Catalyst's IntegralDivide, never a double), so epoch-nanosecond Longs
+    * (~1.7e18, beyond double's 2^53 exact range) bucket correctly.
+    * Fractional columns fall back to double floor-division, which is exact
+    * while |c| < 2^53 and d < 2^53/|c| half-ULP-wise — fine for any
+    * second/milli/microsecond epoch, wrong for nanos (hence the split).
+    */
+  private def floorDivExact(c: Column, d: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.toExpr((c - pmod(c, lit(d))).cast(LongType)),
+        ColumnBridge.toExpr(lit(d)))).cast(LongType)
+  }
+
+  private def isIntegral(df: DataFrame, c: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  private def bucketOf(df: DataFrame, timeCol: String, d: Long): Column =
+    if (isIntegral(df, timeCol)) floorDivExact(col(timeCol), d)
+    else floor(col(timeCol) / d).cast(LongType)
+
   /** For each probe row, the single nearest reading within `±band` on a
     * numeric time axis; probes with no reading in band keep nulls
     * (left-join semantics).
@@ -217,7 +246,7 @@ object Relational {
                         tieBreak: String,
                         legacyEpochBug: Boolean = false): DataFrame = {
     val rCols = readings.columns.toSeq
-    val pBucket = floor(col(probeTs) / band).cast(LongType)
+    val pBucket = bucketOf(probe, probeTs, band)
     // Legacy mode joins on fractional doubles (that IS the bug); the
     // corrected path keeps compact long keys for the shuffle.
     val keyType = if (legacyEpochBug) "double" else "long"
@@ -226,7 +255,7 @@ object Relational {
       .withColumn("__bucket", col("__bucket").cast(keyType))
     val readBucket =
       if (legacyEpochBug) floor(col(readTs)) / band // the reference's :261
-      else floor(col(readTs) / band).cast(LongType)
+      else bucketOf(readings, readTs, band)
     val readBucketed = readings
       .withColumn("__bucket", readBucket.cast(keyType))
     val dt = abs(col(probeTs) - col(readTs))
@@ -261,12 +290,12 @@ object Relational {
                readings: DataFrame, readTs: String, horizon: Long,
                keys: Seq[String], tieBreak: String): DataFrame = {
     val rCols = readings.columns.toSeq.filterNot(keys.contains)
-    val pBucket = floor(col(probeTs) / horizon).cast(LongType)
+    val pBucket = bucketOf(probe, probeTs, horizon)
     val probeKeys = probe
       .select((Seq(col(probeId), col(probeTs)) ++ keys.map(col)): _*)
       .withColumn("__bucket", explode(array(pBucket - 1, pBucket)))
     val readBucketed = readings
-      .withColumn("__bucket", floor(col(readTs) / horizon).cast(LongType))
+      .withColumn("__bucket", bucketOf(readings, readTs, horizon))
     val dt = col(probeTs) - col(readTs)
     val best = probeKeys.join(readBucketed, "__bucket" +: keys)
       .where(dt >= 0 && dt <= horizon)
@@ -289,15 +318,19 @@ object Relational {
                 ranges: DataFrame, loCol: String, hiCol: String,
                 step: Long): DataFrame = {
     val pB = points
-      .withColumn("__bucket", floor(col(pointCol) / step).cast(LongType))
+      .withColumn("__bucket", bucketOf(points, pointCol, step))
     // Empty/inverted ranges (lo >= hi) must replicate into NO buckets:
     // Spark's sequence() silently flips to a descending step when
     // start > stop (same pitfall TextOps.wordShingles guards), which here
     // would fabricate bucket rows — or, for wildly inverted dirty data,
     // build a giant array and kill the job. Explode of the empty array
     // drops the row instead.
-    val buckets = sequence(floor(col(loCol) / step).cast(LongType),
-      (ceil(col(hiCol) / step) - 1).cast(LongType))
+    // Last overlapped bucket of [lo, hi) = floor((hi-1)/step) for integral
+    // bounds (exact for full-range longs), = ceil(hi/step)-1 otherwise.
+    val lastBucket =
+      if (isIntegral(ranges, hiCol)) floorDivExact(col(hiCol) - 1, step)
+      else (ceil(col(hiCol) / step) - 1).cast(LongType)
+    val buckets = sequence(bucketOf(ranges, loCol, step), lastBucket)
     val rB = ranges.withColumn("__bucket",
       explode(when(col(loCol) < col(hiCol), buckets)
         .otherwise(array().cast("array<long>"))))

@@ -58,7 +58,17 @@ object VectorQueries {
       s"(CASE WHEN ${dDot(v, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private val probeFilter = col("vec_id") % 50 === 0
+  /** ANN probe set: a FIXED-SIZE prefix of the id space, not a modulus of
+    * it. `vec_id % 50` made probe count proportional to the corpus, so the
+    * e1/e7 broadcast scans were quadratic in the gate's own terms; a fixed
+    * probe set is the actual ANN contract (external queries against a
+    * corpus-sized index) and keeps every probe-side broadcast O(1) as the
+    * corpus grows. 40 probes = the sf0.1 probe count under the old modulus,
+    * so bench numbers stay comparable.
+    */
+  val ProbeCount = 40
+  private val probeFilter = col("vec_id") < ProbeCount
+  private val probeFilterSql = s"vec_id < $ProbeCount"
 
   /** The corpus with its L2 norm and both sign-LSH table buckets
     * precomputed — one materialized inter-stage table shared by e2/e3/e6,
@@ -107,7 +117,7 @@ object VectorQueries {
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
       "WITH p AS (SELECT vec_id q_id, embedding q_vec FROM embeddings " +
-        "WHERE vec_id % 50 = 0) " +
+        "WHERE " + probeFilterSql + ") " +
         s"SELECT q_id, vec_id AS neighbor_id, ${dCos("q_vec", "embedding")} AS sim " +
         "FROM p JOIN embeddings e ON p.q_id != e.vec_id " +
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
@@ -139,7 +149,7 @@ object VectorQueries {
       },
       s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket FROM embeddings), " +
         "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
-        s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE vec_id % 50 = 0) " +
+        s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE " + probeFilterSql + ") " +
         s"SELECT q_id, e.vec_id AS neighbor_id, ${dCos("q_vec", "e.embedding")} AS sim " +
         "FROM p JOIN b e ON p.bucket = e.bucket AND p.q_id != e.vec_id " +
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
@@ -295,7 +305,7 @@ object VectorQueries {
         "assigned AS (SELECT vec_id, embedding, c_label FROM scored " +
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) = 1), " +
         "probes AS (SELECT vec_id q_id, embedding q_vec, c_label FROM scored " +
-        "WHERE vec_id % 50 = 0 " +
+        "WHERE " + probeFilterSql + " " +
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) <= 2) " +
         s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
         "FROM probes p JOIN assigned a ON p.c_label = a.c_label AND p.q_id != a.vec_id " +
@@ -356,7 +366,7 @@ object VectorQueries {
           s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
           .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
         "p AS (SELECT vec_id q_id, sig_lo q_lo, sig_hi q_hi FROM sig " +
-        "WHERE vec_id % 50 = 0), " +
+        "WHERE " + probeFilterSql + "), " +
         "top AS (SELECT q_id, vec_id, bit_count(xor(q_lo, sig_lo)) + " +
         "bit_count(xor(q_hi, sig_hi)) AS hamming FROM p JOIN sig " +
         "ON p.q_id != sig.vec_id " +
