@@ -105,16 +105,24 @@ object GraftFunctions {
     ("topk_pairs", classOf[TopKPairAgg],
       (e: Seq[Expression]) => {
         // k is a structural parameter of the aggregate (buffer size), so it
-        // must be a foldable positive integer — anything else dies here as
-        // an analysis error, not a ClassCastException at eval time.
-        def bad(why: String) = new org.apache.spark.sql.AnalysisException(
-          "INTERNAL_ERROR",
-          Map("message" -> s"topk_pairs: k must be a positive integer literal; $why"))
-        if (!e(2).foldable) throw bad("got a non-foldable expression")
+        // must be a foldable positive *integral* literal — fractional values
+        // (which would silently truncate), zero/negative values, and
+        // non-foldable expressions all die here as a user-facing
+        // invalid-parameter analysis error, not a ClassCastException at
+        // eval time or an "internal error" report.
+        def bad(got: String) = new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> "`k`", "functionName" -> "`topk_pairs`",
+            "invalidValue" -> got))
+        if (!e(2).foldable) throw bad("a non-foldable expression")
         val k = e(2).eval() match {
-          case n: java.lang.Number if n.longValue() > 0 &&
-            n.longValue() <= Int.MaxValue => n.intValue()
-          case other => throw bad(s"got $other")
+          case n @ (_: java.lang.Byte | _: java.lang.Short |
+                    _: java.lang.Integer | _: java.lang.Long) =>
+            val v = n.asInstanceOf[java.lang.Number].longValue()
+            if (v <= 0 || v > Int.MaxValue)
+              throw bad(s"$v (must be in [1, ${Int.MaxValue}])")
+            v.toInt
+          case other => throw bad(String.valueOf(other))
         }
         TopKPairAgg(e(0), e(1), k).toAggregateExpression()
       }))

@@ -183,21 +183,28 @@ object Relational {
   // Temporal nearest-within-band join (as-of/band join)
   // ---------------------------------------------------------------------
 
-  /** floor(c / d) as a bucket key. For integral time columns this is exact
-    * integer math (`(c - pmod(c, d)) div d` — pmod's non-negative remainder
-    * makes the quotient a true floor for negatives too, and `div` is
-    * Catalyst's IntegralDivide, never a double), so epoch-nanosecond Longs
-    * (~1.7e18, beyond double's 2^53 exact range) bucket correctly.
+  /** floor(c / d) as a bucket key, exact for the FULL Long range (d > 0).
+    * Computed as truncating `IntegralDivide` plus a −1 correction when the
+    * remainder is negative (truncation rounded toward zero but the true
+    * floor is below). Pure integer math end to end, so epoch-nanosecond
+    * Longs (~1.7e18, beyond double's 2^53 exact range) bucket correctly,
+    * and — unlike the earlier `(c - pmod(c, d)) div d` form — there is no
+    * intermediate subtraction to overflow near Long.MinValue: |c div d| ≤
+    * |c| and the correction only fires when the quotient is above the
+    * floor, so `q - 1` cannot underflow either.
     * Fractional columns fall back to double floor-division, which is exact
     * while |c| < 2^53 and d < 2^53/|c| half-ULP-wise — fine for any
     * second/milli/microsecond epoch, wrong for nanos (hence the split).
     */
   private def floorDivExact(c: Column, d: Long): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.toColumn(
+    require(d > 0, s"floorDivExact expects a positive divisor, got $d")
+    val cl = c.cast(LongType)
+    val q = ColumnBridge.toColumn(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        ColumnBridge.toExpr((c - pmod(c, lit(d))).cast(LongType)),
+        ColumnBridge.toExpr(cl),
         ColumnBridge.toExpr(lit(d)))).cast(LongType)
+    q - when(cl % d < 0, lit(1L)).otherwise(lit(0L))
   }
 
   private def isIntegral(df: DataFrame, c: String): Boolean = {
