@@ -110,18 +110,32 @@ object GraftFunctions {
         // non-foldable expressions all die here as a user-facing
         // invalid-parameter analysis error, not a ClassCastException at
         // eval time or an "internal error" report.
+        if (e.size != 3) throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> "`topk_pairs`", "expectedNum" -> "3",
+            "actualNum" -> e.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
         def bad(got: String) = new org.apache.spark.sql.AnalysisException(
           "INVALID_PARAMETER_VALUE.INTEGER",
           Map("parameter" -> "`k`", "functionName" -> "`topk_pairs`",
             "invalidValue" -> got))
         if (!e(2).foldable) throw bad("a non-foldable expression")
+        def checked(v: Long): Int = {
+          if (v <= 0 || v > Int.MaxValue)
+            throw bad(s"$v (must be in [1, ${Int.MaxValue}])")
+          v.toInt
+        }
         val k = e(2).eval() match {
           case n @ (_: java.lang.Byte | _: java.lang.Short |
                     _: java.lang.Integer | _: java.lang.Long) =>
-            val v = n.asInstanceOf[java.lang.Number].longValue()
-            if (v <= 0 || v > Int.MaxValue)
-              throw bad(s"$v (must be in [1, ${Int.MaxValue}])")
-            v.toInt
+            checked(n.asInstanceOf[java.lang.Number].longValue())
+          // integral-valued Decimal literals (CAST(5 AS DECIMAL(10,0)),
+          // typed_lit(BigDecimal(5))) carry no fractional part — accept
+          // them as Spark builtins do for integer parameters; fractional
+          // Decimals still die as invalid.
+          case d: org.apache.spark.sql.types.Decimal
+              if d.toBigDecimal.isWhole && d.toBigDecimal.isValidLong =>
+            checked(d.toBigDecimal.longValue)
           case other => throw bad(String.valueOf(other))
         }
         TopKPairAgg(e(0), e(1), k).toAggregateExpression()

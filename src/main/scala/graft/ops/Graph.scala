@@ -22,18 +22,28 @@ object Graph {
     * the large-star/small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond").
     *
-    * Lineage is truncated every round with `localCheckpoint` (iterative
-    * plans otherwise grow unboundedly and re-execute from the source); on a
-    * real cluster prefer reliable `checkpoint` with a checkpoint dir.
+    * Lineage is truncated every round (iterative plans otherwise grow
+    * unboundedly and re-execute from the source). With `checkpointDir`
+    * unset that truncation is `localCheckpoint` — blocks live on executor
+    * storage, which is fine single-JVM but dies with an executor. On a
+    * real cluster pass `checkpointDir` (HDFS/S3): rounds then cut lineage
+    * with reliable `checkpoint`, so a multi-hour 100 TB dedup survives
+    * executor loss mid-iteration instead of failing the whole job.
     *
     * @param nodes one row per node
     * @param idCol node id column in `nodes` (any orderable type)
     * @param edges undirected edge list; endpoints must appear in `nodes`
+    * @param maxIter round budget for each of the two phases
+    * @param checkpointDir reliable checkpoint directory; None = local
     * @return (idCol, cluster_id): cluster_id = min node id reachable
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: Column, dstCol: Column,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val sym = edges.select(srcCol.as("a"), dstCol.as("b"))
       .union(edges.select(dstCol.as("a"), srcCol.as("b")))
       .persist()
@@ -53,7 +63,7 @@ object Graph {
       var labels = sym.groupBy(col("a").as("n"))
         .agg(min(col("b")).as("nb"))
         .select(col("n"), least(col("n"), col("nb")).as("lbl"))
-        .localCheckpoint()
+        .transform(truncate)
       val inEdges = labels.select(col("n"))
       // Live edge list, re-expressed over current labels each round.
       // Contraction is what keeps late rounds cheap: an edge whose two
@@ -66,7 +76,7 @@ object Graph {
           .where(col("la") =!= col("lb"))
           .select(col("la").as("a"), col("lb").as("b"))
           .distinct()
-          .localCheckpoint()
+          .transform(truncate)
       }
       var live = contract(sym, labels)
       var converged = live.isEmpty
@@ -93,7 +103,7 @@ object Graph {
           .join(fromNeighbors, labels("n") === col("n2"), "left")
           .select(col("n"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .transform(truncate)
         live = contract(live, labels)
         // Phase-1 exit = the contracted edge list is empty. An edge dies
         // exactly when its endpoints share a label, and a death merges the
@@ -125,7 +135,7 @@ object Graph {
             col("l1.lbl") === col("l2.n"))
           .select(col("l1.n").as("n"), col("l1.lbl").as("lbl"),
             col("l2.lbl").as("jlbl"))
-          .localCheckpoint()
+          .transform(truncate)
         stable = merged.where(col("jlbl") < col("lbl")).isEmpty
         labels = merged.select(col("n"), col("jlbl").as("lbl"))
         jumps += 1

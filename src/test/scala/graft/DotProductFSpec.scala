@@ -62,6 +62,35 @@ class DotProductFSpec extends SparkSpec {
       ((1L, 10L, 2L, 20L)))
   }
 
+  test("topk_pairs k validation: arity, fractional, non-positive, decimal") {
+    GraftFunctions.register(spark)
+    def err(sql: String): org.apache.spark.sql.AnalysisException =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+    // wrong arity is a user-facing analysis error, not an IndexOutOfBounds
+    assert(err("SELECT topk_pairs(o, i) FROM VALUES (1L, 1L) AS v(o, i)")
+      .getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    assert(err("SELECT topk_pairs(o, i, 2, 3) FROM VALUES (1L, 1L) AS v(o, i)")
+      .getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    // fractional / non-positive / non-foldable k
+    assert(err("SELECT topk_pairs(o, i, 2.5) FROM VALUES (1L, 1L) AS v(o, i)")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    assert(err("SELECT topk_pairs(o, i, 0) FROM VALUES (1L, 1L) AS v(o, i)")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    assert(err("SELECT topk_pairs(o, i, o) FROM VALUES (1L, 1L) AS v(o, i)")
+      .getCondition == "INVALID_PARAMETER_VALUE.INTEGER")
+    // integral-valued Decimal is accepted like Spark builtins accept it
+    val dec = spark.sql(
+      "SELECT topk_pairs(o, i, CAST(2 AS DECIMAL(10, 0))) AS t " +
+        "FROM VALUES (3L, 30L), (1L, 10L), (2L, 20L) AS v(o, i)")
+      .selectExpr("size(t)").head().getInt(0)
+    assert(dec == 2)
+    val dec2 = spark.sql(
+      "SELECT topk_pairs(o, i, CAST(2.0 AS DECIMAL(10, 1))) AS t " +
+        "FROM VALUES (3L, 30L), (1L, 10L) AS v(o, i)")
+      .selectExpr("size(t)").head().getInt(0)
+    assert(dec2 == 2) // scale > 0 but integral value: still accepted
+  }
+
   test("dot_f stays inside whole-stage codegen") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val plan = e.select(GraftFunctions.dot_f(col("embedding"), col("embedding")))

@@ -26,6 +26,20 @@ class GraphSpec extends SparkSpec {
     assert(out.length == n && out.forall(_._2 == 0L))
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches local mode") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 9L), (2L, 3L), (5L, 7L)).toDF("a", "b")
+    val out = Graph.connectedComponents(nodes, "id", edges, col("a"), col("b"),
+      checkpointDir = Some(ckpt.toString)).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 5L, 7L -> 5L))
+    // reliable checkpoints actually landed on storage (rdd-* block dirs)
+    def files(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c => c +: files(c))
+    assert(files(ckpt.toFile).exists(_.getName.startsWith("rdd-")))
+  }
+
   test("connectedComponents with no edges returns every node as its own cluster") {
     val nodes = Seq(10L, 20L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
