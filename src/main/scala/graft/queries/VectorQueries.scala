@@ -65,10 +65,28 @@ object VectorQueries {
     * corpus-sized index) and keeps every probe-side broadcast O(1) as the
     * corpus grows. 40 probes = the sf0.1 probe count under the old modulus,
     * so bench numbers stay comparable.
+    *
+    * The prefix is RANK-based — the `ProbeCount` lowest vec_ids actually
+    * present — not `vec_id < ProbeCount`: a sparse or offset id space
+    * (ids starting at 10^9, say) would make a literal-threshold filter
+    * silently probe nothing. The cutoff id is one tiny top-k job per
+    * (corpus, session), cached like the inter-stage tables; on a dense
+    * 0-based corpus it equals ProbeCount - 1, so results are unchanged.
     */
   val ProbeCount = 40
-  private val probeFilter = col("vec_id") < ProbeCount
-  private val probeFilterSql = s"vec_id < $ProbeCount"
+  private val probeCuts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def probeCut(s: SparkSession, d: String): Long =
+    probeCuts.getOrElseUpdate(InterStage.tableKey(d, "embeddings"), {
+      val cut = Tables.load(s, d, "embeddings")
+        .select(col("vec_id")).orderBy(col("vec_id")).limit(ProbeCount)
+        .agg(max(col("vec_id"))).head()
+      require(!cut.isNullAt(0), "embeddings corpus is empty: no ANN probe set")
+      cut.getLong(0)
+    })
+  private def probeFilter(s: SparkSession, d: String) =
+    col("vec_id") <= probeCut(s, d)
+  private val probeFilterSql = "vec_id <= (SELECT max(vec_id) FROM " +
+    s"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ProbeCount) pq)"
 
   /** The corpus with its L2 norm and both sign-LSH table buckets
     * precomputed — one materialized inter-stage table shared by e2/e3/e6,
@@ -110,7 +128,7 @@ object VectorQueries {
     "e1_knn_bruteforce" -> GQ(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
-        val probes = e.where(probeFilter)
+        val probes = e.where(probeFilter(s, d))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         VectorOps.knnBruteForce(probes, "q_id", "q_vec",
           e.repartition(s.sparkContext.defaultParallelism), "vec_id", "embedding", 5)
@@ -135,7 +153,7 @@ object VectorQueries {
         // Probes and candidates both read the materialized bucketed corpus
         // — the 7 hyperplane dots run once per vector per session.
         val e = normedBuckets(s, d)
-        val probes = e.where(probeFilter)
+        val probes = e.where(probeFilter(s, d))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"),
             explode(array(probeMasks.map(m =>
@@ -282,7 +300,7 @@ object VectorQueries {
         val assigned = Relational.top1PerGroup(scored, Seq(col("vec_id")),
             struct(negate(col("csim")), col("c_label")))
           .select(col("vec_id"), col("embedding"), col("norm"), col("c_label"))
-        val probes = Relational.topKPerGroup(scored.where(probeFilter),
+        val probes = Relational.topKPerGroup(scored.where(probeFilter(s, d)),
             Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 2)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"), col("c_label"))
@@ -332,7 +350,7 @@ object VectorQueries {
           .select(col("vec_id"), col("embedding"), col("norm"),
             col("sig_lo"), col("sig_hi"))
         val sigOnly = sigs.select(col("vec_id"), col("sig_lo"), col("sig_hi"))
-        val probes = sigOnly.where(probeFilter)
+        val probes = sigOnly.where(probeFilter(s, d))
           .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
             col("sig_hi").as("q_hi"))
         val ham = sigOnly.crossJoin(broadcast(probes))

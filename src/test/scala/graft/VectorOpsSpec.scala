@@ -63,4 +63,19 @@ class VectorOpsSpec extends SparkSpec {
     // and the approximate path examines far fewer pairs than brute force
     assert(cand.count() < e.count() * probes.count())
   }
+
+  test("ANN probe set derives from the actual id space, not a dense-zero assumption") {
+    // offset every vec_id by 10^9: a literal `vec_id < 40` filter would
+    // silently probe nothing; the rank-based cut must still yield exactly
+    // ProbeCount probes, the lowest ids present.
+    val dir = java.nio.file.Files.createTempDirectory("graft_offset_emb_")
+    Tables.load(spark, Sf0001, "embeddings")
+      .withColumn("vec_id", col("vec_id") + 1000000000L)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("e1_knn_bruteforce")(spark, dir.toString)
+    val qids = out.select(col("q_id")).distinct().as[Long].collect().sorted
+    assert(qids.length == VectorQueries.ProbeCount)
+    assert(qids.head == 1000000000L)
+    assert(qids.last == 1000000000L + VectorQueries.ProbeCount - 1)
+  }
 }
