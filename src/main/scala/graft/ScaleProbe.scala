@@ -62,6 +62,20 @@ object ScaleProbe {
       "t4_winnow_fingerprint", "x1_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e7_binary_sign_ann").foreach(timed)
+    // e3 recall vs the exact baseline at the scaled corpus: e3's output is
+    // exact-verified (every pair it emits passes sim >= 0.4), so e3 is a
+    // subset of e3b and recall = |e3| / |e3b| — no pair join needed. e3b
+    // is the deliberate O(n^2/2) baseline; acceptable at probe scale.
+    try {
+      val e3 = SparkEntry.queries("e3_cosine_neardup_pairs")(spark, big).count()
+      spark.sharedState.cacheManager.clearCache()
+      val t1 = System.nanoTime()
+      val e3b = SparkEntry.queries("e3b_cosine_neardup_exact")(spark, big).count()
+      println(f"[scale] e3b exact baseline: ${(System.nanoTime() - t1) / 1e9}%.1f s, $e3b rows")
+      println(f"[scale] e3 recall vs exact: ${e3.toDouble / e3b}%.3f ($e3 / $e3b)")
+    } catch {
+      case e: Throwable => println(s"[scale] recall FAILED: ${e.getMessage.take(200)}")
+    } finally spark.sharedState.cacheManager.clearCache()
     spark.stop()
   }
 }

@@ -23,36 +23,80 @@ object VectorQueries {
   private def dCos(a: String, b: String) =
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
 
-  /** Deterministic sign-LSH hyperplanes (shared with the oracle). Two
-    * independent 6-plane tables: e2 probes table 1 only; e3 band-ORs both
-    * (a pair is a candidate if EITHER table buckets it together) — the
-    * d3-style recall amplification: miss probability multiplies per table.
+  /** Deterministic sign-LSH hyperplanes (shared with the oracle). THREE
+    * independent `MaxPlanes`-wide tables: e2 probes table 1 only; e3
+    * band-ORs all three (a pair is a candidate if ANY table buckets it
+    * within the flip radius) — the d3-style recall amplification: miss
+    * probability multiplies per table.
+    *
+    * Corpus-adaptive sizing (the SCALE.md lesson): a FIXED bucket space
+    * saturates — occupancy = n / 2^planes grows linearly with the corpus
+    * and the per-bucket self-join grows with its square (the measured
+    * ~90x-at-10x blowup). Each table is therefore materialized at the full
+    * `MaxPlanes` width once, and every query masks the stored bucket down
+    * to `adaptivePlanes(n)` low bits — the count that pins mean occupancy
+    * at ~`TargetOcc` — so candidate volume stays ~linear in n while the
+    * materialized index never needs rebuilding as the corpus grows. The
+    * oracle derives the same plane count from `count(*)` with the same
+    * integer thresholds, so every configuration stays gate-checkable.
     */
-  val Planes = 6
   val Dim = 64
-  lazy val planeInts: Seq[Seq[Long]] = VectorOps.hyperplaneInts(Planes, Dim)
-  lazy val planeInts2: Seq[Seq[Long]] = VectorOps.hyperplaneInts(Planes, Dim, "t2|")
+  val MaxPlanes = 16
+  val MinPlanes = 6
+  /** e2's fixed one-table width (its per-probe scan is bounded by the
+    * probe count, not the corpus, so saturation costs it linearly at
+    * worst; kept fixed so the e2 gate exercises high-occupancy collisions).
+    */
+  val Planes = MinPlanes
+  /** Target mean bucket occupancy per table: small enough that the
+    * per-bucket join stays cheap, large enough that the sf0.01 gate corpus
+    * (500 vectors) still exercises real collisions at MinPlanes.
+    */
+  val TargetOcc = 16L
+  /** Planes to use for a corpus of n vectors: the smallest width in
+    * [MinPlanes, MaxPlanes] with n <= TargetOcc * 2^planes. Integer
+    * thresholds only — the oracle's CASE chain reproduces them exactly.
+    */
+  def adaptivePlanes(n: Long): Int = {
+    var p = MinPlanes
+    while (p < MaxPlanes && n > (TargetOcc << p)) p += 1
+    p
+  }
+  /** Flip radius: wider buckets disagree on more planes for the same pair,
+    * so the multiprobe radius steps up with the plane count (<=2-bit flips
+    * under RadiusSwitch planes, <=3-bit from there): at the sim=0.4
+    * threshold a pair disagrees per plane with p ~ acos(0.4)/pi ~ 0.37,
+    * and radius 3 holds the three-table band-OR recall near ~0.8 on
+    * threshold-boundary pairs where radius 2 would fall under 0.5.
+    */
+  val RadiusSwitch = 9
+  def flipRadius(planes: Int): Int = if (planes >= RadiusSwitch) 3 else 2
 
-  /** Multi-probe masks: the probe's own bucket plus each one-bit flip. */
+  lazy val planeInts: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim)
+  lazy val planeInts2: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t2|")
+  lazy val planeInts3: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t3|")
+
+  /** Multi-probe masks for e2: the probe's own bucket plus each one-bit
+    * flip, over its fixed table width.
+    */
   val probeMasks: Seq[Long] = 0L +: (0 until Planes).map(p => 1L << p)
 
-  /** Pair-recall masks for e3: all bucket flips of Hamming weight <= 2
-    * (1 + 6 + 15 = 22 masks). At the sim=0.4 threshold a pair disagrees on
-    * each plane with p ~ acos(0.4)/pi ~ 0.37, so <=1-bit probing sees only
-    * ~28% of qualifying pairs; <=2 bits lifts a single table to ~61%, and
-    * band-ORing the two independent tables to ~1-(1-0.61)^2 ~ 85%.
-    * Candidate generation stays a bucket equi-join per table; within one
-    * table a pair matches exactly one mask (m = bucket_x XOR bucket_y), so
-    * duplicates only arise across tables and one id-pair distinct removes
-    * them.
+  /** Pair-recall masks for e3: all bucket flips of Hamming weight <= radius
+    * over `planes` bits. Candidate generation stays a bucket equi-join per
+    * table; within one table a pair matches exactly one mask (m = bucket_x
+    * XOR bucket_y), so duplicates only arise across tables — and the
+    * pair distinct runs AFTER the cheap inline verify, on qualifying pairs
+    * only, never on the full candidate stream.
     */
-  val pairMasks: Seq[Long] = 0L +:
-    ((0 until Planes).map(p => 1L << p) ++
-      (for { p <- 0 until Planes; q <- p + 1 until Planes }
-        yield (1L << p) | (1L << q)))
+  def pairMasks(planes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= radius)
 
-  /** DuckDB fragment mirroring VectorOps.lshBucket for column `v`. */
-  private def dBucket(v: String, table: Seq[Seq[Long]] = planeInts): String =
+  /** DuckDB fragment mirroring VectorOps.lshBucket for column `v`. The
+    * default is e2's fixed-width table-1 prefix (bit p of the stored
+    * MaxPlanes bucket comes from plane p alone, so the stored bucket
+    * masked to Planes low bits equals bucketing with the prefix table).
+    */
+  private def dBucket(v: String, table: Seq[Seq[Long]]): String =
     table.zipWithIndex.map { case (ints, p) =>
       val plane = ints.map(m => s"$m/1000000.0 - 1.0").mkString("[", ", ", "]")
       s"(CASE WHEN ${dDot(v, plane)} > 0 THEN ${1L << p} ELSE 0 END)"
@@ -88,12 +132,15 @@ object VectorQueries {
   private val probeFilterSql = "vec_id <= (SELECT max(vec_id) FROM " +
     s"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ProbeCount) pq)"
 
-  /** The corpus with its L2 norm and both sign-LSH table buckets
-    * precomputed — one materialized inter-stage table shared by e2/e3/e6,
-    * so the 13 hyperplane dot products and the norm run exactly once per
-    * vector per session and nothing stays in the block cache after a query
-    * returns. (Queries that don't touch `bucket2` never pay for it: the
-    * parquet reader prunes the column.)
+  /** The corpus with its L2 norm and all three MaxPlanes-wide sign-LSH
+    * table buckets precomputed — one materialized inter-stage table shared
+    * by e2/e3/e6/e7, so the 48 hyperplane dot products, the sign words and
+    * the norm run exactly once per vector per session and nothing stays in
+    * the block cache after a query returns. Storing the FULL-width buckets
+    * is what makes the plane count a query-time knob: any corpus size
+    * masks down to its adaptive width without re-indexing. (Queries that
+    * don't touch a bucket column never pay for it: the parquet reader
+    * prunes it.)
     */
   /** One 32-bit word of the e7 binary sign signature: bit i of `word(v, o)`
     * is set iff element o+i+1 of `v` is positive.
@@ -104,13 +151,33 @@ object VectorQueries {
       .reduce(_ + _)
 
   private def normedBuckets(s: SparkSession, d: String) =
-    InterStage.materialize(s, InterStage.tableKey(d, "embeddings") + "|lsh6x2norm",
+    InterStage.materialize(s, InterStage.tableKey(d, "embeddings") + "|lsh16x3norm",
       Tables.load(s, d, "embeddings")
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), planeInts))
         .withColumn("bucket2", VectorOps.lshBucket(col("embedding"), planeInts2))
+        .withColumn("bucket3", VectorOps.lshBucket(col("embedding"), planeInts3))
         .withColumn("sig_lo", signWord(col("embedding"), 0))
         .withColumn("sig_hi", signWord(col("embedding"), 32))
         .withColumn("norm", VectorOps.l2Norm(col("embedding"))))
+
+  /** DuckDB CASE chain reproducing adaptivePlanes(count(*)) / flipRadius —
+    * the oracle sizes the LSH from the corpus count with the same integer
+    * thresholds the Spark side uses.
+    */
+  private def dPlanesCase: String =
+    (MinPlanes until MaxPlanes)
+      .map(p => s"WHEN count(*) <= ${TargetOcc << p} THEN $p")
+      .mkString("(CASE ", " ", s" ELSE $MaxPlanes END)")
+  private def dRadiusCase: String =
+    s"(CASE WHEN count(*) > ${TargetOcc << (RadiusSwitch - 1)} THEN 3 ELSE 2 END)"
+  /** All <=3-bit masks over the FULL MaxPlanes width, as a SQL literal;
+    * the oracle filters to the active radius with bit_count and masks
+    * buckets to the active plane count — masks touching planes >= the
+    * active count XOR to buckets no vector has, so they add no candidates
+    * and the effective mask set equals pairMasks(planes, radius).
+    */
+  private def dPairMasks: String =
+    pairMasks(MaxPlanes, 3).mkString("[", ", ", "]")
 
   /** Build the inter-stage table the vector queries share (see
     * TextQueries.warmInterStage for why Bench calls this up front).
@@ -151,8 +218,10 @@ object VectorQueries {
     "e2_knn_lsh" -> GQ(
       (s, d) => {
         // Probes and candidates both read the materialized bucketed corpus
-        // — the 7 hyperplane dots run once per vector per session.
+        // — the hyperplane dots run once per vector per session; the stored
+        // MaxPlanes bucket masks down to e2's fixed table width.
         val e = normedBuckets(s, d)
+          .withColumn("bucket", col("bucket").bitwiseAND(lit((1L << Planes) - 1)))
         val probes = e.where(probeFilter(s, d))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"),
@@ -165,7 +234,7 @@ object VectorQueries {
           Seq(col("sim").desc, col("vec_id")), 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
-      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket FROM embeddings), " +
+      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts.take(Planes))} bucket FROM embeddings), " +
         "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
         s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE " + probeFilterSql + ") " +
         s"SELECT q_id, e.vec_id AS neighbor_id, ${dCos("q_vec", "e.embedding")} AS sim " +
@@ -173,31 +242,46 @@ object VectorQueries {
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
         s"${dCos("q_vec", "e.embedding")} DESC, e.vec_id) <= 5"),
 
-    // E3 — embedding-cosine near-dup pairs (sim >= 0.4) via sign-LSH
-    // candidate generation + exact cosine verify. Band-OR across the TWO
-    // independent hash tables (as d3 ORs its MinHash bands): a pair is a
-    // candidate if either table buckets it within a <=2-bit flip, so the
-    // per-table ~61% recall at the threshold compounds to ~85%. Per table,
-    // candidates come from an equi-join on the bucket key (the O(n) scale
-    // path — the bucket id is the shuffle/partition key at 100 TB); the
-    // cross-table distinct moves only 16-byte id pairs, and the exact
-    // cosine re-verify joins the vectors back afterwards. Approximate by
-    // design — pairs >2 planes apart in BOTH tables are unseen — the
-    // oracle reproduces exactly that candidate set, and e3b is the exact
-    // brute-force baseline this path is measured against (as e1 is to e2).
+    // E3 — embedding-cosine near-dup pairs (sim >= 0.4) via CORPUS-SIZED
+    // sign-LSH candidate generation + exact cosine verify. Three moves
+    // make this the scale path:
+    //   1. Adaptive width: buckets are masked to adaptivePlanes(count)
+    //      bits, pinning mean occupancy at ~TargetOcc — candidate volume
+    //      stays ~linear in the corpus instead of the measured ~90x-at-10x
+    //      blowup of a fixed 64-bucket table (SCALE.md).
+    //   2. Recall compensation: band-OR across THREE independent tables
+    //      (as d3 ORs its MinHash bands) and a flip radius that widens with
+    //      the plane count — per-table recall on threshold-boundary pairs
+    //      drops as planes grow, and the OR re-amplifies it.
+    //   3. Verify-inline-THEN-distinct: candidates are (id, id) pairs from
+    //      a bucket equi-join per table (the bucket is the shuffle key at
+    //      100 TB); the exact-cosine verify joins vectors and filters
+    //      BEFORE the cross-table distinct, so the wide shuffle-dedup runs
+    //      on the few qualifying pairs, never on the full candidate stream
+    //      (the distinct-first form was the dominant cost at 10x).
+    // Approximate by design — pairs outside the flip radius in ALL three
+    // tables are unseen — the oracle reproduces exactly that candidate
+    // set (sizing its tables from count(*) with the same integer
+    // thresholds), and e3b is the exact brute-force baseline this path is
+    // measured against (as e1 is to e2).
     "e3_cosine_neardup_pairs" -> GQ(
       (s, d) => {
         val b = normedBuckets(s, d)
+        val planes = adaptivePlanes(b.count())
+        val masks = pairMasks(planes, flipRadius(planes))
+        val bmask = lit((1L << planes) - 1)
         def candIds(bcol: String) = {
-          val probes = b.select(col("vec_id").as("q_id"),
-            explode(array(pairMasks.map(m =>
-              col(bcol).bitwiseXOR(lit(m))): _*)).as(bcol))
-          probes.join(b.select(col("vec_id"), col(bcol)), Seq(bcol))
+          val mb = b.select(col("vec_id"), col(bcol).bitwiseAND(bmask).as("mb"))
+          val probes = mb.select(col("vec_id").as("q_id"),
+            explode(array(masks.map(m =>
+              col("mb").bitwiseXOR(lit(m))): _*)).as("mb"))
+          probes.join(mb, Seq("mb"))
             .where(col("q_id") < col("vec_id"))
-            .select(col("q_id"), col("vec_id"))
+            .select(col("q_id").as("id1"), col("vec_id").as("id2"))
         }
-        val cand = candIds("bucket").union(candIds("bucket2"))
-          .distinct().toDF("id1", "id2")
+        val cand = candIds("bucket")
+          .unionByName(candIds("bucket2"))
+          .unionByName(candIds("bucket3"))
         val v = b.select(col("vec_id"), col("embedding"), col("norm"))
         cand.join(v.as("x"), col("id1") === col("x.vec_id"))
           .join(v.as("y"), col("id2") === col("y.vec_id"))
@@ -205,18 +289,23 @@ object VectorQueries {
             (VectorOps.dotD(col("x.embedding"), col("y.embedding")) /
               (col("x.norm") * col("y.norm"))).as("sim"))
           .where(col("sim") >= 0.4)
+          .distinct()
       },
-      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding")} bucket, " +
-        s"${dBucket("embedding", planeInts2)} bucket2 FROM embeddings), " +
-        "p1 AS (SELECT vec_id q_id, xor(bucket, m) bucket FROM b, " +
-        s"unnest([${pairMasks.mkString(", ")}]) u(m)), " +
-        "p2 AS (SELECT vec_id q_id, xor(bucket2, m) bucket2 FROM b, " +
-        s"unnest([${pairMasks.mkString(", ")}]) u(m)), " +
-        "cand AS (SELECT q_id, e.vec_id vid FROM p1 JOIN b e " +
-        "ON p1.bucket = e.bucket AND p1.q_id < e.vec_id " +
-        "UNION SELECT q_id, e.vec_id vid FROM p2 JOIN b e " +
-        "ON p2.bucket2 = e.bucket2 AND p2.q_id < e.vec_id) " +
-        s"SELECT c.q_id vec_id_1, c.vid vec_id_2, ${dCos("x.embedding", "y.embedding")} AS sim " +
+      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} bucket, " +
+        s"${dBucket("embedding", planeInts2)} bucket2, " +
+        s"${dBucket("embedding", planeInts3)} bucket3 FROM embeddings), " +
+        s"par AS (SELECT $dPlanesCase p, $dRadiusCase r FROM embeddings), " +
+        s"mk AS (SELECT m FROM unnest($dPairMasks) u(m), par WHERE bit_count(m::BIGINT) <= par.r), " +
+        "mb AS (SELECT vec_id, bucket % (1 << par.p) b1, bucket2 % (1 << par.p) b2, " +
+        "bucket3 % (1 << par.p) b3 FROM b, par), " +
+        "cand AS (" +
+        "SELECT p1.q_id, y.vec_id vid FROM (SELECT vec_id q_id, xor(b1, m) bb " +
+        "FROM mb, mk) p1 JOIN mb y ON p1.bb = y.b1 AND p1.q_id < y.vec_id " +
+        "UNION ALL SELECT p2.q_id, y.vec_id vid FROM (SELECT vec_id q_id, xor(b2, m) bb " +
+        "FROM mb, mk) p2 JOIN mb y ON p2.bb = y.b2 AND p2.q_id < y.vec_id " +
+        "UNION ALL SELECT p3.q_id, y.vec_id vid FROM (SELECT vec_id q_id, xor(b3, m) bb " +
+        "FROM mb, mk) p3 JOIN mb y ON p3.bb = y.b3 AND p3.q_id < y.vec_id) " +
+        s"SELECT DISTINCT c.q_id vec_id_1, c.vid vec_id_2, ${dCos("x.embedding", "y.embedding")} AS sim " +
         "FROM cand c JOIN b x ON c.q_id = x.vec_id JOIN b y ON c.vid = y.vec_id " +
         s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4"),
 

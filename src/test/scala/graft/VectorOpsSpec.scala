@@ -46,7 +46,8 @@ class VectorOpsSpec extends SparkSpec {
     val truth = VectorOps.knnBruteForce(probes, "q_id", "q_vec", e, "vec_id", "embedding", 5)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
 
-    val planes = VectorQueries.planeInts
+    // e2's fixed-width prefix of table 1: the probe masks span Planes bits
+    val planes = VectorQueries.planeInts.take(VectorQueries.Planes)
     val bucketed = e.withColumn("bucket", VectorOps.lshBucket(col("embedding"), planes))
     val p = bucketed.where(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
