@@ -71,6 +71,72 @@ object VectorOps {
       when(planeDot(v, ints) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Pigeonhole band layout for the 64-bit binary sign signature (stored
+    * as two non-negative 32-bit words): 9 disjoint bands — 8 of 7 bits, 1
+    * of 8 — covering all 64 bits. Any pair within hamming distance 8 has
+    * at least one band its differing bits never touch (pigeonhole), so
+    * candidates from a (band_idx, band_value) equi-join are COMPLETE for
+    * hamming <= 8. `(offset, width)` over the concatenated lo|hi bits.
+    */
+  val signBands: Seq[(Int, Int)] = Seq(
+    (0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 7), (49, 7), (56, 8))
+
+  /** Band `(off, w)` of the signature as a column — assembled from the two
+    * sign words (both non-negative, so plain shiftright is a logical
+    * shift). One band spans the word boundary; its low part comes from the
+    * top of `lo`, its high part from the bottom of `hi`.
+    */
+  def signBand(lo: Column, hi: Column, off: Int, w: Int): Column =
+    if (off + w <= 32) shiftright(lo, off).bitwiseAND(lit((1L << w) - 1))
+    else if (off >= 32) shiftright(hi, off - 32).bitwiseAND(lit((1L << w) - 1))
+    else {
+      val loBits = 32 - off
+      shiftright(lo, off).bitwiseAND(lit((1L << loBits) - 1)) +
+        hi.bitwiseAND(lit((1L << (w - loBits)) - 1)) * lit(1L << loBits)
+    }
+
+  /** All-pairs binary near-duplicates by signature hamming distance, via
+    * the pigeonhole band join (d5's 9-band trick applied to the two sign
+    * words): each signature explodes to 9 (band_idx, band_value) rows, a
+    * self equi-join on that composite key generates candidates — the band
+    * key is the shuffle/partition key at 100 TB, so candidate volume is
+    * occupancy-bounded, never the n^2 of a pair scan — and the exact
+    * xor+popcount hamming filter verifies inline (signatures ride the
+    * join; no second fetch). A pair sharing several bands appears several
+    * times; the final distinct runs on qualifying pairs only.
+    *
+    * COMPLETE (identical to a brute-force pair scan) iff
+    * `maxHamming <= signBands.size - 1 = 8`; above that the band join is
+    * a recall filter (pairs whose differing bits touch all 9 bands are
+    * unseen) — the approximate-by-design contract of every LSH pass here.
+    * The scale knob for wider thresholds is a LONGER signature (e.g.
+    * 128-bit sigs -> 9 bands of 14 bits), not more/narrower bands, which
+    * would shrink the band space and saturate occupancy.
+    *
+    * @param sigs  one row per item: an id column and two sign words
+    * @return (id_1, id_2, hamming), id_1 < id_2, hamming <= maxHamming
+    */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String,
+                         loCol: String, hiCol: String,
+                         maxHamming: Int): DataFrame = {
+    val bands = sigs.select(col(idCol), col(loCol), col(hiCol),
+      explode(array(signBands.zipWithIndex.map { case ((off, w), i) =>
+        struct(lit(i).as("bidx"),
+          signBand(col(loCol), col(hiCol), off, w).as("bval"))
+      }: _*)).as("b"))
+      .select(col(idCol), col(loCol), col(hiCol),
+        col("b.bidx").as("bidx"), col("b.bval").as("bval"))
+    val ham = (bit_count(col(s"x.$loCol").bitwiseXOR(col(s"y.$loCol"))) +
+      bit_count(col(s"x.$hiCol").bitwiseXOR(col(s"y.$hiCol")))).cast("long")
+    bands.as("x").join(bands.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as(s"${idCol}_1"), col(s"y.$idCol").as(s"${idCol}_2"),
+        ham.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute-force top-k cosine neighbors of each probe vector against the
     * whole corpus: broadcast the (small) probe set against the corpus scan,
     * then keep the top k per probe. At 100 TB the corpus side stays

@@ -170,6 +170,27 @@ object VectorQueries {
       .mkString("(CASE ", " ", s" ELSE $MaxPlanes END)")
   private def dRadiusCase: String =
     s"(CASE WHEN count(*) > ${TargetOcc << (RadiusSwitch - 1)} THEN 3 ELSE 2 END)"
+  /** e7b gate hamming threshold: inside the 9-band pigeonhole completeness
+    * regime the result would be empty on this corpus (closest signature
+    * pair: hamming 14), so the gate runs in the approximate regime where
+    * the band join actually filters — its semantics are what the oracle
+    * reproduces. Production binary dedup (hamming <= 3..8) runs complete.
+    */
+  val E7bMaxHamming = 20
+
+  /** DuckDB fragment mirroring VectorOps.signBand for alias `pfx`: one
+    * pigeonhole band of the 64-bit signature, assembled from the two
+    * non-negative sign words.
+    */
+  private def dBand(pfx: String, off: Int, w: Int): String =
+    if (off + w <= 32) s"(($pfx.sig_lo >> $off) & ${(1L << w) - 1})"
+    else if (off >= 32) s"(($pfx.sig_hi >> ${off - 32}) & ${(1L << w) - 1})"
+    else {
+      val lo = 32 - off
+      s"((($pfx.sig_lo >> $off) & ${(1L << lo) - 1}) + " +
+        s"(($pfx.sig_hi & ${(1L << (w - lo)) - 1}) << $lo))"
+    }
+
   /** All <=3-bit masks over the FULL MaxPlanes width, as a SQL literal;
     * the oracle filters to the active radius with bit_count and masks
     * buckets to the active plane count — masks touching planes >= the
@@ -482,6 +503,36 @@ object VectorQueries {
         s"SELECT q_id, t.vec_id AS neighbor_id, t.hamming::BIGINT AS hamming, " +
         s"${dCos("q.embedding", "c.embedding")} AS sim " +
         "FROM top t JOIN sig q ON t.q_id = q.vec_id JOIN sig c ON t.vec_id = c.vec_id"),
+
+    // E7b — all-pairs binary near-dup over the sign signatures: the
+    // corpus x corpus companion to e7's probe-set scan. Candidates come
+    // from the 9-band pigeonhole equi-join over the two sig words
+    // (VectorOps.bandedHammingPairs — d5's trick on binary embeddings),
+    // exact xor+popcount hamming verifies inline, distinct runs on
+    // qualifying pairs. Provably COMPLETE for hamming <= 8; the gate runs
+    // at E7bMaxHamming = 20 because this corpus' closest signature pair
+    // sits at hamming 14 (a hamming-8 gate would compare empty sets) —
+    // above 8 the band join is a recall filter, approximate by design,
+    // and the oracle reproduces exactly that band-OR + verify semantics.
+    "e7b_binary_banded_neardup" -> GQ(
+      (s, d) => VectorOps.bandedHammingPairs(
+        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
+        "vec_id", "sig_lo", "sig_hi", E7bMaxHamming),
+      "WITH sig AS (SELECT vec_id, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_lo, ") +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+        "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
+        "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
+        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
+        s"<= $E7bMaxHamming AND (" +
+        VectorOps.signBands.map { case (off, w) =>
+          s"${dBand("x", off, w)} = ${dBand("y", off, w)}"
+        }.mkString(" OR ") + ")"),
 
     // E4 — per-label centroids: element-wise mean via 64 per-dimension
     // aggregates (partial aggregation map-side; the IVF coarse-quantizer

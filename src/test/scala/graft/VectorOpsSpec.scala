@@ -65,6 +65,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(cand.count() < e.count() * probes.count())
   }
 
+  test("bandedHammingPairs is complete vs brute force in the hamming <= 8 regime") {
+    // deterministic synthetic signatures + planted near-pairs at hamming
+    // 3 (well inside), 8 (the pigeonhole boundary) and 9 (just outside)
+    val rnd = new scala.util.Random(42)
+    def word() = rnd.nextInt().toLong & 0xffffffffL
+    val base = (0L until 60L).map(i => (i, word(), word()))
+    def flip(sig: (Long, Long, Long), id: Long, bits: Seq[Int]) = {
+      val (_, lo, hi) = sig
+      val (fl, fh) = bits.partition(_ < 32)
+      (id, fl.foldLeft(lo)((w, b) => w ^ (1L << b)),
+        fh.foldLeft(hi)((w, b) => w ^ (1L << (b - 32))))
+    }
+    val rows = base ++ Seq(
+      flip(base(0), 1000L, Seq(1, 13, 40)),                          // hamming 3
+      flip(base(1), 1001L, Seq(0, 7, 14, 21, 28, 35, 42, 49)),       // hamming 8
+      flip(base(2), 1002L, Seq(0, 7, 14, 21, 28, 35, 42, 49, 56)))   // hamming 9
+    val df = rows.toDF("vec_id", "sig_lo", "sig_hi")
+    val banded = VectorOps.bandedHammingPairs(df, "vec_id", "sig_lo", "sig_hi", 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val ham = (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+      bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))).cast("long")
+    val brute = df.as("x").join(df.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"), ham.as("h"))
+      .where(col("h") <= 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute) // pigeonhole: identical to the O(n^2) scan
+    assert(banded.contains((0L, 1000L, 3L)))
+    assert(banded.contains((1L, 1001L, 8L)))
+    assert(!banded.exists(p => p._1 == 2L && p._2 == 1002L)) // 9 > 8
+  }
+
   test("ANN probe set derives from the actual id space, not a dense-zero assumption") {
     // offset every vec_id by 10^9: a literal `vec_id < 40` filter would
     // silently probe nothing; the rank-based cut must still yield exactly
