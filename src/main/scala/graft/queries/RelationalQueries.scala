@@ -193,6 +193,38 @@ object RelationalQueries {
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
         "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority FROM orders"),
 
+    // K7 — cumulative batch-split preprocessor (reference:
+    // batching/lfb-preprocess.py:34-58 + batching/config.yaml:1-3): union
+    // raw CSVs by name, parse the date column, write cumulative batches —
+    // batch i = rows with date < splitDates(i), final batch = everything.
+    // The gate round-trips orders through two CSV shards and the split,
+    // then proves batch membership with per-batch row counts and key sums
+    // against DuckDB's date filters on the source table.
+    "k7_batch_split" -> GQ(
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+          .withColumn("o_orderdate", date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        val tmp = tmpDir("graft_batch_")
+        orders.where(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/even")
+        orders.where(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/odd")
+        graft.warehouse.Jobs.batchSplit(s, Seq(s"$tmp/in/even", s"$tmp/in/odd"),
+          s"$tmp/out", "o_orderdate", "dd/MM/yyyy",
+          Seq("1997-01-01", "1999-01-01"))
+        (1 to 3).map { i =>
+          s.read.option("header", "true").csv(s"$tmp/out/$i")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey").cast("long")).as("key_sum"))
+            .select(lit(i).as("batch"), col("n_rows"), col("key_sum"))
+        }.reduce(_ unionByName _)
+      },
+      "SELECT 1 AS batch, count(*) AS n_rows, sum(o_orderkey)::BIGINT AS key_sum " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' " +
+        "UNION ALL SELECT 2, count(*), sum(o_orderkey)::BIGINT " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' " +
+        "UNION ALL SELECT 3, count(*), sum(o_orderkey)::BIGINT FROM orders"),
+
     // P1/P2 — keep-list and drop-list projection (reference:
     // etl/transform/aq-cleanse.py:202; lfb-cleanse.py:32).
     "p1_p2_projection" -> GQ(
