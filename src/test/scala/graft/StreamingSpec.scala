@@ -89,6 +89,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("interval-join state survives a restart: later purchases join earlier clicks") {
+    // Two micro-batches separated by a full stop/start of the query: the
+    // clicks land in run 1, the purchases that must join them land in
+    // run 2 — the only way those rows can pair is the stream-stream join
+    // state recovering from the checkpoint.
+    val src = java.nio.file.Files.createTempDirectory("graft_attr_src_").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_attr_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_attr_ckpt_").toString
+    val t0 = 1767225600L * 1000000000L // 2026-01-01T00:00Z as nanos
+    def min(m: Long) = m * 60L * 1000000000L
+    def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = EventStreams.clickAttribution(
+          EventStreams.readEventStream(spark, src),
+          EventStreams.readEventStream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+
+    // run 1: clicks for users 1..4, one same-run purchase for user 1
+    writeBatch(Seq(
+      (101L, t0, 1L, "click", 1.0, ""), (102L, t0, 2L, "click", 1.0, ""),
+      (103L, t0, 3L, "click", 1.0, ""), (104L, t0, 4L, "click", 1.0, ""),
+      (201L, t0 + min(10), 1L, "purchase", 5.0, "")))
+    runOnce()
+    val afterRun1 = spark.read.parquet(sink)
+    assert(afterRun1.count() == 1)
+    assert(afterRun1.select("purchase_id", "click_id").as[(Long, Long)]
+      .head() == ((201L, 101L)))
+
+    // run 2 (fresh query from the checkpoint): purchases for users 2 and 3
+    // within the hour, one for user 5 with no click ever
+    writeBatch(Seq(
+      (202L, t0 + min(30), 2L, "purchase", 5.0, ""),
+      (203L, t0 + min(45), 3L, "purchase", 5.0, ""),
+      (205L, t0 + min(20), 5L, "purchase", 5.0, "")))
+    runOnce()
+    val streamed = spark.read.parquet(sink)
+    // purchases 202/203 can only pair with run-1 clicks via recovered state
+    assert(streamed.count() == 3)
+    assert(streamed.where(col("purchase_id").isin(202L, 203L)).count() == 2)
+    // and the final sink equals the batch interval join over all events
+    val allEvents = spark.read.schema(EventStreams.eventSchema).parquet(src)
+    val batch = EventStreams.clickAttribution(allEvents, allEvents)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("incremental ingest is exactly-once across restarts and new files") {
     val src = java.nio.file.Files.createTempDirectory("graft_ingest_src_")
     val sink = java.nio.file.Files.createTempDirectory("graft_ingest_sink_").toString
