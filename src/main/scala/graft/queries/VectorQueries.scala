@@ -43,9 +43,9 @@ object VectorQueries {
   val Dim = 64
   val MaxPlanes = 16
   val MinPlanes = 6
-  /** e2's fixed one-table width (its per-probe scan is bounded by the
-    * probe count, not the corpus, so saturation costs it linearly at
-    * worst; kept fixed so the e2 gate exercises high-occupancy collisions).
+  /** Floor table width: the sf0.01 gate corpus sizes to exactly this, so
+    * the gates exercise high-occupancy collisions; also the fixed prefix
+    * width the op-level LSH spec buckets with.
     */
   val Planes = MinPlanes
   /** Target mean bucket occupancy per table: small enough that the
@@ -77,9 +77,12 @@ object VectorQueries {
   lazy val planeInts3: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t3|")
 
   /** Multi-probe masks for e2: the probe's own bucket plus each one-bit
-    * flip, over its fixed table width.
+    * flip, over the FULL MaxPlanes width — flips of planes above the
+    * active adaptive width XOR to buckets no vector has, so the extra
+    * masks add no candidates and the same literal list serves every
+    * corpus size in both engines.
     */
-  val probeMasks: Seq[Long] = 0L +: (0 until Planes).map(p => 1L << p)
+  val probeMasks: Seq[Long] = 0L +: (0 until MaxPlanes).map(p => 1L << p)
 
   /** Pair-recall masks for e3: all bucket flips of Hamming weight <= radius
     * over `planes` bits. Candidate generation stays a bucket equi-join per
@@ -229,20 +232,25 @@ object VectorQueries {
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
         s"${dCos("q_vec", "embedding")} DESC, vec_id) <= 5"),
 
-    // E2 — sign-LSH bucketed top-5: 6 deterministic hyperplanes hash each
-    // vector to a 6-bit bucket; probes multi-probe their own bucket plus
-    // every one-bit flip (7 buckets), candidates come from an equi-join on
-    // the bucket key instead of a cross join — the O(n) scale path; exact
-    // cosine re-ranks candidates. Each (probe, candidate) pair matches at
-    // most one mask, so no distinct is needed. Approximate by design, and
-    // the oracle reproduces exactly that.
+    // E2 — sign-LSH bucketed top-5 KNN at corpus-adaptive width: the
+    // stored MaxPlanes bucket masks down to adaptivePlanes(count) bits
+    // (occupancy pinned at ~TargetOcc, so per-probe candidate work is
+    // ~CONSTANT as the corpus grows — the ANN contract), probes multi-probe
+    // their own bucket plus every one-bit flip, candidates come from an
+    // equi-join on the bucket key instead of a cross join; exact cosine
+    // re-ranks. Flips of planes above the active width match nothing, so
+    // the full mask list is corpus-independent. Each (probe, candidate)
+    // pair matches at most one mask, so no distinct is needed. Approximate
+    // by design, and the oracle reproduces exactly that — including the
+    // width, derived from count(*).
     "e2_knn_lsh" -> GQ(
       (s, d) => {
         // Probes and candidates both read the materialized bucketed corpus
-        // — the hyperplane dots run once per vector per session; the stored
-        // MaxPlanes bucket masks down to e2's fixed table width.
-        val e = normedBuckets(s, d)
-          .withColumn("bucket", col("bucket").bitwiseAND(lit((1L << Planes) - 1)))
+        // — the hyperplane dots run once per vector per session.
+        val e0 = normedBuckets(s, d)
+        val planes = adaptivePlanes(e0.count())
+        val e = e0.withColumn("bucket",
+          col("bucket").bitwiseAND(lit((1L << planes) - 1)))
         val probes = e.where(probeFilter(s, d))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"),
@@ -255,7 +263,9 @@ object VectorQueries {
           Seq(col("sim").desc, col("vec_id")), 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
-      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts.take(Planes))} bucket FROM embeddings), " +
+      s"WITH par AS (SELECT $dPlanesCase p FROM embeddings), " +
+        s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) bucket " +
+        "FROM embeddings, par), " +
         "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
         s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE " + probeFilterSql + ") " +
         s"SELECT q_id, e.vec_id AS neighbor_id, ${dCos("q_vec", "e.embedding")} AS sim " +
