@@ -76,6 +76,16 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("e7b banded near-dup plans no nested-loop join") {
+    // The all-pairs binary near-dup must stay a (band_idx, band_value)
+    // equi-join — a nested-loop pair scan is the O(n^2) plan the bands
+    // exist to avoid.
+    val plan = executedPlan(
+      SparkEntry.queries("e7b_binary_banded_neardup")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("x1 decontamination broadcasts the eval n-gram set") {
     // The eval-set side must broadcast: at 100 TB the training-side index
     // never shuffles for this check.
