@@ -60,7 +60,7 @@ object ScaleProbe {
     Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
       "d4_simhash_sig", "d5_simhash_hamming_pairs", "d6_dup_clusters",
       "t4_winnow_fingerprint", "x1_decontaminate",
-      "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
+      "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
       "e7_binary_sign_ann", "e7b_binary_banded_neardup").foreach(timed)
     // e3 recall vs the exact baseline at the scaled corpus: e3's output is
     // exact-verified (every pair it emits passes sim >= 0.4), so e3 is a

@@ -72,6 +72,23 @@ object VectorQueries {
   val RadiusSwitch = 9
   def flipRadius(planes: Int): Int = if (planes >= RadiusSwitch) 3 else 2
 
+  /** IVF list-count width: the smallest p with 4^p >= n, i.e. nlists =
+    * 2^p ~ sqrt(n) — the classic IVF balance (per-vector assignment cost
+    * nlists vs per-probe list length n/nlists both grow as sqrt(n); the
+    * occupancy-pinned adaptivePlanes sizing would make assignment
+    * quadratic). Integer thresholds; the oracle mirrors them by CASE.
+    */
+  val MinIvfPlanes = 3
+  def ivfPlanes(n: Long): Int = {
+    var p = MinIvfPlanes
+    while (p < MaxPlanes && (1L << (2 * p)) < n) p += 1
+    p
+  }
+  private def dIvfPlanesCase: String =
+    (MinIvfPlanes until MaxPlanes)
+      .map(p => s"WHEN count(*) <= ${1L << (2 * p)} THEN $p")
+      .mkString("(CASE ", " ", s" ELSE $MaxPlanes END)")
+
   lazy val planeInts: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim)
   lazy val planeInts2: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t2|")
   lazy val planeInts3: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t3|")
@@ -447,6 +464,73 @@ object VectorQueries {
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) <= 2) " +
         s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
         "FROM probes p JOIN assigned a ON p.c_label = a.c_label AND p.q_id != a.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        s"${dCos("q_vec", "a.embedding")} DESC, a.vec_id) <= 5"),
+
+    // E6b — corpus-adaptive IVF: same two-level search as e6, but the
+    // coarse quantizer is TRAINED from the data at a corpus-scaled list
+    // count instead of the 10 semantic labels (whose inverted lists grow
+    // linearly with the corpus — the same fixed-fanout saturation e3's
+    // planes had). Centroids = per-bucket means of the adaptive-width
+    // sign-LSH partition (one Lloyd step from a deterministic LSH
+    // initialization — no RNG, so the oracle regenerates them exactly);
+    // nlists = 2^ivfPlanes(n) ~ sqrt(n) tracks the corpus at the classic
+    // IVF balance point: per-vector assignment cost (nlists) and
+    // per-probe list length (n/nlists) both grow as sqrt(n) — pinning
+    // occupancy instead would make the n x nlists assignment quadratic.
+    // Assignment is the standard k-means assign (broadcast centroids,
+    // map-side min_by hash aggregate); candidate generation is an
+    // equi-join on the list id — the partition key at 100 TB.
+    "e6b_ivf_adaptive" -> GQ(
+      (s, d) => {
+        val e0 = normedBuckets(s, d)
+        val planes = ivfPlanes(e0.count())
+        val e = e0.select(col("vec_id"), col("embedding"), col("norm"),
+          col("bucket").bitwiseAND(lit((1L << planes) - 1)).as("list0"))
+        val aggs = count(lit(1)).as("cn") +: (0 until Dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+        val cent = e.groupBy(col("list0")).agg(aggs.head, aggs.tail: _*)
+          .select(col("list0").as("c_list"),
+            array((0 until Dim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
+          .withColumn("c_norm", sqrt(VectorOps.dotD(col("c_vec"), col("c_vec"))))
+        val scored = e.crossJoin(broadcast(cent))
+          .withColumn("csim", VectorOps.dotD(col("embedding"), col("c_vec")) /
+            (col("norm") * col("c_norm")))
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("c_list"), col("csim"))
+        val assigned = Relational.top1PerGroup(scored, Seq(col("vec_id")),
+            struct(negate(col("csim")), col("c_list")))
+          .select(col("vec_id"), col("embedding"), col("norm"), col("c_list"))
+        val probes = Relational.topKPerGroup(scored.where(probeFilter(s, d)),
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_list")), 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("norm").as("q_norm"), col("c_list"))
+        val cand = probes.join(assigned, "c_list")
+          .where(col("q_id") =!= col("vec_id"))
+          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
+            (col("q_norm") * col("norm")))
+        Relational.topKPerGroup(cand, Seq(col("q_id")),
+          Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      s"WITH par AS (SELECT $dIvfPlanesCase p FROM embeddings), " +
+        s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) list0 " +
+        "FROM embeddings, par), " +
+        "s AS (SELECT list0, count(*) cn" +
+        (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString +
+        " FROM b GROUP BY list0), " +
+        "cent AS (SELECT list0 c_list, [" +
+        (0 until Dim).map(i => s"s$i / cn").mkString(", ") + "] c_vec FROM s), " +
+        "scored AS (SELECT e.vec_id, e.embedding, c.c_list, " +
+        s"${dDot("e.embedding", "c.c_vec")} / (sqrt(${dDot("e.embedding", "e.embedding")}) * " +
+        s"sqrt(${dDot("c.c_vec", "c.c_vec")})) csim FROM embeddings e, cent c), " +
+        "assigned AS (SELECT vec_id, embedding, c_list FROM scored " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) = 1), " +
+        "probes AS (SELECT vec_id q_id, embedding q_vec, c_list FROM scored " +
+        "WHERE " + probeFilterSql + " " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= 2) " +
+        s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
+        "FROM probes p JOIN assigned a ON p.c_list = a.c_list AND p.q_id != a.vec_id " +
         "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
         s"${dCos("q_vec", "a.embedding")} DESC, a.vec_id) <= 5"),
 
