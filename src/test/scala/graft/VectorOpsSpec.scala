@@ -96,6 +96,56 @@ class VectorOpsSpec extends SparkSpec {
     assert(!banded.exists(p => p._1 == 2L && p._2 == 1002L)) // 9 > 8
   }
 
+  test("adaptive sizing functions: exact integer thresholds and bounds") {
+    import graft.queries.VectorQueries._
+    // occupancy-pinned LSH width: boundary-exact at TargetOcc * 2^p
+    assert(adaptivePlanes(1) == MinPlanes)
+    assert(adaptivePlanes(TargetOcc << MinPlanes) == MinPlanes)        // 1024 -> 6
+    assert(adaptivePlanes((TargetOcc << MinPlanes) + 1) == MinPlanes + 1)
+    assert(adaptivePlanes(500) == 6 && adaptivePlanes(2000) == 7)
+    assert(adaptivePlanes(20000) == 11)
+    assert(adaptivePlanes(Long.MaxValue) == MaxPlanes)                 // clamped
+    // monotone non-decreasing across the whole range
+    val widths = (0 to 24).map(e => adaptivePlanes(1L << e))
+    assert(widths == widths.sorted)
+    // sqrt-ish IVF width: 4^p boundaries
+    assert(ivfPlanes(1) == MinIvfPlanes)
+    assert(ivfPlanes(1L << (2 * MinIvfPlanes)) == MinIvfPlanes)        // 64 -> 3
+    assert(ivfPlanes((1L << (2 * MinIvfPlanes)) + 1) == MinIvfPlanes + 1)
+    assert(ivfPlanes(500) == 5 && ivfPlanes(2000) == 6 && ivfPlanes(20000) == 8)
+    assert(ivfPlanes(Long.MaxValue) == MaxPlanes)
+    // flip radius switches exactly at RadiusSwitch planes
+    assert(flipRadius(RadiusSwitch - 1) == 2 && flipRadius(RadiusSwitch) == 3)
+    // mask count: sum of C(planes, k) for k <= radius
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    assert(pairMasks(11, 3).size == (0 to 3).map(choose(11, _)).sum)
+    assert(pairMasks(6, 2).size == (0 to 2).map(choose(6, _)).sum)
+    assert(pairMasks(6, 2).forall(m => m < 64 && java.lang.Long.bitCount(m) <= 2))
+  }
+
+  test("signBands reassemble the full 64-bit signature losslessly") {
+    // the 9 bands are disjoint and cover all 64 bits: re-shifting each
+    // band back to its offset must reproduce the original two words
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt().toLong & 0xffffffffL, rnd.nextInt().toLong & 0xffffffffL))
+      .toDF("vec_id", "sig_lo", "sig_hi")
+    assert(VectorOps.signBands.map(_._2).sum == 64)
+    val bandCols = VectorOps.signBands.zipWithIndex.map { case ((off, w), i) =>
+      VectorOps.signBand(col("sig_lo"), col("sig_hi"), off, w).as(s"b$i")
+    }
+    rows.select(col("sig_lo") +: col("sig_hi") +: bandCols: _*).collect()
+      .foreach { r =>
+        val full = BigInt(r.getLong(0)) | (BigInt(r.getLong(1)) << 32)
+        VectorOps.signBands.zipWithIndex.foreach { case ((off, w), i) =>
+          assert(r.getLong(i + 2) ==
+            ((full >> off) & ((BigInt(1) << w) - 1)).toLong,
+            s"band $i (off $off width $w) of $full")
+        }
+      }
+  }
+
   test("ANN probe set derives from the actual id space, not a dense-zero assumption") {
     // offset every vec_id by 10^9: a literal `vec_id < 40` filter would
     // silently probe nothing; the rank-based cut must still yield exactly
