@@ -180,6 +180,36 @@ object TextOps {
     * at cluster scale this is the natural partitioning since documents are
     * independent.
     */
+  /** Sequential PII scrub with per-pattern match counts: email -> IPv4 ->
+    * digit-run, each stage scrubbing the previous stage's output and
+    * counting on its own input so nothing double-counts (replacement
+    * tokens contain no digits). Patterns are RE2-safe (no lookaround) so
+    * any engine reproduces them. Pure per-row projection — no shuffle,
+    * whole-stage codegen'd, regexes precompiled per task — so it composes
+    * with any scan at 100 TB and runs UNCHANGED on a streaming frame (the
+    * StreamingSpec asserts streaming == batch).
+    *
+    * @return (idCol, n_emails, n_ipv4, n_digit_runs, scrubbed, len_delta)
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+    val num = "[0-9]+"
+    val s1 = regexp_replace(col(textCol), email, "<EMAIL>")
+    val s2 = regexp_replace(s1, ipv4, "<IP>")
+    val s3 = regexp_replace(s2, num, "<NUM>")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(s1, lit(ipv4), lit(0)))
+        .cast(LongType).as("n_ipv4"),
+      size(regexp_extract_all(s2, lit(num), lit(0)))
+        .cast(LongType).as("n_digit_runs"),
+      s3.as("scrubbed"),
+      (length(col(textCol)) - length(s3)).cast(LongType).as("len_delta"))
+  }
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          gramLen: Int = 8, window: Int = 4): DataFrame = {
     // Grams via an exploded position sequence + top-level substr/hash —

@@ -106,24 +106,8 @@ object EventQueries {
     // scrubs the previous stage's output and counts on its own input, so
     // nothing double-counts (replacement tokens contain no digits).
     "x2_pii_scrub" -> GQ(
-      (s, d) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val ipv4 = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
-        val num = "[0-9]+"
-        val s1 = regexp_replace(col("props"), email, "<EMAIL>")
-        val s2 = regexp_replace(s1, ipv4, "<IP>")
-        val s3 = regexp_replace(s2, num, "<NUM>")
-        Tables.load(s, d, "events").select(
-          col("event_id"),
-          size(regexp_extract_all(col("props"), lit(email), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(s1, lit(ipv4), lit(0)))
-            .cast("long").as("n_ipv4"),
-          size(regexp_extract_all(s2, lit(num), lit(0)))
-            .cast("long").as("n_digit_runs"),
-          s3.as("scrubbed"),
-          (length(col("props")) - length(s3)).cast("long").as("len_delta"))
-      },
+      (s, d) => graft.ops.TextOps.piiScrub(
+        Tables.load(s, d, "events"), "event_id", "props"),
       "WITH s AS (SELECT event_id, props, " +
         "regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') s1 " +
         "FROM events), " +

@@ -166,6 +166,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * perFile)
   }
 
+  test("stateless PII scrub runs unchanged on a stream and equals batch") {
+    // The library's per-row enrichments are plain projections, so the SAME
+    // function serves readStream without modification — the property that
+    // lets one codebase back both the batch corpus build and the live
+    // ingest path.
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(graft.ops.TextOps.piiScrub(stream, "event_id", "props"),
+      "scrub", "append")
+    val streamed = spark.table("scrub")
+    val batch = graft.ops.TextOps.piiScrub(batchEvents, "event_id", "props")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming dedup keeps exactly the batch-distinct digest set") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     runToMemory(EventStreams.dedupStream(stream), "dedup", "append")
