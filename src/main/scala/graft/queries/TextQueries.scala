@@ -483,6 +483,36 @@ object TextQueries {
         "QUALIFY row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY tf::DOUBLE / df DESC, tf.w) <= 3"),
 
+    // T10 — unigram-LM fluency score (the CCNet-style perplexity-proxy
+    // quality filter): every document scored by the mean log10 probability
+    // of its tokens under the corpus' own unigram distribution — low
+    // scorers are gibberish/boilerplate candidates. The frequency table is
+    // corpus-derived (one groupBy) and broadcasts back (vocab << corpus at
+    // 100 TB); the per-doc score is one hash aggregate — two shuffles
+    // total, both on designed keys, no window. Cross-engine libm-log and
+    // sum-reorder noise is <= ~1e-12; round(9) absorbs it while keeping
+    // nine decimals of signal.
+    "t10_unigram_logprob" -> GQ(
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+        toks.join(broadcast(freq), "w")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log10(col("c").cast("double") / col("t"))), 9)
+              .as("logprob"))
+      },
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
+        "FROM documents), " +
+        "freq AS (SELECT w, count(*) c FROM toks GROUP BY 1), " +
+        "tot AS (SELECT sum(c)::DOUBLE t FROM freq) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(log10(f.c::DOUBLE / tot.t)), 9) AS logprob " +
+        "FROM toks JOIN freq f ON toks.w = f.w, tot GROUP BY doc_id"),
+
     // X1 — benchmark decontamination: flag training documents sharing any
     // word-3-gram with a held-out evaluation set (docs with doc_id % 97 = 0
     // stand in for the benchmark corpus). This is the standard n-gram
