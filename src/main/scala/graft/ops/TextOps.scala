@@ -210,8 +210,12 @@ object TextOps {
       (length(col(textCol)) - length(s3)).cast(LongType).as("len_delta"))
   }
 
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         gramLen: Int = 8, window: Int = 4): DataFrame = {
+  /** Distinct winnowing fingerprints, one row per (doc, fingerprint) —
+    * the joinable form: t11's corpus duplication rate groups these by
+    * fingerprint; winnowFingerprints aggregates them per doc.
+    */
+  def winnowRows(df: DataFrame, idCol: String, textCol: String,
+                 gramLen: Int = 8, window: Int = 4): DataFrame = {
     // Grams via an exploded position sequence + top-level substr/hash —
     // whole-stage codegen end to end (the charShingles/transform array form
     // evaluates interpreted, ~15x slower at sf0.1). Docs shorter than
@@ -231,6 +235,11 @@ object TextOps {
       .where(col("pos") <= col("max_pos") - (window - 1))
       .select(col(idCol), col("win_min"))
       .distinct()
+  }
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         gramLen: Int = 8, window: Int = 4): DataFrame = {
+    winnowRows(df, idCol, textCol, gramLen, window)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_fingerprints"),

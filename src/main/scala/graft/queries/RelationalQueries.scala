@@ -193,6 +193,27 @@ object RelationalQueries {
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
         "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority FROM orders"),
 
+    // S10 — hive-partitioned parquet dataset: write orders partitioned by
+    // priority, read the dataset back through a partition filter. The
+    // filter prunes at the source (ScalePlanSpec asserts the plan; this
+    // gate asserts the VALUES) — the layout every 100 TB fact table uses,
+    // where a day/priority predicate must never scan the other partitions.
+    // The partition column round-trips through the directory name, so its
+    // type/values surviving is part of what's checked.
+    "s10_partitioned_scan" -> GQ(
+      (s, d) => {
+        val tmp = tmpDir("graft_part_")
+        Tables.load(s, d, "orders")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"),
+            col("o_orderpriority"))
+      },
+      "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
+        "o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'"),
+
     // K7 — cumulative batch-split preprocessor (reference:
     // batching/lfb-preprocess.py:34-58 + batching/config.yaml:1-3): union
     // raw CSVs by name, parse the date column, write cumulative batches —

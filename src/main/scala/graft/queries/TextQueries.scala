@@ -222,6 +222,41 @@ object TextQueries {
         "sha256(array_to_string(list_sort(list(win_min)), '-')) AS fp_digest " +
         "FROM fp GROUP BY doc_id"),
 
+    // T11 — corpus duplication rate per document: the fraction of a doc's
+    // winnowing fingerprints that occur in at least one OTHER document —
+    // the corpus-level dup-QA metric run after (and to validate) a dedup
+    // pass. One groupBy on the fingerprint hash (corpus-wide, uniformly
+    // distributed — the shuffle key at 100 TB) + a join back; the fraction
+    // is a single exact int division, so no rounding is needed for the
+    // cross-engine compare. Docs shorter than the gram length have no
+    // fingerprints and drop out, as in t4.
+    "t11_dup_rate" -> GQ(
+      (s, d) => {
+        val fp = TextOps.winnowRows(
+          Tables.load(s, d, "documents"), "doc_id", "text", 8, 4)
+        val sh = fp.groupBy("win_min").agg(count(lit(1)).as("nd"))
+        fp.join(sh, "win_min")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fingerprints"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_fingerprints"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_fingerprints"))
+              .as("shared_frac"))
+      },
+      "WITH g AS (SELECT doc_id, " +
+        "unnest(list_transform(list_transform(range(1, length(text) - 6), " +
+        s"i -> substr(text, i::INT, 8)), s -> ${dH60("s")} % 4294967296)) gh, " +
+        "unnest(range(1, length(text) - 6)) pos FROM documents), " +
+        "w AS (SELECT doc_id, pos, " +
+        "min(gh) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) win_min, " +
+        "max(pos) OVER (PARTITION BY doc_id) max_pos FROM g), " +
+        "fp AS (SELECT DISTINCT doc_id, win_min FROM w WHERE pos <= max_pos - 3), " +
+        "sh AS (SELECT win_min, count(*) nd FROM fp GROUP BY win_min) " +
+        "SELECT doc_id, count(*) AS n_fingerprints, " +
+        "sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared, " +
+        "sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS shared_frac " +
+        "FROM fp JOIN sh USING (win_min) GROUP BY doc_id"),
+
     // T5 — pairwise edit distance (unit-cost Levenshtein DP, identical
     // definition in both engines) over a bounded candidate set — the
     // fine-grained verifier a fuzzy-dedup pipeline runs after LSH
