@@ -13,6 +13,29 @@ object EventQueries {
 
   val all: Seq[(String, GQ)] = Seq(
 
+    // Batch form of the stream-stream interval join (EventStreams.
+    // clickAttribution, spec'd streaming==batch): attribute each purchase
+    // to every click by the same user in the preceding hour. The SAME
+    // function builds the batch plan here and the streaming plan in
+    // production — this gate pins its values against the oracle, and the
+    // StreamingSpec restart case pins the state semantics. Timestamps are
+    // compared as epoch micros (unix_micros == ts div 1000 exactly), the
+    // cross-engine-exact representation.
+    "ev_click_attribution" -> GQ(
+      (s, d) => graft.streaming.EventStreams.clickAttribution(
+          Tables.load(s, d, "events"), Tables.load(s, d, "events"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          unix_micros(col("purchase_time")).as("purchase_us"),
+          unix_micros(col("click_time")).as("click_us")),
+      "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events), " +
+        "c AS (SELECT user_id cu, event_id click_id, us click_us FROM e " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, event_id purchase_id, us purchase_us FROM e " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT purchase_id, user_id, click_id, purchase_us, click_us " +
+        "FROM p JOIN c ON user_id = cu AND click_us <= purchase_us " +
+        "AND click_us >= purchase_us - 3600000000"),
+
     // JSON property extraction — per-row, pushdown-friendly projection.
     "ev_json_extract" -> GQ(
       (s, d) => Tables.load(s, d, "events").select(
