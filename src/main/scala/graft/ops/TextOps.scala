@@ -237,14 +237,19 @@ object TextOps {
       .distinct()
   }
 
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         gramLen: Int = 8, window: Int = 4): DataFrame = {
-    winnowRows(df, idCol, textCol, gramLen, window)
+  /** Per-doc rollup of winnowRows output: fingerprint count + an
+    * order-independent digest of the fingerprint set.
+    */
+  def winnowAggregate(rows: DataFrame, idCol: String): DataFrame =
+    rows
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_fingerprints"),
         sha2(concat_ws("-",
           transform(array_sort(collect_list(col("win_min"))), x => x.cast("string"))), 256)
           .as("fp_digest"))
-  }
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         gramLen: Int = 8, window: Int = 4): DataFrame =
+    winnowAggregate(winnowRows(df, idCol, textCol, gramLen, window), idCol)
 }

@@ -56,6 +56,15 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|minhash12",
       TextOps.minhashSigRows(shingleIndex(s, d), "doc_id", 12))
 
+  /** Distinct winnowing fingerprint rows (shared by t4 and t11),
+    * materialized once per corpus per JVM — t11 consumes them twice
+    * (fingerprint-frequency groupBy + join-back), which recomputed the
+    * whole winnow pass before materialization.
+    */
+  private def winnowTable(s: SparkSession, d: String) =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|winnow8x4",
+      TextOps.winnowRows(Tables.load(s, d, "documents"), "doc_id", "text", 8, 4))
+
   /** 60-bit SimHash signature table (shared by d4 and d5), materialized
     * once per corpus per JVM.
     */
@@ -114,9 +123,12 @@ object TextQueries {
     warmSimhashChain(s, d)
   }
 
-  /** Shingle index → MinHash signatures (d2/d3/x1). */
+  /** Shingle index → MinHash signatures (d2/d3/x1), then the winnowing
+    * fingerprint rows (t4/t11) on the same thread.
+    */
   def warmShingleChain(s: SparkSession, d: String): Unit = {
     minhashSigTable(s, d)  // builds the shingle index first
+    winnowTable(s, d)
     ()
   }
 
@@ -208,8 +220,7 @@ object TextQueries {
     // T4 — winnowing fingerprints (8-char grams, window 4): per-doc
     // fingerprint count + digest of the sorted fingerprint set.
     "t4_winnow_fingerprint" -> GQ(
-      (s, d) => TextOps.winnowFingerprints(
-        Tables.load(s, d, "documents"), "doc_id", "text", 8, 4),
+      (s, d) => TextOps.winnowAggregate(winnowTable(s, d), "doc_id"),
       "WITH g AS (SELECT doc_id, " +
         "unnest(list_transform(list_transform(range(1, length(text) - 6), " +
         s"i -> substr(text, i::INT, 8)), s -> ${dH60("s")} % 4294967296)) gh, " +
@@ -232,8 +243,7 @@ object TextQueries {
     // fingerprints and drop out, as in t4.
     "t11_dup_rate" -> GQ(
       (s, d) => {
-        val fp = TextOps.winnowRows(
-          Tables.load(s, d, "documents"), "doc_id", "text", 8, 4)
+        val fp = winnowTable(s, d)
         val sh = fp.groupBy("win_min").agg(count(lit(1)).as("nd"))
         fp.join(sh, "win_min")
           .groupBy("doc_id")
