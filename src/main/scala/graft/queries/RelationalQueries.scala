@@ -226,9 +226,12 @@ object RelationalQueries {
         val orders = Tables.load(s, d, "orders")
           .withColumn("o_orderdate", date_format(col("o_orderdate"), "dd/MM/yyyy"))
         val tmp = tmpDir("graft_batch_")
-        orders.where(col("o_orderkey") % 2 === 0)
+        // coalesce(1): each shard stands in for one raw landing-zone CSV
+        // (the reference's per-batch files), not a distributed write — and
+        // 32 part-files per tiny shard is pure task overhead in the gate
+        orders.where(col("o_orderkey") % 2 === 0).coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/even")
-        orders.where(col("o_orderkey") % 2 =!= 0)
+        orders.where(col("o_orderkey") % 2 =!= 0).coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/odd")
         graft.warehouse.Jobs.batchSplit(s, Seq(s"$tmp/in/even", s"$tmp/in/odd"),
           s"$tmp/out", "o_orderdate", "dd/MM/yyyy",
