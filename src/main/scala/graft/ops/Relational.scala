@@ -402,4 +402,58 @@ object Relational {
   def stampGroupFirst(df: DataFrame, out: String, valueCol: Column,
                       partitionCols: Seq[Column], order: Seq[Column]): DataFrame =
     df.withColumn(out, first(valueCol).over(Window.partitionBy(partitionCols: _*).orderBy(order: _*)))
+
+  /** Greedy shard packing: walk rows in `orderCol` order accumulating
+    * `weightCol`, and assign each row the shard
+    * `floor(exclusive_prefix_sum / budget)` — the standard way a training
+    * pipeline packs documents into fixed-token-budget output shards while
+    * preserving a deterministic document order.
+    *
+    * The prefix sum is the textbook DISTRIBUTED two-level form, because the
+    * naive `sum().over(Window.orderBy(...))` is an unpartitioned window —
+    * Spark funnels the whole table through ONE task, the single worst
+    * scale anti-pattern available. Instead:
+    *   1. `repartitionByRange(orderCol)` range-partitions the rows; the
+    *      captured `spark_partition_id()` is then a bucket id that is
+    *      MONOTONE in the order key (range partitions are assigned in key
+    *      order; AQE may coalesce neighbors, which merges adjacent ranges
+    *      and stays monotone).
+    *   2. Per-bucket totals form a bucket-count-sized table; the exclusive
+    *      bucket offsets come from a window over THAT (thousands of rows
+    *      on any cluster, not billions).
+    *   3. The within-bucket exclusive prefix is a window PARTITIONED by
+    *      bucket, and `offset = bucket_offset + within_prefix` is exact
+    *      regardless of where the sampled range boundaries landed.
+    * Every shuffle is the range exchange or a keyed window — nothing
+    * global. `orderCol` must be unique per row (ties would make any
+    * engine's running sum order-dependent); weights must be non-negative.
+    *
+    * Output: input columns plus `shard_off` (the exclusive prefix) and
+    * `shard_id`.
+    */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: Column,
+                   budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget > 0, s"packByBudget: budget must be positive, got $budget")
+    val bucketed = df
+      .repartitionByRange(buckets, col(orderCol))
+      .withColumn("pk_bucket", spark_partition_id())
+      .withColumn("pk_w", weightCol.cast(LongType))
+    val offsets = bucketed.groupBy(col("pk_bucket"))
+      .agg(sum(col("pk_w")).as("pk_total"))
+      .withColumn("pk_base",
+        coalesce(sum(col("pk_total")).over(
+          Window.orderBy(col("pk_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pk_bucket"), col("pk_base"))
+    val within = Window.partitionBy(col("pk_bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), "pk_bucket")
+      .withColumn("shard_off",
+        col("pk_base") + coalesce(sum(col("pk_w")).over(within), lit(0L)))
+      .withColumn("shard_id",
+        ((col("shard_off") - pmod(col("shard_off"), lit(budget))) / budget)
+          .cast(LongType))
+      .drop("pk_bucket", "pk_w", "pk_base")
+  }
 }

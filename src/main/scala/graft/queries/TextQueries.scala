@@ -675,5 +675,30 @@ object TextQueries {
       "SELECT doc_id, ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT AS bucket, " +
         "CASE WHEN ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT < 205 THEN 'train' " +
         "WHEN ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT < 230 THEN 'val' " +
-        "ELSE 'test' END AS split FROM documents"))
+        "ELSE 'test' END AS split FROM documents"),
+
+    // T12 — token-budget shard packing: walk the corpus in doc_id order and
+    // assign each document to output shard floor(tokens_before / budget) —
+    // how a training pipeline cuts a corpus into fixed-token-count output
+    // files with a deterministic order. The oracle is DuckDB's global
+    // running sum; the Spark side deliberately is NOT (an unpartitioned
+    // window = one task holding the corpus): Relational.packByBudget runs
+    // the two-level distributed prefix sum — range-partition, per-bucket
+    // totals (a bucket-count-sized window), bucket offset + within-bucket
+    // keyed window — and must produce the identical assignment.
+    "t12_token_shards" -> GQ(
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        Relational.packByBudget(toks, "doc_id", col("n_tokens"), budget = 256L)
+          .select(col("doc_id"), col("n_tokens"), col("shard_off"), col("shard_id"))
+      },
+      "WITH t AS (SELECT doc_id, len(string_split_regex(text, '\\s+'))::BIGINT n_tokens " +
+        "FROM documents) " +
+        "SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS shard_off, " +
+        "(coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256)::BIGINT AS shard_id " +
+        "FROM t"))
 }

@@ -168,4 +168,21 @@ class RelationalSpec extends SparkSpec {
     Relational.incrementalAppend(incoming, Seq("k"), dir) // second run: no new keys
     assert(spark.read.parquet(dir).count() == 4)
   }
+
+  test("packByBudget matches the sequential greedy packing across partitions") {
+    // Sparse, offset, shuffled ids; one weight larger than the whole budget.
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle(
+      (0 until 500).map(i => (1000000L + i * 7L, (i % 23).toLong + 1L)) :+
+        (1000000L + 501 * 7L, 10000L))
+    val got = Relational.packByBudget(
+        rows.toDF("id", "w").repartition(13), "id", col("w"), budget = 100L, buckets = 11)
+      .select("id", "shard_off", "shard_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    var acc = 0L
+    val exp = rows.sortBy(_._1).map { case (id, w) =>
+      val off = acc; acc += w; (id, off, off / 100L)
+    }
+    assert(got.toSeq == exp)
+  }
 }
