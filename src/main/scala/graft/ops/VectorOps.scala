@@ -51,14 +51,20 @@ object VectorOps {
     }
   }
 
-  /** Plane-vector dot against literal plane components — fully codegen'd
-    * (element_at + literal multiply), same left-association order as the
-    * oracle's fold over a literal list.
+  /** Plane-vector dot against a LITERAL double-array plane, via the native
+    * dot expression. The earlier unrolled form (64 `element_at` × multiply
+    * × add nodes per plane) was bit-identical but built a ~12k-node
+    * expression tree across the 48 planes of the shared bucket projection
+    * — Catalyst optimization passes and codegen compilation over that tree
+    * cost ~10 s per session before a single row moved. One literal-array
+    * dot node per plane planifies in milliseconds and JITs as a tight
+    * primitive loop. Same left-fold IEEE sequence (`0.0 + p0 == p0`), and
+    * the plane components fold to the same doubles Catalyst produced
+    * (`m / 1000000.0 - 1.0` in one double division), so bucket ids are
+    * unchanged bit-for-bit.
     */
   private def planeDot(v: Column, ints: Seq[Long]): Column =
-    ints.zipWithIndex.map { case (m, i) =>
-      element_at(v, i + 1).cast("double") * (lit(m) / 1000000.0 - 1.0)
-    }.reduce(_ + _)
+    dotD(v, lit(ints.map(m => m / 1000000.0 - 1.0).toArray))
 
   /** Sign-LSH bucket id: bit `p` set iff `dot(plane_p, v) > 0`. Vectors
     * with high cosine similarity agree on most signs, so near-duplicates

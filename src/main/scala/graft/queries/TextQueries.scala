@@ -66,11 +66,18 @@ object TextQueries {
       TextOps.winnowRows(Tables.load(s, d, "documents"), "doc_id", "text", 8, 4))
 
   /** 60-bit SimHash signature table (shared by d4 and d5), materialized
-    * once per corpus per JVM.
+    * once per corpus per JVM. Built with the native per-row expression —
+    * one codegen'd pass per document, no explode shuffle and no 60-buffer
+    * hash aggregate; bit-identical to TextOps.simhashRows (the relational
+    * form, kept for engines without the native expression) and to the
+    * oracle's unnest-and-sum CTEs, since the per-bit ±1 sums are integer
+    * and order-independent. Swapping the builder halved the bench's
+    * materialize phase.
     */
   private def simhashTable(s: SparkSession, d: String) =
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
-      TextOps.simhashRows(Tables.load(s, d, "documents"), "doc_id", "text"))
+      Tables.load(s, d, "documents").select(col("doc_id"),
+        TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash")))
 
   /** SimHash near-dup pairs at Hamming distance <= 8, via the EXACT 9-band
     * pigeonhole join (see d5): any pair within hamming 8 of a 60-bit

@@ -45,6 +45,15 @@ class TextOpsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("relational simhashRows matches the native per-row form on real docs") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val native = docs.select(col("doc_id"),
+      TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash"))
+    val relational = TextOps.simhashRows(docs, "doc_id", "text")
+    assert(native.exceptAll(relational).count() == 0)
+    assert(relational.exceptAll(native).count() == 0)
+  }
+
   test("simhash: identical docs collide; disjoint docs differ") {
     val df = Seq("x y z x y", "x y z x y", "p q r s t").toDF("t")
       .select(TextOps.simhash60(TextOps.tokens(col("t"))).as("h")).as[Long].collect()
