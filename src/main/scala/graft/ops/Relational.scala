@@ -432,10 +432,17 @@ object Relational {
     * `shard_id`.
     */
   def packByBudget(df: DataFrame, orderCol: String, weightCol: Column,
-                   budget: Long, buckets: Int = 256): DataFrame = {
+                   budget: Long, buckets: Int = 0): DataFrame = {
     require(budget > 0, s"packByBudget: budget must be positive, got $budget")
+    // Default bucket count = the session's shuffle parallelism: the range
+    // exchange then has the same fan-out as every other shuffle the caller
+    // sized for their cluster (a fixed constant would under-split a large
+    // cluster and pay empty-partition task overhead on a small one).
+    val nBuckets =
+      if (buckets > 0) buckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val bucketed = df
-      .repartitionByRange(buckets, col(orderCol))
+      .repartitionByRange(nBuckets, col(orderCol))
       .withColumn("pk_bucket", spark_partition_id())
       .withColumn("pk_w", weightCol.cast(LongType))
     val offsets = bucketed.groupBy(col("pk_bucket"))
