@@ -22,7 +22,7 @@ object SparkEntry {
     * timings don't depend on which query happens to touch a shared stage
     * first. Bench times this as its own `materialize` phase.
     *
-    * The three chains are independent, so they run as CONCURRENT Spark
+    * The four chains are independent, so they run as CONCURRENT Spark
     * jobs in the one session (a SparkSession schedules jobs from multiple
     * threads fine; the cluster interleaves their stages) — wall time is
     * the longest chain, not the sum. Await rethrows the first failure.
@@ -33,6 +33,7 @@ object SparkEntry {
     import scala.concurrent.ExecutionContext.Implicits.global
     Seq(
       Future(TextQueries.warmShingleChain(spark, sfDir)),
+      Future(TextQueries.warmWinnowChain(spark, sfDir)),
       Future(TextQueries.warmSimhashChain(spark, sfDir)),
       Future(VectorQueries.warmInterStage(spark, sfDir)))
       .foreach(Await.result(_, Duration.Inf))

@@ -127,14 +127,20 @@ object TextQueries {
     */
   def warmInterStage(s: SparkSession, d: String): Unit = {
     warmShingleChain(s, d)
+    warmWinnowChain(s, d)
     warmSimhashChain(s, d)
   }
 
-  /** Shingle index → MinHash signatures (d2/d3/x1), then the winnowing
-    * fingerprint rows (t4/t11) on the same thread.
-    */
+  /** Shingle index → MinHash signatures (d2/d3/x1). */
   def warmShingleChain(s: SparkSession, d: String): Unit = {
     minhashSigTable(s, d)  // builds the shingle index first
+    ()
+  }
+
+  /** Winnowing fingerprint rows (t4/t11) — reads documents directly, so it
+    * is its own chain, not a tail of the shingle chain.
+    */
+  def warmWinnowChain(s: SparkSession, d: String): Unit = {
     winnowTable(s, d)
     ()
   }
