@@ -111,6 +111,33 @@ object AggWindowQueries {
         "GROUPING(l_returnflag, l_linestatus) AS gid FROM lineitem " +
         "GROUP BY CUBE (l_returnflag, l_linestatus)"),
 
+    // A11 — exact grouped percentiles (the distribution-profiling pass a
+    // quality pipeline runs before choosing filter thresholds): quartiles
+    // of quantity and price per return flag. Spark's `percentile` and
+    // DuckDB's `quantile_cont` both interpolate at rank p*(n-1); round(6)
+    // absorbs any last-ulp interpolation-order difference. Exact
+    // percentiles sort within each group partition — grouped percentiles
+    // shuffle on the group key and scale with the widest group, which is
+    // the accepted cost of an exact answer (the sketch path for when a
+    // group no longer fits a partition is approx_percentile, spec'd in
+    // ApproxAggSpec; no DuckDB-reproducible oracle exists for a sketch).
+    "a11_group_percentiles" -> GQ(
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99")),
+      "SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50, " +
+        "round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99 " +
+        "FROM lineitem GROUP BY l_returnflag"),
+
     // A2 — pivot aggregate, long->wide with explicit pivot values for
     // determinism (reference: aq-cleanse.py:215-219; SURVEY §7.4.4).
     "a2_pivot_wide" -> GQ(
