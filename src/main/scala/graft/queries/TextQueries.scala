@@ -66,18 +66,29 @@ object TextQueries {
       TextOps.winnowRows(Tables.load(s, d, "documents"), "doc_id", "text", 8, 4))
 
   /** 60-bit SimHash signature table (shared by d4 and d5), materialized
-    * once per corpus per JVM. Built with the native per-row expression —
-    * one codegen'd pass per document, no explode shuffle and no 60-buffer
-    * hash aggregate; bit-identical to TextOps.simhashRows (the relational
-    * form, kept for engines without the native expression) and to the
-    * oracle's unnest-and-sum CTEs, since the per-bit ±1 sums are integer
-    * and order-independent. Swapping the builder halved the bench's
-    * materialize phase.
+    * once per corpus per JVM. Built as explode → codegen'd sha2 →
+    * collect_list → native SimHash60F: the token hashing (the real work —
+    * one sha2 per token) stays a top-level whole-stage-codegen expression,
+    * and the per-bit ±1 bit-sums run once per document in the native
+    * expression's primitive loop instead of a 60-buffer hash aggregate.
+    * The two rejected forms each lose at one end: `simhash60(tokens(...))`
+    * per row hashes inside an interpreted HOF lambda (measured ~4x the
+    * whole materialize phase at the 10x probe), and the pure-relational
+    * simhashRows pays a ~12k-node 60-aggregate plan (~3 s of
+    * optimizer/codegen constant per session). SimHash60F's bit-sums are
+    * integer and order-independent, so collect_list order doesn't matter
+    * and all three forms are bit-identical (spec'd in TextOpsSpec) and
+    * match the oracle's unnest-and-sum CTEs.
     */
   private def simhashTable(s: SparkSession, d: String) =
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
-      Tables.load(s, d, "documents").select(col("doc_id"),
-        TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash")))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), TextOps.h60(col("w")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("h")).as("hs"))
+        .select(col("doc_id"),
+          graft.functions.SimHash60F.simhash60(col("hs")).as("simhash")))
 
   /** SimHash near-dup pairs at Hamming distance <= 8, via the EXACT 9-band
     * pigeonhole join (see d5): any pair within hamming 8 of a 60-bit
