@@ -462,6 +462,35 @@ object TextQueries {
         "SELECT n AS doc_id, min(m) AS cluster_id, min(m) = n AS is_canonical " +
         "FROM reach GROUP BY n"),
 
+    // D7 — canonical corpus prune: the end artifact of the dedup pipeline.
+    // Clusters (d6) collapse to one kept document each — the cluster's min
+    // doc_id — and the kept rows ride out with their cluster's member
+    // count. The prune is one equi-join of the corpus against the
+    // cluster-canonical ids (doc_id is the shuffle key both sides; at
+    // 100 TB the cluster table is the dedup rate × corpus — small — and
+    // broadcasts). Everything upstream (pair generation, CC) is the d5/d6
+    // machinery; this gate pins the final select-and-keep step.
+    "d7_canonical_prune" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val cc = Graph.connectedComponents(docs.select("doc_id"), "doc_id",
+          simhashPairs(s, d), col("doc_id_1"), col("doc_id_2"))
+        val clusters = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"))
+        docs.join(clusters, docs("doc_id") === clusters("cluster_id"))
+          .select(col("doc_id"), col("n_members"), col("n_chars"))
+      },
+      s"WITH RECURSIVE $dSimhashCtes, " +
+        "pairs AS (SELECT x.doc_id a, y.doc_id b FROM sig x JOIN sig y " +
+        "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8), " +
+        "sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), " +
+        "reach(n, m) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a), " +
+        "lbl AS (SELECT n, min(m) AS cluster_id FROM reach GROUP BY n), " +
+        "cl AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1) " +
+        "SELECT d.doc_id, cl.n_members, d.n_chars " +
+        "FROM documents d JOIN cl ON d.doc_id = cl.cluster_id"),
+
     // T6 — repetition / boilerplate stats (Gopher-style quality rules):
     // per doc, the fraction of word bigrams inside the single most
     // frequent bigram and inside any repeated bigram. Bigrams come from a
