@@ -462,6 +462,41 @@ object TextQueries {
         "SELECT n AS doc_id, min(m) AS cluster_id, min(m) = n AS is_canonical " +
         "FROM reach GROUP BY n"),
 
+    // D8 — incremental near-dup screen: the everyday production shape — a
+    // new batch (here the doc_id % 13 slice) checked against the HISTORICAL
+    // corpus before ingest. Candidates come from the same 9-band pigeonhole
+    // equi-join as d5, but one-sided (fresh bands × history bands), so the
+    // per-batch cost is bands(batch) × band occupancy in history — linear
+    // in the batch, never a rescan of the corpus — and the band key is the
+    // shuffle key. Complete for hamming <= 8 (the d5 bound), so the flag
+    // equals the oracle's brute-force EXISTS. At 100 TB the history band
+    // table is the pre-materialized index an ingest pipeline keeps warm.
+    "d8_incremental_dedup" -> GQ(
+      (s, d) => {
+        val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
+        val bandBits = 7
+        def bands(df: DataFrame) = df.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 9).map(b =>
+            shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
+          .toDF("doc_id", "sh", "bidx", "bval")
+        val isFresh = pmod(col("doc_id"), lit(13L)) === 0
+        val fresh = sig.where(isFresh)
+        val dupIds = bands(fresh).as("f")
+          .join(bands(sig.where(!isFresh)).as("h"),
+            col("f.bidx") === col("h.bidx") && col("f.bval") === col("h.bval"))
+          .where(bit_count(col("f.sh").bitwiseXOR(col("h.sh"))) <= 8)
+          .select(col("f.doc_id")).distinct()
+          .withColumn("dup", lit(true))
+        fresh.join(dupIds, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup"), lit(false)).as("is_dup_of_history"))
+      },
+      s"WITH $dSimhashCtes, " +
+        "f AS (SELECT doc_id, sh FROM sig WHERE doc_id % 13 = 0), " +
+        "h AS (SELECT doc_id, sh FROM sig WHERE doc_id % 13 != 0) " +
+        "SELECT f.doc_id, EXISTS(SELECT 1 FROM h " +
+        "WHERE bit_count(xor(f.sh, h.sh)) <= 8) AS is_dup_of_history FROM f"),
+
     // D7 — canonical corpus prune: the end artifact of the dedup pipeline.
     // Clusters (d6) collapse to one kept document each — the cluster's min
     // doc_id — and the kept rows ride out with their cluster's member
