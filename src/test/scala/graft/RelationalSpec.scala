@@ -185,4 +185,19 @@ class RelationalSpec extends SparkSpec {
     }
     assert(got.toSeq == exp)
   }
+
+  test("packByBudget boundaries: empty input, zero weights, invalid budget") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Relational.packByBudget(empty, "id", col("w"), budget = 10L).count() == 0)
+
+    // all-zero weights: every row has offset 0 and lands in shard 0
+    val zeros = Relational.packByBudget(
+        Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "w"), "id", col("w"), 10L)
+      .select("id", "shard_off", "shard_id").as[(Long, Long, Long)].collect()
+    assert(zeros.toSet == Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)))
+
+    intercept[IllegalArgumentException] {
+      Relational.packByBudget(empty, "id", col("w"), budget = 0L)
+    }
+  }
 }
