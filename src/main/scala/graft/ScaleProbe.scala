@@ -44,38 +44,44 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
     println(s"[scale] corpus at $big: ${nDocs * copies} docs, ${nVec * copies} vecs")
-    def timed(name: String): Unit = {
+    def timed(name: String): Option[Long] = {
       val t0 = System.nanoTime()
       try {
         val n = SparkEntry.queries(name)(spark, big).count()
         println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
+        Some(n)
       } catch {
         case e: Throwable =>
           println(f"[scale] $name FAILED after ${(System.nanoTime() - t0) / 1e9}%.1f s: ${e.getMessage.take(200)}")
+          None
       } finally spark.sharedState.cacheManager.clearCache()
     }
     val t0 = System.nanoTime()
     SparkEntry.preMaterialize(spark, big)
     println(f"[scale] materialize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
-      "d4_simhash_sig", "d5_simhash_hamming_pairs", "d6_dup_clusters",
-      "t4_winnow_fingerprint", "x1_decontaminate",
+    val counts = Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs",
+      "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
+      "d6_dup_clusters", "t4_winnow_fingerprint", "x1_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
-      "e7_binary_sign_ann", "e7b_binary_banded_neardup").foreach(timed)
+      "e7_binary_sign_ann", "e7b_binary_banded_neardup")
+      .map(n => n -> timed(n)).toMap
     // e3 recall vs the exact baseline at the scaled corpus: e3's output is
     // exact-verified (every pair it emits passes sim >= 0.4), so e3 is a
-    // subset of e3b and recall = |e3| / |e3b| — no pair join needed. e3b
-    // is the deliberate O(n^2/2) baseline; acceptable at probe scale.
-    try {
-      val e3 = SparkEntry.queries("e3_cosine_neardup_pairs")(spark, big).count()
-      spark.sharedState.cacheManager.clearCache()
-      val t1 = System.nanoTime()
-      val e3b = SparkEntry.queries("e3b_cosine_neardup_exact")(spark, big).count()
-      println(f"[scale] e3b exact baseline: ${(System.nanoTime() - t1) / 1e9}%.1f s, $e3b rows")
-      println(f"[scale] e3 recall vs exact: ${e3.toDouble / e3b}%.3f ($e3 / $e3b)")
-    } catch {
-      case e: Throwable => println(s"[scale] recall FAILED: ${e.getMessage.take(200)}")
-    } finally spark.sharedState.cacheManager.clearCache()
+    // subset of e3b and recall = |e3| / |e3b| — no pair join needed (and
+    // e3's count is already in hand from its timed run above). e3b is the
+    // deliberate O(n^2/2) baseline; acceptable at probe scale.
+    counts.getOrElse("e3_cosine_neardup_pairs", None) match {
+      case Some(e3) =>
+        timed("e3b_cosine_neardup_exact") match {
+          case Some(e3b) if e3b > 0 =>
+            println(f"[scale] e3 recall vs exact: ${e3.toDouble / e3b}%.3f ($e3 / $e3b)")
+          case Some(_) =>
+            println(s"[scale] recall UNDEFINED: exact baseline returned 0 pairs " +
+              s"(e3 returned $e3 — nonzero would mean e3 emits pairs the exact scan misses)")
+          case None => println("[scale] recall SKIPPED: exact baseline failed")
+        }
+      case None => println("[scale] recall SKIPPED: e3 failed")
+    }
     spark.stop()
   }
 }

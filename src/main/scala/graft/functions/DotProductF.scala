@@ -98,6 +98,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => DotProductF(e(0), e(1))),
     ("simhash60", classOf[SimHash60F],
       (e: Seq[Expression]) => SimHash60F(e(0))),
+    ("simhash_agg", classOf[SimHashAgg],
+      (e: Seq[Expression]) => SimHashAgg(e(0)).toAggregateExpression()),
     ("quant_code_sum", classOf[QuantCodeSumF],
       (e: Seq[Expression]) => QuantCodeSumF(e(0))),
     ("quant_sq_err", classOf[QuantSqErrF],

@@ -41,9 +41,24 @@ object Graph {
                           edges: DataFrame, srcCol: Column, dstCol: Column,
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // Only claim the session-global checkpoint dir if nobody has set one:
+    // silently repointing it would redirect every other checkpointing
+    // component in the shared session. If one is already set, reliable
+    // rounds go there — equally durable.
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // persist-then-checkpoint: a reliable checkpoint runs a SECOND job
+        // to write the rdd-* files, recomputing the whole round from
+        // lineage unless the rows are cached — persist makes the write
+        // read from memory, then the blocks are released (the checkpoint
+        // files are the durable copy).
+        val cached = df.persist()
+        val out = cached.checkpoint()
+        cached.unpersist()
+        out
+      } else df.localCheckpoint()
     val sym = edges.select(srcCol.as("a"), dstCol.as("b"))
       .union(edges.select(dstCol.as("a"), srcCol.as("b")))
       .persist()

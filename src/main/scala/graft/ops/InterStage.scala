@@ -34,6 +34,27 @@ object InterStage {
   private val done = scala.collection.concurrent.TrieMap.empty[String, String]
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Scratch directory with the same JVM lifecycle as the temp root:
+    * removed by a shutdown hook. For write-path gates and staging copies —
+    * per-call `createTempDirectory` without a hook piles abandoned table
+    * copies into /tmp (Bench runs every gate three times per invocation).
+    */
+  private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      scratch.forEach(p => rm(p.toFile))
+    }
+    ()
+  }
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratch.add(p)
+    p.toString
+  }
+
   /** Cache key for a stage derived from `dir/table.parquet` that changes
     * when the source file changes — fixture dirs that rewrite their parquet
     * between runs re-materialize instead of serving stale data. A missing

@@ -434,6 +434,9 @@ object Relational {
   def packByBudget(df: DataFrame, orderCol: String, weightCol: Column,
                    budget: Long, buckets: Int = 0): DataFrame = {
     require(budget > 0, s"packByBudget: budget must be positive, got $budget")
+    Seq("pk_bucket", "pk_w", "pk_base", "shard_off", "shard_id").foreach(
+      c => require(!df.columns.contains(c),
+        s"packByBudget: input already has a reserved column name '$c'"))
     // Default bucket count = the session's shuffle parallelism: the range
     // exchange then has the same fan-out as every other shuffle the caller
     // sized for their cluster (a fixed constant would under-split a large
@@ -441,10 +444,20 @@ object Relational {
     val nBuckets =
       if (buckets > 0) buckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // localCheckpoint PINS the bucket assignment: the range partitioner's
+    // sampled boundaries and spark_partition_id are nondeterministic per
+    // execution, and `bucketed` feeds two downstream subtrees (the offsets
+    // aggregate and the join) whose pruned plans need not reuse one
+    // exchange — without pinning, a row near a sampled boundary could land
+    // in bucket k for the offsets pass and k+1 for the join pass, silently
+    // corrupting every offset after it. Checkpointing one computed copy
+    // makes both branches read identical bucket ids (and is what any
+    // multi-consumer stage over nondeterministic output requires).
     val bucketed = df
       .repartitionByRange(nBuckets, col(orderCol))
       .withColumn("pk_bucket", spark_partition_id())
       .withColumn("pk_w", weightCol.cast(LongType))
+      .localCheckpoint()
     val offsets = bucketed.groupBy(col("pk_bucket"))
       .agg(sum(col("pk_w")).as("pk_total"))
       .withColumn("pk_base",

@@ -12,8 +12,11 @@ import graft.ops.Relational.Bucket
   */
 object RelationalQueries {
 
+  /** Scratch dirs for the write-path gates — shutdown-hook-cleaned, see
+    * InterStage.scratchDir.
+    */
   private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.ops.InterStage.scratchDir(prefix)
 
   val all: Seq[(String, GQ)] = Seq(
 

@@ -67,18 +67,19 @@ object TextQueries {
 
   /** 60-bit SimHash signature table (shared by d4 and d5), materialized
     * once per corpus per JVM. Built as explode → codegen'd sha2 →
-    * collect_list → native SimHash60F: the token hashing (the real work —
+    * native bounded-state aggregate: the token hashing (the real work —
     * one sha2 per token) stays a top-level whole-stage-codegen expression,
-    * and the per-bit ±1 bit-sums run once per document in the native
-    * expression's primitive loop instead of a 60-buffer hash aggregate.
-    * The two rejected forms each lose at one end: `simhash60(tokens(...))`
-    * per row hashes inside an interpreted HOF lambda (measured ~4x the
-    * whole materialize phase at the 10x probe), and the pure-relational
-    * simhashRows pays a ~12k-node 60-aggregate plan (~3 s of
-    * optimizer/codegen constant per session). SimHash60F's bit-sums are
-    * integer and order-independent, so collect_list order doesn't matter
-    * and all three forms are bit-identical (spec'd in TextOpsSpec) and
-    * match the oracle's unnest-and-sum CTEs.
+    * and SimHashAgg folds the 60 per-bit ±1 sums in a 240-byte buffer per
+    * document, partial-merged map-side. The rejected forms each lose
+    * somewhere: `simhash60(tokens(...))` per row hashes inside an
+    * interpreted HOF lambda (measured ~4x the whole materialize phase at
+    * the 10x probe); the pure-relational simhashRows pays a ~12k-node
+    * 60-aggregate plan (~3 s of optimizer/codegen constant per session);
+    * collect_list + SimHash60F keeps the entire document's token hashes
+    * in one aggregation buffer — unbounded per-doc state that a
+    * pathological 10^8-token document turns into an executor OOM. Integer
+    * bit-sums are order-independent, so all forms are bit-identical
+    * (spec'd in TextOpsSpec) and match the oracle's unnest-and-sum CTEs.
     */
   private def simhashTable(s: SparkSession, d: String) =
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
@@ -86,9 +87,7 @@ object TextQueries {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .select(col("doc_id"), TextOps.h60(col("w")).as("h"))
         .groupBy(col("doc_id"))
-        .agg(collect_list(col("h")).as("hs"))
-        .select(col("doc_id"),
-          graft.functions.SimHash60F.simhash60(col("hs")).as("simhash")))
+        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash")))
 
   /** SimHash near-dup pairs at Hamming distance <= 8, via the EXACT 9-band
     * pigeonhole join (see d5): any pair within hamming 8 of a 60-bit
@@ -101,13 +100,25 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|shpairs8",
       simhashPairsPlan(s, d))
 
-  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
-    val bandBits = 7 // 9 bands: eight 7-bit + one 4-bit
-    val bands = sig.select(col("doc_id"), col("sh"),
+  /** One (doc_id, sh, bidx, bval) row per pigeonhole band of a 60-bit
+    * signature table — 9 bands of 7 bits (the top one effectively 4): any
+    * pair within hamming 8 shares at least one untouched band, so a
+    * (bidx, bval) equi-join over these rows is a COMPLETE candidate
+    * generator for hamming <= 8. Shared by d5/d6 (self-join) and d8
+    * (one-sided batch-vs-history join) so the band layout can never
+    * diverge between them.
+    */
+  private def simhashBands(sig: DataFrame): DataFrame = {
+    val bandBits = 7
+    sig.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 9).map(b =>
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
       .toDF("doc_id", "sh", "bidx", "bval")
+  }
+
+  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
+    val bands = simhashBands(sig)
     bands.as("x").join(bands.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -474,15 +485,10 @@ object TextQueries {
     "d8_incremental_dedup" -> GQ(
       (s, d) => {
         val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")
-        val bandBits = 7
-        def bands(df: DataFrame) = df.select(col("doc_id"), col("sh"),
-          posexplode(array((0 until 9).map(b =>
-            shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
-          .toDF("doc_id", "sh", "bidx", "bval")
         val isFresh = pmod(col("doc_id"), lit(13L)) === 0
         val fresh = sig.where(isFresh)
-        val dupIds = bands(fresh).as("f")
-          .join(bands(sig.where(!isFresh)).as("h"),
+        val dupIds = simhashBands(fresh).as("f")
+          .join(simhashBands(sig.where(!isFresh)).as("h"),
             col("f.bidx") === col("h.bidx") && col("f.bval") === col("h.bval"))
           .where(bit_count(col("f.sh").bitwiseXOR(col("h.sh"))) <= 8)
           .select(col("f.doc_id")).distinct()

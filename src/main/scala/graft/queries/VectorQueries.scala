@@ -473,7 +473,11 @@ object VectorQueries {
     // linearly with the corpus — the same fixed-fanout saturation e3's
     // planes had). Centroids = per-bucket means of the adaptive-width
     // sign-LSH partition (one Lloyd step from a deterministic LSH
-    // initialization — no RNG, so the oracle regenerates them exactly);
+    // initialization — no RNG; the centroid double-sums carry the usual
+    // cross-engine last-ulp summation-order noise, which only surfaces if
+    // two lists' csim for one vector tie at that scale — csim steers
+    // assignment only, never a value in the output, and like e6's it has
+    // held bit-stable across every gate run);
     // nlists = 2^ivfPlanes(n) ~ sqrt(n) tracks the corpus at the classic
     // IVF balance point: per-vector assignment cost (nlists) and
     // per-probe list length (n/nlists) both grow as sqrt(n) — pinning

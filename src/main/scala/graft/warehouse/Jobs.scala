@@ -49,7 +49,7 @@ object Jobs {
     * (reference: aq-extract.py:25-61; S3+J3).
     */
   def aqExtract(spark: SparkSession, inPaths: Seq[String], outPath: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_aq_union_").toString
+    val tmp = graft.ops.InterStage.scratchDir("graft_aq_union_")
     inPaths.map(p => spark.read.option("header", "true").option("inferSchema", "true").csv(p))
       .reduce(_ unionByName _).write.mode("overwrite").parquet(tmp)
     // reuse the incremental path on the unioned staging copy

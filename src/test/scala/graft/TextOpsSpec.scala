@@ -45,6 +45,32 @@ class TextOpsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("simhash_agg over exploded hashes matches the per-row array form on real docs") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val viaAgg = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), TextOps.h60(col("w")).as("h"))
+      .repartition(7) // force partial buffers to merge across partitions
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+    val viaRow = docs.select(col("doc_id"),
+      TextOps.simhash60(TextOps.tokens(col("text"))).as("simhash"))
+    assert(viaAgg.exceptAll(viaRow).count() == 0)
+    assert(viaRow.exceptAll(viaAgg).count() == 0)
+  }
+
+  test("simhash_agg is SQL-callable and ignores null hashes") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, Some(3L)), (1L, None), (2L, Some(0L)))
+      .toDF("g", "h").createOrReplaceTempView("simagg_in")
+    val out = spark.sql(
+      "SELECT g, simhash_agg(h) sh FROM simagg_in GROUP BY g ORDER BY g")
+      .as[(Long, Long)].collect()
+    // g=1: one hash 3 -> bits 0,1 positive, rest negative -> sig = 3
+    // g=2: one hash 0 -> every bit sums -1 -> sig = 0
+    assert(out.toSeq == Seq((1L, 3L), (2L, 0L)))
+  }
+
   test("relational simhashRows matches the native per-row form on real docs") {
     val docs = Tables.load(spark, Sf0001, "documents")
     val native = docs.select(col("doc_id"),
