@@ -771,6 +771,33 @@ object TextQueries {
         "WHEN ('0x' || substr(sha256('split42|' || doc_id::VARCHAR), 1, 2))::BIGINT < 230 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents"),
 
+    // T13 — context-window chunking: split every document into fixed-size
+    // token windows (16 tokens, stride 8 — overlapping halves, the
+    // training-prep step that turns variable-length documents into
+    // max-seq-length examples). Purely per-row: window starts come from
+    // one `sequence` explode and each chunk is a top-level codegen'd
+    // `slice` + `concat_ws` — no HOF lambda in the hot path, no shuffle at
+    // all (the chunker composes with any downstream partitioning).
+    "t13_chunk_windows" -> GQ(
+      (s, d) => {
+        val (w, stride) = (16, 8)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(stride))))
+          .toDF("doc_id", "t", "chunk_idx", "st")
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            least(lit(w), size(col("t")) - col("st") + 1).cast("long")
+              .as("chunk_tokens"),
+            concat_ws(" ", slice(col("t"), col("st"), lit(w))).as("chunk"))
+      },
+      "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks " +
+        "FROM documents) " +
+        "SELECT doc_id, (st - 1) // 8 AS chunk_idx, " +
+        "least(16, len(toks) - st + 1)::BIGINT AS chunk_tokens, " +
+        "array_to_string(toks[st:st+15], ' ') AS chunk " +
+        "FROM t, unnest(range(1, len(toks) + 1, 8)) u(st)"),
+
     // T12 — token-budget shard packing: walk the corpus in doc_id order and
     // assign each document to output shard floor(tokens_before / budget) —
     // how a training pipeline cuts a corpus into fixed-token-count output
