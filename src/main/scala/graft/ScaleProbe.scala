@@ -61,7 +61,9 @@ object ScaleProbe {
     println(f"[scale] materialize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val counts = Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs",
       "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
-      "d6_dup_clusters", "t4_winnow_fingerprint", "x1_decontaminate",
+      "d6_dup_clusters", "d7_canonical_prune", "d8_incremental_dedup",
+      "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
+      "x1_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
       "e7_binary_sign_ann", "e7b_binary_banded_neardup")
       .map(n => n -> timed(n)).toMap
