@@ -432,7 +432,8 @@ object Relational {
     * `shard_id`.
     */
   def packByBudget(df: DataFrame, orderCol: String, weightCol: Column,
-                   budget: Long, buckets: Int = 0): DataFrame = {
+                   budget: Long, buckets: Int = 0,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(budget > 0, s"packByBudget: budget must be positive, got $budget")
     Seq("pk_bucket", "pk_w", "pk_base", "shard_off", "shard_id").foreach(
       c => require(!df.columns.contains(c),
@@ -444,7 +445,7 @@ object Relational {
     val nBuckets =
       if (buckets > 0) buckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // localCheckpoint PINS the bucket assignment: the range partitioner's
+    // The checkpoint PINS the bucket assignment: the range partitioner's
     // sampled boundaries and spark_partition_id are nondeterministic per
     // execution, and `bucketed` feeds two downstream subtrees (the offsets
     // aggregate and the join) whose pruned plans need not reuse one
@@ -452,12 +453,22 @@ object Relational {
     // in bucket k for the offsets pass and k+1 for the join pass, silently
     // corrupting every offset after it. Checkpointing one computed copy
     // makes both branches read identical bucket ids (and is what any
-    // multi-consumer stage over nondeterministic output requires).
-    val bucketed = df
+    // multi-consumer stage over nondeterministic output requires). As in
+    // Graph.connectedComponents, pass `checkpointDir` on a real cluster:
+    // localCheckpoint blocks die with their executor mid-job.
+    val sc = df.sparkSession.sparkContext
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    val ranged = df
       .repartitionByRange(nBuckets, col(orderCol))
       .withColumn("pk_bucket", spark_partition_id())
       .withColumn("pk_w", weightCol.cast(LongType))
-      .localCheckpoint()
+    val bucketed =
+      if (checkpointDir.isDefined) {
+        val cached = ranged.persist()
+        val out = cached.checkpoint()
+        cached.unpersist()
+        out
+      } else ranged.localCheckpoint()
     val offsets = bucketed.groupBy(col("pk_bucket"))
       .agg(sum(col("pk_w")).as("pk_total"))
       .withColumn("pk_base",

@@ -28,6 +28,10 @@ class GraphSpec extends SparkSpec {
 
   test("connectedComponents with a reliable checkpoint dir matches local mode") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_")
+    // The op only claims the session-global dir when none is set; another
+    // suite in the shared session may have set one, so pin it here — the
+    // rdd-* placement assertion below must see THIS directory.
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")
     val edges = Seq((2L, 1L), (3L, 9L), (2L, 3L), (5L, 7L)).toDF("a", "b")
     val out = Graph.connectedComponents(nodes, "id", edges, col("a"), col("b"),

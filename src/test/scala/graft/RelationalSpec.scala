@@ -200,4 +200,15 @@ class RelationalSpec extends SparkSpec {
       Relational.packByBudget(empty, "id", col("w"), budget = 0L)
     }
   }
+
+  test("packByBudget with a reliable checkpoint dir matches local mode") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt_")
+    val rows = (0 until 100).map(i => (i.toLong, (i % 5).toLong + 1L))
+    def run(dir: Option[String]) = Relational.packByBudget(
+        rows.toDF("id", "w").repartition(5), "id", col("w"), 20L,
+        checkpointDir = dir)
+      .select("id", "shard_off", "shard_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(run(Some(ckpt.toString)) == run(None))
+  }
 }
