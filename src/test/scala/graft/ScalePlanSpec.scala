@@ -86,6 +86,42 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("d8 incremental dedup plans the band equi-join, never a nested loop") {
+    // The batch-vs-history screen must stay a (band_idx, band_value)
+    // equi-join: a nested-loop or cartesian pair scan would rescan the
+    // full history per batch row — the exact plan the bands exist to avoid.
+    val plan = executedPlan(
+      SparkEntry.queries("d8_incremental_dedup")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("t13 chunking plans zero exchanges") {
+    // The chunker is pure per-row work and must compose with any upstream
+    // partitioning — any Exchange in its plan is a regression against the
+    // zero-shuffle contract its gate comment claims.
+    val plan = executedPlan(
+      SparkEntry.queries("t13_chunk_windows")(spark, Sf0001))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("t12 shard packing's only data shuffle is the range exchange") {
+    // The two-level prefix sum may range-partition the data once and run
+    // one unpartitioned window over the tiny per-bucket table; a window
+    // over the DATA without a partition key (the single-task global-cumsum
+    // plan) must never come back.
+    val q = SparkEntry.queries("t12_token_shards")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val rangeEx = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeEx <= 1, s"expected at most one range exchange:\n${plan.take(2000)}")
+    // the bucket-offset window is over the bucket table (grouped: one row
+    // per pk_bucket), which reaches the window through its aggregation —
+    // the raw document rows must not flow into an unpartitioned window
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, plan.take(2000))
+  }
+
   test("x1 decontamination broadcasts the eval n-gram set") {
     // The eval-set side must broadcast: at 100 TB the training-side index
     // never shuffles for this check.
