@@ -510,7 +510,11 @@ object TextQueries {
     // cluster-canonical ids (doc_id is the shuffle key both sides; at
     // 100 TB the cluster table is the dedup rate × corpus — small — and
     // broadcasts). Everything upstream (pair generation, CC) is the d5/d6
-    // machinery; this gate pins the final select-and-keep step.
+    // machinery; this gate pins the final select-and-keep step. The CC
+    // pass deliberately runs live rather than reading a materialized label
+    // table: d6's per-query number is the tracked CC benchmark, and a
+    // production pipeline would InterStage-materialize the labels once and
+    // feed both consumers — the composition, not the operator, changes.
     "d7_canonical_prune" -> GQ(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
