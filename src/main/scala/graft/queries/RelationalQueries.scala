@@ -181,6 +181,28 @@ object RelationalQueries {
         "(150000.0, 300000.0, 'diamond'), (300000.0, 500000.0, 'elite')) " +
         "t(lo, hi, tier) ON o_totalprice >= lo AND o_totalprice < hi"),
 
+    // J9 — skew-salted equi join: the fact side's key is salted with a
+    // stable residue, the dim side replicates once per salt value, and the
+    // join runs on (key, salt) — a hot key's rows spread over saltFactor
+    // reducers instead of hammering one (the deterministic pre-AQE answer
+    // to shuffle skew at 100 TB). The gate pins the operator's contract:
+    // the salted result EQUALS the plain equi-join, which is exactly what
+    // the oracle computes.
+    "j9_salted_join" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .where(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"), col("o_totalprice"))
+        graft.ops.Relational.saltedJoin(li, o, Seq("l_orderkey"), 8)
+      },
+      "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, " +
+        "o.o_orderpriority, o.o_totalprice FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_quantity > 45"),
+
     // J1 + K2 — the incremental-load primitive: append only rows whose key
     // is absent from the existing sink, with overwrite fallback on first
     // run (reference: etl/extract/lfb-extract.py:30-52).
