@@ -67,6 +67,14 @@ object ScaleProbe {
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
       "e7_binary_sign_ann", "e7b_binary_banded_neardup")
       .map(n => n -> timed(n)).toMap
+    // The gates read the materialized CC label table (built in the
+    // materialize phase); the ITERATIVE pass itself keeps its own tracked
+    // number here so its scaling can't hide inside the shared phase.
+    locally {
+      val t = System.nanoTime()
+      val n = graft.queries.TextQueries.ccLabelsLive(spark, big).count()
+      println(f"[scale] cc_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows")
+    }
     // e3 recall vs the exact baseline at the scaled corpus: e3's output is
     // exact-verified (every pair it emits passes sim >= 0.4), so e3 is a
     // subset of e3b and recall = |e3| / |e3b| — no pair join needed (and
@@ -83,6 +91,35 @@ object ScaleProbe {
           case None => println("[scale] recall SKIPPED: exact baseline failed")
         }
       case None => println("[scale] recall SKIPPED: e3 failed")
+    }
+    // recall@5 for every approximate KNN path vs e1's exact top-5 over the
+    // SAME fixed probe set (probeCut): an ANN path without a measured
+    // accuracy number is not one a user can pick. The result sets are
+    // probe-bounded (ProbeCount x 5 rows), so the set compare is a tiny
+    // driver-side operation regardless of corpus size; e1 itself is the
+    // probe-bounded brute-force scan (linear in the corpus).
+    try {
+      val t = System.nanoTime()
+      val exact = SparkEntry.queries("e1_knn_bruteforce")(spark, big)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[scale] e1 exact baseline: ${(System.nanoTime() - t) / 1e9}%.1f s, ${exact.size} pairs")
+      for (name <- Seq("e2_knn_lsh", "e6_ivf_knn", "e6b_ivf_adaptive",
+          "e7_binary_sign_ann")) {
+        try {
+          val ann = SparkEntry.queries(name)(spark, big)
+            .select("q_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val hit = exact.count(ann.contains)
+          println(f"[scale] $name recall@5 vs e1: ${hit.toDouble / exact.size}%.3f ($hit / ${exact.size})")
+        } catch {
+          case e: Throwable =>
+            println(s"[scale] $name recall FAILED: ${e.getMessage.take(200)}")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        println(s"[scale] knn recall SKIPPED: e1 failed: ${e.getMessage.take(200)}")
     }
     spark.stop()
   }

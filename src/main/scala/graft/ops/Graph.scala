@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Connected components by min-label propagation with pointer jumping:
     * every node starts labeled with its own id, and each round every node
     * takes the minimum of (its label, its neighbors' labels, its LABEL'S
@@ -46,7 +48,16 @@ object Graph {
     // component in the shared session. If one is already set, reliable
     // rounds go there — equally durable.
     val sc = nodes.sparkSession.sparkContext
-    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      else if (!sc.getCheckpointDir.exists(_.contains(d)))
+        // The redirect is deliberate (see above) but must not be silent: a
+        // caller passing a durable HDFS dir while a test pinned a local
+        // /tmp dir would otherwise get non-durable checkpoints unnoticed.
+        log.warn(s"connectedComponents: requested checkpointDir '$d' " +
+          s"ignored — session already checkpoints to " +
+          s"'${sc.getCheckpointDir.get}'")
+    }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         // persist-then-checkpoint: a reliable checkpoint runs a SECOND job

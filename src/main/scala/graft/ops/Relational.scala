@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Core relational operator library — the reusable `DataFrame => DataFrame`
   * / `Column => Column` builders that the reference implements as
@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.LongType
   * reference's two-pass z-score / calendar-span idiom).
   */
 object Relational {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // ---------------------------------------------------------------------
   // Bucketing (range -> label)
@@ -426,7 +428,12 @@ object Relational {
     *      regardless of where the sampled range boundaries landed.
     * Every shuffle is the range exchange or a keyed window — nothing
     * global. `orderCol` must be unique per row (ties would make any
-    * engine's running sum order-dependent); weights must be non-negative.
+    * engine's running sum order-dependent); weights must be non-negative
+    * (a negative weight raises at runtime — a corrupt offset would
+    * silently mis-pack every shard after it) and are TRUNCATED to whole
+    * units via `cast(LongType)` (token budgets are integral; callers with
+    * fractional costs should pre-round with `ceil`/`round` to choose the
+    * direction).
     *
     * Output: input columns plus `shard_off` (the exclusive prefix) and
     * `shard_id`.
@@ -457,11 +464,22 @@ object Relational {
     // Graph.connectedComponents, pass `checkpointDir` on a real cluster:
     // localCheckpoint blocks die with their executor mid-job.
     val sc = df.sparkSession.sparkContext
-    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      else if (!sc.getCheckpointDir.exists(_.contains(d)))
+        log.warn(s"packByBudget: requested checkpointDir '$d' ignored — " +
+          s"session already checkpoints to '${sc.getCheckpointDir.get}'")
+    }
     val ranged = df
       .repartitionByRange(nBuckets, col(orderCol))
       .withColumn("pk_bucket", spark_partition_id())
-      .withColumn("pk_w", weightCol.cast(LongType))
+      // Truncate-to-Long is the documented contract; the guard is per-row
+      // codegen'd and fails fast instead of producing corrupt offsets.
+      .withColumn("pk_w",
+        when(weightCol.cast(LongType) < 0,
+          raise_error(concat(lit("packByBudget: negative weight "),
+            weightCol.cast(StringType))))
+          .otherwise(weightCol.cast(LongType)))
     val bucketed =
       if (checkpointDir.isDefined) {
         val cached = ranged.persist()
@@ -482,9 +500,12 @@ object Relational {
       .join(broadcast(offsets), "pk_bucket")
       .withColumn("shard_off",
         col("pk_base") + coalesce(sum(col("pk_w")).over(within), lit(0L)))
-      .withColumn("shard_id",
-        ((col("shard_off") - pmod(col("shard_off"), lit(budget))) / budget)
-          .cast(LongType))
+      // Integer floor-division: the earlier `(off - pmod) / budget` form
+      // went through Double division, exact only below 2^53 — a 100 TB
+      // corpus with byte-granularity weights crosses that and shard ids
+      // would silently drift. floorDivExact is pure integer math over the
+      // full Long range.
+      .withColumn("shard_id", floorDivExact(col("shard_off"), budget))
       .drop("pk_bucket", "pk_w", "pk_base")
   }
 }

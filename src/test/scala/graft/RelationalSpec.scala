@@ -201,6 +201,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("packByBudget shard ids stay exact past 2^53 cumulative weight") {
+    // Weights big enough that the running offset crosses the Double exact
+    // range (2^53 ≈ 9.007e15) mid-table — the regime a 100 TB corpus with
+    // byte-granularity weights reaches. The old `(off - pmod) / budget`
+    // Double division drifts by ±1 shard up there; floorDivExact must not.
+    val w = (1L << 51) + 1L // offsets cross 2^53 after 4 rows
+    val rows = (0 until 24).map(i => (i.toLong, w))
+    val got = Relational.packByBudget(
+        rows.toDF("id", "w").repartition(5), "id", col("w"),
+        budget = 3L, buckets = 3)
+      .select("id", "shard_off", "shard_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val exp = rows.map { case (id, _) =>
+      val off = id * w; (id, off, off / 3L)
+    }
+    assert(got.toSeq == exp)
+    // Sanity: the old Double path (divide, then cast-to-Long truncation)
+    // DOES diverge on these offsets — 9 of the 24 rows land one shard off —
+    // so the equality above genuinely exercises the integer path.
+    assert(exp.count { case (_, off, sid) =>
+      ((off - off % 3L).toDouble / 3.0).toLong != sid } >= 5)
+  }
+
+  test("packByBudget rejects negative weights at runtime") {
+    val bad = Seq((1L, 5L), (2L, -3L), (3L, 4L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Relational.packByBudget(bad, "id", col("w"), budget = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative weight")))
+  }
+
   test("packByBudget with a reliable checkpoint dir matches local mode") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt_")
     val rows = (0 until 100).map(i => (i.toLong, (i % 5).toLong + 1L))

@@ -105,21 +105,43 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
-  test("t12 shard packing's only data shuffle is the range exchange") {
-    // The two-level prefix sum may range-partition the data once and run
-    // one unpartitioned window over the tiny per-bucket table; a window
-    // over the DATA without a partition key (the single-task global-cumsum
-    // plan) must never come back.
+  test("t12 shard packing never funnels the data through one partition") {
+    // The naive global cumulative sum plans as `Exchange SinglePartition`
+    // + an UNPARTITIONED Window over the raw rows — and it contains zero
+    // range exchanges, so counting range exchanges cannot catch it. Assert
+    // the actual two-level contract instead: every window over the data is
+    // keyed by pk_bucket, and the only single-partition funnel carries the
+    // per-bucket aggregate (one row per bucket), never the document rows.
     val q = SparkEntry.queries("t12_token_shards")(spark, Sf0001)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val rangeEx = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
-    assert(rangeEx <= 1, s"expected at most one range exchange:\n${plan.take(2000)}")
-    // the bucket-offset window is over the bucket table (grouped: one row
-    // per pk_bucket), which reaches the window through its aggregation —
-    // the raw document rows must not flow into an unpartitioned window
-    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(winLines.nonEmpty, plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window "))
+    assert(winIdx.nonEmpty, plan.take(2000))
+    // The data-side window must exist and be PARTITIONED by pk_bucket —
+    // the partitioned form prints three bracket groups with the partition
+    // spec (no sort direction) in the middle: `], [pk_bucket#N], [`.
+    val keyed = """.*\], \[pk_bucket#\d+\], \[.*"""
+    assert(winIdx.exists(_._1.matches(keyed)),
+      s"no pk_bucket-partitioned window over the data:\n${plan.take(2000)}")
+    // Any OTHER window (no pk_bucket partition spec) is legal only over
+    // the bucket table: its subtree must reach the per-bucket aggregate
+    // within a few lines (Sort / shuffle-stage wrappers in between).
+    winIdx.filterNot(_._1.matches(keyed)).foreach { case (_, i) =>
+      assert(lines.slice(i + 1, i + 7)
+        .exists(_.contains("HashAggregate(keys=[pk_bucket")),
+        s"unpartitioned window not over the bucket aggregate (line $i):\n${plan.take(2000)}")
+    }
+    // At most one single-partition exchange, and it must feed from the
+    // per-bucket aggregate — a SinglePartition exchange over the raw rows
+    // is the global-cumsum plan this test exists to ban.
+    val spIdx = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    assert(spIdx.size <= 1, plan.take(2000))
+    spIdx.foreach { case (_, i) =>
+      assert(lines.slice(i + 1, i + 5)
+        .exists(_.contains("HashAggregate(keys=[pk_bucket")),
+        s"SinglePartition exchange not over the bucket aggregate:\n${plan.take(2000)}")
+    }
   }
 
   test("x1 decontamination broadcasts the eval n-gram set") {
