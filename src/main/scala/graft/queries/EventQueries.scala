@@ -186,20 +186,28 @@ object EventQueries {
         "AS frame_sha, length(substr(text, (i * stride + 1)::INT, 8)) AS frame_len " +
         "FROM f, unnest(range(0, 4)) u(i)"),
 
-    // M3 — typed mapPartitions decode stub: documents -> Dataset[MediaRow]
-    // -> per-partition decode -> typed metadata. Exercises case-class
-    // Encoders and the iterator batch shape; the stub's hash-derived output
-    // keeps it SQL-checkable.
-    "m3_decode_stub" -> GQ(
+    // M3 — REAL decode through the typed mapPartitions seam: each doc id
+    // synthesizes a deterministic binary PPM (P6) payload — genuine wire
+    // format: ASCII header + raw RGB samples — and Multimodal.decodePpm
+    // PARSES those bytes back (dimensions from the header, pixel sum/mean
+    // from the samples). The decoder knows nothing about the generative
+    // formula; the oracle recomputes the expected stats analytically from
+    // it, so a parser that misread the header or skipped sample bytes
+    // hash-mismatches. Exercises case-class Encoders and the per-partition
+    // iterator batch shape a native codec plugs into.
+    "m3_ppm_decode" -> GQ(
       (s, d) => {
         import s.implicits._
         val media = Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("media"))
-          .as[Multimodal.MediaRow]
-        Multimodal.decodeAll(s, media)
+          .select(col("doc_id")).as[Long].map(Multimodal.ppmFixture _)
+        Multimodal.decodeAll(s, media, Multimodal.decodePpm)
+          .withColumn("px_mean", round(col("px_mean"), 6))
       },
-      "SELECT doc_id, (('0x' || substr(sha256(text || 'w'), 1, 15))::BIGINT % 1920 + 1)::INT " +
-        "AS width, (('0x' || substr(sha256(text || 'h'), 1, 15))::BIGINT % 1080 + 1)::INT AS height, " +
-        "['png', 'jpeg', 'wav'][((('0x' || substr(sha256(text), 1, 15))::BIGINT % 3) + 1)::INT] " +
-        "AS format, octet_length(encode(text)) AS n_bytes FROM documents"))
+      "WITH dims AS (SELECT doc_id, (doc_id % 16 + 1)::INT w, " +
+        "((doc_id // 16) % 16 + 1)::INT h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, sum((doc_id * 131 + i * 7) % 256)::BIGINT s " +
+        "FROM dims, unnest(range(0, (w * h * 3)::BIGINT)) u(i) GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, w AS width, h AS height, 'ppm' AS format, " +
+        "(9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h * 3)::BIGINT AS n_bytes, " +
+        "s AS px_sum, round(s / (w * h * 3), 6) AS px_mean FROM px"))
 }

@@ -632,6 +632,45 @@ object VectorQueries {
           s"${dBand("x", off, w)} = ${dBand("y", off, w)}"
         }.mkString(" OR ") + ")"),
 
+    // E7b-complete — the COMPLETE regime of the banded near-dup, oracle-
+    // checked. The corpus' closest signature pair sits at hamming 14, so
+    // at the production threshold (<= 8, where 9 bands are pigeonhole-
+    // complete) the corpus alone yields the empty set; this gate therefore
+    // unions in perturbed twins — every 25th vector re-enters with 3
+    // sig_lo bits flipped (a deterministic id-derived mask) under the
+    // bijective negative id -vec_id-1 — creating genuine hamming-3 pairs.
+    // The ORACLE IS THE BRUTE-FORCE PAIR SCAN with no band condition:
+    // equality of the band equi-join against it is precisely the
+    // completeness claim (any pair within hamming 8 shares an untouched
+    // band), checked end-to-end rather than argued.
+    "e7b_complete" -> GQ(
+      (s, d) => {
+        val sig = normedBuckets(s, d)
+          .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+        val twins = sig.where(pmod(col("vec_id"), lit(25L)) === 0)
+          .select((negate(col("vec_id")) - 1).as("vec_id"),
+            col("sig_lo").bitwiseXOR(
+              expr("shiftleft(7L, cast(vec_id % 8 as int))")).as("sig_lo"),
+            col("sig_hi"))
+        VectorOps.bandedHammingPairs(sig.unionByName(twins),
+          "vec_id", "sig_lo", "sig_hi", 8)
+      },
+      "WITH sig AS (SELECT vec_id, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_lo, ") +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
+        "tw AS (SELECT -vec_id - 1 AS vec_id, " +
+        "xor(sig_lo, 7::BIGINT << (vec_id % 8)::INT) AS sig_lo, sig_hi " +
+        "FROM sig WHERE vec_id % 25 = 0), " +
+        "u AS (SELECT * FROM sig UNION ALL SELECT * FROM tw) " +
+        "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
+        "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
+        "FROM u x JOIN u y ON x.vec_id < y.vec_id " +
+        "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) <= 8"),
+
     // E4 — per-label centroids: element-wise mean via 64 per-dimension
     // aggregates (partial aggregation map-side; the IVF coarse-quantizer
     // build step). Cross-engine double-sum order differs, so derived values

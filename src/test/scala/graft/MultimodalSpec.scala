@@ -2,29 +2,84 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaRow, PpmMeta}
+
+/** Test double standing in for a codec this environment lacks — the retired
+  * hash-derived stub, now living only in tests to exercise the generic
+  * decodeAll seam with a second decoder type. (Top-level: a spec-nested
+  * case class can't get a clean product Encoder.)
+  */
+final case class FakeMeta(doc_id: Long, format: String, n_bytes: Long)
+
+object FakeCodec {
+  // top-level (not a spec method): the decode closure ships to executors,
+  // and a spec-bound method would drag the non-serializable suite with it
+  def decode(row: MediaRow): FakeMeta =
+    FakeMeta(row.doc_id,
+      Multimodal.Formats((Multimodal.h60(new String(row.media, "UTF-8")) % 3L).toInt),
+      row.media.length.toLong)
+}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode stub is deterministic and dimension-bounded") {
-    val m1 = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
-    val m2 = Multimodal.decodeStub(Multimodal.MediaRow(7L, "hello world".getBytes("UTF-8")))
-    assert(m1 == m2.copy())
-    assert(m1.width >= 1 && m1.width <= 1920)
-    assert(m1.height >= 1 && m1.height <= 1080)
-    assert(Multimodal.Formats.contains(m1.format))
-    assert(m1.n_bytes == 11L)
+  test("decodePpm parses a hand-written P6 payload byte-for-byte") {
+    // 2x1 image, samples 10,20,30 / 250,251,252 — written out by hand, so
+    // this checks the parser against the PPM spec rather than against the
+    // fixture builder.
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 250.toByte, 251.toByte, 252.toByte)
+    val m = Multimodal.decodePpm(MediaRow(3L, bytes))
+    assert(m == PpmMeta(3L, 2, 1, "ppm", bytes.length.toLong,
+      10 + 20 + 30 + 250 + 251 + 252, (10 + 20 + 30 + 250 + 251 + 252) / 6.0))
+  }
+
+  test("decodePpm round-trips the fixture and matches its formula") {
+    for (id <- Seq(0L, 7L, 16L, 255L, 511L)) {
+      val m = Multimodal.decodePpm(Multimodal.ppmFixture(id))
+      val w = (id % 16).toInt + 1
+      val h = ((id / 16) % 16).toInt + 1
+      assert(m.width == w && m.height == h && m.format == "ppm")
+      val expSum = (0 until w * h * 3).map(i => (id * 131 + i * 7) % 256).sum
+      assert(m.px_sum == expSum, s"id=$id")
+      assert(m.n_bytes == Multimodal.ppmFixture(id).media.length.toLong)
+    }
+  }
+
+  test("decodePpm rejects malformed payloads loudly") {
+    // bad magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(MediaRow(1L, "P5\n1 1\n255\n...".getBytes("US-ASCII")))
+    }
+    // truncated samples
+    val short = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(MediaRow(2L, short))
+    }
+    // unsupported maxval
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(MediaRow(3L, ("P6\n1 1\n65535\n" + "xxxxxx").getBytes("US-ASCII")))
+    }
   }
 
   test("decodeAll preserves rows and partitioning through mapPartitions") {
     val media = spark.range(100)
-      .select(col("id").as("doc_id"), concat(lit("payload-"), col("id")).cast("binary").as("media"))
+      .select(col("id").as("doc_id"))
+      .as[Long].map(Multimodal.ppmFixture _)
       .repartition(7)
-      .as[Multimodal.MediaRow]
-    val out = Multimodal.decodeAll(spark, media)
+    val out = Multimodal.decodeAll(spark, media, Multimodal.decodePpm)
     assert(out.count() == 100)
     assert(out.rdd.getNumPartitions == 7) // mapPartitions is partition-preserving
     assert(out.select("doc_id").distinct().count() == 100)
-    assert(out.where(col("format").isin(Multimodal.Formats: _*)).count() == 100)
+    assert(out.where(col("format") === "ppm").count() == 100)
+  }
+
+  test("decodeAll is decoder-generic: the codec test double plugs in") {
+    val media = spark.range(20)
+      .select(col("id").as("doc_id"), concat(lit("payload-"), col("id")).cast("binary").as("media"))
+      .as[MediaRow]
+    val out = Multimodal.decodeAll(spark, media, FakeCodec.decode)
+    assert(out.count() == 20)
+    assert(out.where(col("format").isin(Multimodal.Formats: _*)).count() == 20)
   }
 }

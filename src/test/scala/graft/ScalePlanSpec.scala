@@ -86,6 +86,16 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("e7b complete-regime gate keeps the band equi-join plan") {
+    // The completeness gate unions perturbed twins into the corpus; the
+    // union must not push the pair join off the (band_idx, band_value)
+    // equi-join path.
+    val plan = executedPlan(
+      SparkEntry.queries("e7b_complete")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("d8 incremental dedup plans the band equi-join, never a nested loop") {
     // The batch-vs-history screen must stay a (band_idx, band_value)
     // equi-join: a nested-loop or cartesian pair scan would rescan the
