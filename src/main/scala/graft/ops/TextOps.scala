@@ -169,6 +169,40 @@ object TextOps {
       .select(col(idCol), sh.as("simhash"))
   }
 
+  /** 60-bit SimHash signature table (idCol, simhash) via the native
+    * bounded-state aggregate: explode tokens, hash each once at top level
+    * (whole-stage codegen'd sha2), then SimHashAgg folds the 60 per-bit
+    * ±1 sums in a 240-byte buffer per document, partial-merged map-side.
+    * Bit-identical to `simhash60` / `simhashRows` (integer bit-sums are
+    * order-independent; spec'd in TextOpsSpec). The ONE signature builder
+    * behind both the batch InterStage table and the streaming ingest
+    * screen, so the two paths cannot diverge. Documents with an empty
+    * token array produce no row (`tokens` of a non-null string is never
+    * empty on this schema).
+    */
+  def simhashAggRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), h60(col("w")).as("h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+
+  /** One (idCol, sh, bidx, bval) row per pigeonhole band of a 60-bit
+    * signature table — 9 bands of 7 bits (the top one effectively 4): any
+    * pair within hamming 8 differs in at most 8 bands, so it SHARES at
+    * least one untouched band and a (bidx, bval) equi-join over these rows
+    * is a COMPLETE candidate generator for hamming <= 8. Shared by the
+    * batch d5/d6 self-join, the batch d8 one-sided batch-vs-history join,
+    * and the streaming ingest screen, so the band layout can never diverge
+    * between them.
+    */
+  def simhashBands60(sig: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val bandBits = 7
+    sig.select(col(idCol), col(shCol),
+      posexplode(array((0 until 9).map(b =>
+        shiftright(col(shCol), b * bandBits).bitwiseAND(lit(127L))): _*)))
+      .toDF(idCol, shCol, "bidx", "bval")
+  }
+
   /** Winnowing document fingerprints (Schleimer et al.'s local fingerprint
     * selection): hash every `gramLen`-char shingle to 32 bits, take the
     * minimum of each sliding window of `window` consecutive grams, and keep

@@ -83,11 +83,7 @@ object TextQueries {
     */
   private def simhashTable(s: SparkSession, d: String) =
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|simhash60",
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .select(col("doc_id"), TextOps.h60(col("w")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash")))
+      TextOps.simhashAggRows(Tables.load(s, d, "documents"), "doc_id", "text"))
 
   /** SimHash near-dup pairs at Hamming distance <= 8, via the EXACT 9-band
     * pigeonhole join (see d5): any pair within hamming 8 of a 60-bit
@@ -114,21 +110,12 @@ object TextQueries {
         Tables.load(s, d, "documents").select("doc_id"), "doc_id",
         simhashPairs(s, d), col("doc_id_1"), col("doc_id_2")))
 
-  /** One (doc_id, sh, bidx, bval) row per pigeonhole band of a 60-bit
-    * signature table — 9 bands of 7 bits (the top one effectively 4): any
-    * pair within hamming 8 shares at least one untouched band, so a
-    * (bidx, bval) equi-join over these rows is a COMPLETE candidate
-    * generator for hamming <= 8. Shared by d5/d6 (self-join) and d8
-    * (one-sided batch-vs-history join) so the band layout can never
-    * diverge between them.
+  /** The shared 9-band pigeonhole explode (TextOps.simhashBands60) over
+    * this module's (doc_id, sh) signature shape — one band layout for
+    * d5/d6/d8 and the streaming ingest screen.
     */
-  private def simhashBands(sig: DataFrame): DataFrame = {
-    val bandBits = 7
-    sig.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 9).map(b =>
-        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(127L))): _*)))
-      .toDF("doc_id", "sh", "bidx", "bval")
-  }
+  private def simhashBands(sig: DataFrame): DataFrame =
+    TextOps.simhashBands60(sig, "doc_id", "sh")
 
   private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
     val sig = simhashTable(s, d).withColumnRenamed("simhash", "sh")

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.TextOps
+
+/** Structured Streaming over the documents table: the ingest-time near-dup
+  * screen — the streaming twin of the batch d8 gate, and the shape a
+  * production training-corpus ingest actually runs (each arriving batch is
+  * checked against everything already accepted, BEFORE it lands).
+  */
+object DocStreams {
+
+  /** documents.parquet schema (file stream sources need it declared). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming incremental near-dup dedup — d8's production twin. Each
+    * micro-batch of documents:
+    *   1. computes 60-bit SimHash signatures with the SAME builder the
+    *      batch path uses (TextOps.simhashAggRows — bit-identical),
+    *   2. flags docs within hamming `maxHamming` of the history via the
+    *      SAME 9-band pigeonhole one-sided equi-join as batch d8
+    *      (TextOps.simhashBands60; complete for hamming <= 8) — per-batch
+    *      cost tracks the batch × band occupancy in history, never a
+    *      corpus rescan, and the band key is the shuffle key,
+    *   3. appends its signatures to the history table and its flags to
+    *      the flag log.
+    *
+    * Exactly-once across kill-and-restart WITHOUT relying on sink
+    * transactionality: both writes go to a `batch=<id>` subdirectory in
+    * OVERWRITE mode, so a batch re-executed after a crash mid-write
+    * replaces its own partial output instead of duplicating it; and the
+    * history read excludes partitions with `batch >= current id`
+    * (partition-pruned at the source), so a re-executed batch can never
+    * see its own half-written signatures and flag documents as duplicates
+    * of themselves. The checkpoint's file log pins which source files form
+    * which batch id, exactly as in `incrementalIngest`.
+    *
+    * History semantics match batch d8: EVERY screened signature enters
+    * history (flagged or not) — the screen marks duplicates, the corpus
+    * prune downstream decides what to drop — so a later doc near-dup of an
+    * already-flagged one is still caught.
+    *
+    * At 100 TB the history table is the pre-materialized band index an
+    * ingest pipeline keeps warm; `historyDir`/`flagsDir`/`checkpointDir`
+    * live on durable storage (HDFS/S3) and the signature rows are ~16
+    * bytes/doc — the screen never touches the text after step 1.
+    */
+  def incrementalDedup(spark: SparkSession, srcDir: String,
+                       historyDir: String, flagsDir: String,
+                       checkpointDir: String, maxHamming: Int = 8): Unit = {
+    val q = spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // two consumers (flags + history append) — cache so the signature
+        // aggregate runs once, released before the batch commits
+        val sigs = TextOps.simhashAggRows(batch, "doc_id", "text")
+          .withColumnRenamed("simhash", "sh")
+          .persist()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(historyDir), spark.sparkContext.hadoopConfiguration)
+        val histRoot = new org.apache.hadoop.fs.Path(historyDir)
+        val hasHistory = fs.exists(histRoot) && fs.listStatus(histRoot)
+          .exists(_.getPath.getName.startsWith("batch="))
+        val flags =
+          if (!hasHistory)
+            sigs.select(col("doc_id"), lit(false).as("is_dup_of_history"))
+          else {
+            val hist = spark.read.parquet(historyDir)
+              .where(col("batch") < batchId) // never our own re-run's output
+              .select(col("doc_id"), col("sh"))
+            val dupIds = TextOps.simhashBands60(sigs, "doc_id", "sh").as("f")
+              .join(TextOps.simhashBands60(hist, "doc_id", "sh").as("h"),
+                col("f.bidx") === col("h.bidx") && col("f.bval") === col("h.bval"))
+              .where(bit_count(col("f.sh").bitwiseXOR(col("h.sh"))) <= maxHamming)
+              .select(col("f.doc_id")).distinct()
+              .withColumn("dup", lit(true))
+            sigs.join(dupIds, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("dup"), lit(false)).as("is_dup_of_history"))
+          }
+        try {
+          flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+          sigs.write.mode("overwrite").parquet(s"$historyDir/batch=$batchId")
+        } finally sigs.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The accumulated flag log (doc_id, is_dup_of_history, batch). */
+  def readFlags(spark: SparkSession, flagsDir: String): DataFrame =
+    spark.read.parquet(flagsDir)
+}

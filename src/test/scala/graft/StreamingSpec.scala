@@ -166,6 +166,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * perFile)
   }
 
+  test("streaming incremental near-dup dedup equals batch d8 and survives restart") {
+    import graft.streaming.DocStreams
+    val src = java.nio.file.Files.createTempDirectory("graft_ddup_src_").toString
+    val hist = java.nio.file.Files.createTempDirectory("graft_ddup_hist_").toString + "/h"
+    val flags = java.nio.file.Files.createTempDirectory("graft_ddup_flags_").toString + "/f"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddup_ckpt_").toString
+
+    // Stage the d8 slices as separately-landing files: the history slice
+    // (doc_id % 13 != 0) arrives first, the fresh slice (% 13 == 0) lands
+    // after a full stop/start of the query — so the fresh batch can only
+    // be screened against signatures recovered from the history table.
+    val docs = spark.read.schema(DocStreams.docSchema)
+      .parquet(s"$Sf0001/documents.parquet")
+    docs.where(pmod(col("doc_id"), lit(13L)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.incrementalDedup(spark, src, hist, flags, ckpt)
+
+    // batch 0 screens against empty history: nothing can be flagged, and
+    // every signature must have entered history
+    val nHist = docs.where(pmod(col("doc_id"), lit(13L)) =!= 0).count()
+    assert(DocStreams.readFlags(spark, flags)
+      .where(col("is_dup_of_history")).count() == 0)
+    assert(spark.read.parquet(hist).count() == nHist)
+
+    // restart with no new files: nothing reprocessed, nothing re-flagged
+    DocStreams.incrementalDedup(spark, src, hist, flags, ckpt)
+    assert(DocStreams.readFlags(spark, flags).count() == nHist)
+    assert(spark.read.parquet(hist).count() == nHist)
+
+    // the fresh slice lands; a NEW query run (fresh from the checkpoint)
+    // screens it against the recovered history
+    docs.where(pmod(col("doc_id"), lit(13L)) === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.incrementalDedup(spark, src, hist, flags, ckpt)
+
+    // the fresh batch's flags must equal the batch d8 gate bit-for-bit
+    val streamed = DocStreams.readFlags(spark, flags)
+      .where(pmod(col("doc_id"), lit(13L)) === 0)
+      .select("doc_id", "is_dup_of_history")
+    val batch = SparkEntry.queries("d8_incremental_dedup")(spark, Sf0001)
+    assert(streamed.count() > 0)
+    assert(batch.where(col("is_dup_of_history")).count() > 0) // non-trivial
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the history now holds every screened signature exactly once
+    assert(spark.read.parquet(hist).count() == docs.count())
+    assert(spark.read.parquet(hist).select("doc_id").distinct().count() == docs.count())
+  }
+
   test("stateless PII scrub runs unchanged on a stream and equals batch") {
     // The library's per-row enrichments are plain projections, so the SAME
     // function serves readStream without modification — the property that
