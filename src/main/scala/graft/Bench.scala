@@ -45,11 +45,18 @@ object Bench {
           finally spark.sharedState.cacheManager.clearCache()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).sorted.apply(Runs / 2), runs.forall(_._2))
+      val times = runs.map(_._1).sorted
+      (name, times(Runs / 2), times.head, times.last, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => k } ++
+    // min/max alongside the median so run-to-run spread is visible in the
+    // artifact itself: a "regression" whose min sits at last round's median
+    // is noise, one whose min moved is real.
+    val spread = results
+      .map { case (k, _, mn, mx, _) => "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => k } ++
       (if (matOk) Nil else Seq("materialize"))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // A failed query poisons the run: total = -1 (a broken query must never
@@ -60,7 +67,7 @@ object Bench {
     // MEDIANS + materialize.
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum + materializeSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"materialize":$materializeSec,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"materialize":$materializeSec,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
