@@ -24,10 +24,10 @@ object VectorQueries {
     s"(${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)})))"
 
   /** Deterministic sign-LSH hyperplanes (shared with the oracle). THREE
-    * independent `MaxPlanes`-wide tables: e2 probes table 1 only; e3
-    * band-ORs all three (a pair is a candidate if ANY table buckets it
-    * within the flip radius) — the d3-style recall amplification: miss
-    * probability multiplies per table.
+    * independent `MaxPlanes`-wide tables: e2 multiprobes all three for its
+    * candidate pool, and e3 band-ORs all three (a pair is a candidate if
+    * ANY table buckets it within the flip radius) — the d3-style recall
+    * amplification: miss probability multiplies per table.
     *
     * Corpus-adaptive sizing (the SCALE.md lesson): a FIXED bucket space
     * saturates — occupancy = n / 2^planes grows linearly with the corpus
@@ -79,6 +79,41 @@ object VectorQueries {
     * quadratic). Integer thresholds; the oracle mirrors them by CASE.
     */
   val MinIvfPlanes = 3
+  /** IVF probe widths (lists searched per query). e6's quantizer is the 10
+    * fixed semantic-label centroids — on this corpus the labels only
+    * weakly track vector geometry, so recall tracks the scanned fraction
+    * and nprobe must cover a real share of the 10 lists (recall@5 ladder
+    * measured with RecallProbe at sf0.1: nprobe 2 -> 0.41, 4 -> 0.64,
+    * 6 -> 0.83). e6b's trained quantizer gets geometric lists but ~sqrt(n)
+    * of them, so its nprobe is wider too (2 -> 0.18, 8 -> 0.42, 16 with
+    * Lloyd-2 + 2x assignment -> 0.85); per-probe cost stays
+    * nprobe * n / nlists ~ nprobe * sqrt(n) — the IVF balance unchanged.
+    */
+  val E6Nprobe = 6
+  val E6bNprobe = 16
+  /** Lloyd passes for e6b's trained quantizer (assign + re-mean, from the
+    * deterministic LSH init). One pass leaves the LSH geometry's heavily
+    * overlapping cells; the second separates them enough that a true
+    * neighbor's cell lands in the probe's top-nprobe csim lists.
+    */
+  val E6bLloydIters = 2
+  /** Index replication for e6b: each corpus vector enters its top-`r`
+    * lists (the FAISS multi-assignment trick). On an isotropic corpus the
+    * Voronoi cells are leaky — a neighbor's single best cell misses the
+    * probe's nprobe set too often — and replication attacks the miss
+    * probability from the index side at r x storage instead of wider
+    * scans.
+    */
+  val E6bAssign = 2
+  /** e7's hamming re-rank pool: the 64-bit sign sketch is a coarse cosine
+    * proxy (a true top-5 neighbor's expected hamming sits ~2-3 sketch-bit
+    * std-devs below a random vector's), so ranking by hamming alone keeps
+    * only ~0.13 of the true top-5. The standard binary-quantization fix:
+    * keep the RerankPool least-hamming candidates per probe and let exact
+    * cosine pick the final 5 — the heap stays bounded per partition and
+    * only pool-many full vectors are ever fetched per probe.
+    */
+  val E7RerankPool = 200
   def ivfPlanes(n: Long): Int = {
     var p = MinIvfPlanes
     while (p < MaxPlanes && (1L << (2 * p)) < n) p += 1
@@ -93,13 +128,19 @@ object VectorQueries {
   lazy val planeInts2: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t2|")
   lazy val planeInts3: Seq[Seq[Long]] = VectorOps.hyperplaneInts(MaxPlanes, Dim, "t3|")
 
-  /** Multi-probe masks for e2: the probe's own bucket plus each one-bit
-    * flip, over the FULL MaxPlanes width — flips of planes above the
-    * active adaptive width XOR to buckets no vector has, so the extra
-    * masks add no candidates and the same literal list serves every
-    * corpus size in both engines.
+  /** Multi-probe masks for e2: every bucket flip of Hamming weight <= 2
+    * over the FULL MaxPlanes width — flips of planes above the active
+    * adaptive width XOR to buckets no vector has, so the extra masks add
+    * no candidates and the same literal list serves every corpus size in
+    * both engines. Radius 2 (not 1) and ALL THREE tables is what holds
+    * recall@5: at 7 active planes a true top-5 neighbor (cosine ~0.4-0.6,
+    * per-plane disagreement p ~ acos(sim)/pi ~ 0.3-0.37) lands within one
+    * table's radius-2 probe set with P ~ 0.5, and the three-table OR
+    * lifts that to ~0.87 — measured 0.17 with the old radius-1
+    * single-table probe, 0.9+ with this one (RecallProbe, sf0.1).
     */
-  val probeMasks: Seq[Long] = 0L +: (0 until MaxPlanes).map(p => 1L << p)
+  val probeMasks: Seq[Long] =
+    (0L until (1L << MaxPlanes)).filter(m => java.lang.Long.bitCount(m) <= 2)
 
   /** Pair-recall masks for e3: all bucket flips of Hamming weight <= radius
     * over `planes` bits. Candidate generation stays a bucket equi-join per
@@ -250,45 +291,67 @@ object VectorQueries {
         s"${dCos("q_vec", "embedding")} DESC, vec_id) <= 5"),
 
     // E2 — sign-LSH bucketed top-5 KNN at corpus-adaptive width: the
-    // stored MaxPlanes bucket masks down to adaptivePlanes(count) bits
+    // stored MaxPlanes buckets mask down to adaptivePlanes(count) bits
     // (occupancy pinned at ~TargetOcc, so per-probe candidate work is
     // ~CONSTANT as the corpus grows — the ANN contract), probes multi-probe
-    // their own bucket plus every one-bit flip, candidates come from an
-    // equi-join on the bucket key instead of a cross join; exact cosine
-    // re-ranks. Flips of planes above the active width match nothing, so
-    // the full mask list is corpus-independent. Each (probe, candidate)
-    // pair matches at most one mask, so no distinct is needed. Approximate
-    // by design, and the oracle reproduces exactly that — including the
-    // width, derived from count(*).
+    // every <=2-bit flip of their bucket in ALL THREE independent tables
+    // (the d3-style recall OR — see probeMasks for the measured recall
+    // numbers), candidates come from an equi-join on the bucket key
+    // instead of a cross join; exact cosine re-ranks. Flips of planes
+    // above the active width match nothing, so the full mask list is
+    // corpus-independent. Within one table a (probe, candidate) pair
+    // matches at most one mask, but the same pair can surface from two
+    // tables, so the candidate id-pairs are distinct'd BEFORE the vector
+    // fetch — the dedup shuffles 16-byte id pairs, never embeddings, and
+    // a duplicate can't occupy two top-5 slots. Approximate by design,
+    // and the oracle reproduces exactly that — including the width,
+    // derived from count(*).
     "e2_knn_lsh" -> GQ(
       (s, d) => {
         // Probes and candidates both read the materialized bucketed corpus
         // — the hyperplane dots run once per vector per session.
         val e0 = normedBuckets(s, d)
         val planes = adaptivePlanes(e0.count())
-        val e = e0.withColumn("bucket",
-          col("bucket").bitwiseAND(lit((1L << planes) - 1)))
-        val probes = e.where(probeFilter(s, d))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("norm").as("q_norm"),
-            explode(array(probeMasks.map(m =>
-              col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-        val cand = probes.join(e, Seq("bucket")).where(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
-            (col("q_norm") * col("norm")))
-        Relational.topKPerGroup(cand, Seq(col("q_id")),
+        val bmask = lit((1L << planes) - 1)
+        def candIds(bcol: String) = {
+          val mb = e0.select(col("vec_id"), col(bcol).bitwiseAND(bmask).as("mb"))
+          val probes = mb.where(probeFilter(s, d))
+            .select(col("vec_id").as("q_id"),
+              explode(array(probeMasks.map(m =>
+                col("mb").bitwiseXOR(lit(m))): _*)).as("mb"))
+          probes.join(mb, Seq("mb")).where(col("q_id") =!= col("vec_id"))
+            .select(col("q_id"), col("vec_id"))
+        }
+        val cand = candIds("bucket")
+          .unionByName(candIds("bucket2"))
+          .unionByName(candIds("bucket3"))
+          .distinct()
+        val v = e0.select(col("vec_id"), col("embedding"), col("norm"))
+        val scored = cand.join(v.as("q"), col("q_id") === col("q.vec_id"))
+          .join(v.as("c"), cand("vec_id") === col("c.vec_id"))
+          .select(col("q_id"), cand("vec_id"),
+            (VectorOps.dotD(col("q.embedding"), col("c.embedding")) /
+              (col("q.norm") * col("c.norm"))).as("sim"))
+        Relational.topKPerGroup(scored, Seq(col("q_id")),
           Seq(col("sim").desc, col("vec_id")), 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
       s"WITH par AS (SELECT $dPlanesCase p FROM embeddings), " +
-        s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) bucket " +
-        "FROM embeddings, par), " +
-        "p AS (SELECT vec_id q_id, embedding q_vec, xor(bucket, m) bucket FROM b, " +
-        s"unnest([${probeMasks.mkString(", ")}]) u(m) WHERE " + probeFilterSql + ") " +
-        s"SELECT q_id, e.vec_id AS neighbor_id, ${dCos("q_vec", "e.embedding")} AS sim " +
-        "FROM p JOIN b e ON p.bucket = e.bucket AND p.q_id != e.vec_id " +
+        s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) bucket, " +
+        s"${dBucket("embedding", planeInts2)} % (1 << par.p) bucket2, " +
+        s"${dBucket("embedding", planeInts3)} % (1 << par.p) bucket3 FROM embeddings, par), " +
+        s"mk AS (SELECT m FROM unnest($dPairMasks) u(m) WHERE bit_count(m::BIGINT) <= 2), " +
+        "p AS (SELECT vec_id q_id, bucket, bucket2, bucket3 FROM b WHERE " + probeFilterSql + "), " +
+        "cand AS (SELECT DISTINCT q_id, e.vec_id FROM (" +
+        "SELECT q_id, xor(bucket, m) bb, 1 t FROM p, mk " +
+        "UNION ALL SELECT q_id, xor(bucket2, m) bb, 2 t FROM p, mk " +
+        "UNION ALL SELECT q_id, xor(bucket3, m) bb, 3 t FROM p, mk) pr " +
+        "JOIN b e ON (CASE pr.t WHEN 1 THEN e.bucket WHEN 2 THEN e.bucket2 " +
+        "ELSE e.bucket3 END) = pr.bb AND pr.q_id != e.vec_id) " +
+        s"SELECT q_id, c.vec_id AS neighbor_id, ${dCos("q.embedding", "c.embedding")} AS sim " +
+        "FROM cand JOIN b q ON cand.q_id = q.vec_id JOIN b c ON cand.vec_id = c.vec_id " +
         s"QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
-        s"${dCos("q_vec", "e.embedding")} DESC, e.vec_id) <= 5"),
+        s"${dCos("q.embedding", "c.embedding")} DESC, c.vec_id) <= 5"),
 
     // E3 — embedding-cosine near-dup pairs (sim >= 0.4) via CORPUS-SIZED
     // sign-LSH candidate generation + exact cosine verify. Three moves
@@ -438,7 +501,7 @@ object VectorQueries {
             struct(negate(col("csim")), col("c_label")))
           .select(col("vec_id"), col("embedding"), col("norm"), col("c_label"))
         val probes = Relational.topKPerGroup(scored.where(probeFilter(s, d)),
-            Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), 2)
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_label")), E6Nprobe)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"), col("c_label"))
         val cand = probes.join(assigned, "c_label")
@@ -461,7 +524,7 @@ object VectorQueries {
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) = 1), " +
         "probes AS (SELECT vec_id q_id, embedding q_vec, c_label FROM scored " +
         "WHERE " + probeFilterSql + " " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) <= 2) " +
+        s"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_label) <= $E6Nprobe) " +
         s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
         "FROM probes p JOIN assigned a ON p.c_label = a.c_label AND p.q_id != a.vec_id " +
         "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
@@ -471,13 +534,15 @@ object VectorQueries {
     // coarse quantizer is TRAINED from the data at a corpus-scaled list
     // count instead of the 10 semantic labels (whose inverted lists grow
     // linearly with the corpus — the same fixed-fanout saturation e3's
-    // planes had). Centroids = per-bucket means of the adaptive-width
-    // sign-LSH partition (one Lloyd step from a deterministic LSH
-    // initialization — no RNG; the centroid double-sums carry the usual
-    // cross-engine last-ulp summation-order noise, which only surfaces if
-    // two lists' csim for one vector tie at that scale — csim steers
-    // assignment only, never a value in the output, and like e6's it has
-    // held bit-stable across every gate run);
+    // planes had). Centroids = E6bLloydIters Lloyd passes (assign +
+    // re-mean) from a deterministic LSH-bucket-mean initialization — no
+    // RNG; the centroid double-sums carry the usual cross-engine last-ulp
+    // summation-order noise, which only surfaces if two lists' csim for
+    // one vector tie at that scale — csim steers assignment only, never a
+    // value in the output, and like e6's it has held bit-stable across
+    // every gate run. The INDEX side replicates each vector into its
+    // top-E6bAssign lists (multi-assignment) — see the knob scaladocs for
+    // the measured recall@5 ladder (0.18 -> 0.85 on the base corpus);
     // nlists = 2^ivfPlanes(n) ~ sqrt(n) tracks the corpus at the classic
     // IVF balance point: per-vector assignment cost (nlists) and
     // per-probe list length (n/nlists) both grow as sqrt(n) — pinning
@@ -489,66 +554,90 @@ object VectorQueries {
       (s, d) => {
         val e0 = normedBuckets(s, d)
         val planes = ivfPlanes(e0.count())
-        val e = e0.select(col("vec_id"), col("embedding"), col("norm"),
-          col("bucket").bitwiseAND(lit((1L << planes) - 1)).as("list0"))
+        val base = e0.select(col("vec_id"), col("embedding"), col("norm"))
         val aggs = count(lit(1)).as("cn") +: (0 until Dim).map(i =>
           sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-        val cent = e.groupBy(col("list0")).agg(aggs.head, aggs.tail: _*)
-          .select(col("list0").as("c_list"),
-            array((0 until Dim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
-          .withColumn("c_norm", sqrt(VectorOps.dotD(col("c_vec"), col("c_vec"))))
-        val scored = e.crossJoin(broadcast(cent))
-          .withColumn("csim", VectorOps.dotD(col("embedding"), col("c_vec")) /
-            (col("norm") * col("c_norm")))
-          .select(col("vec_id"), col("embedding"), col("norm"),
-            col("c_list"), col("csim"))
-        val assigned = Relational.top1PerGroup(scored, Seq(col("vec_id")),
-            struct(negate(col("csim")), col("c_list")))
+        def meansOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("c_list")).agg(aggs.head, aggs.tail: _*)
+            .select(col("c_list"),
+              array((0 until Dim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
+            .withColumn("c_norm", sqrt(VectorOps.dotD(col("c_vec"), col("c_vec"))))
+        var assigned = e0.select(col("vec_id"), col("embedding"), col("norm"),
+          col("bucket").bitwiseAND(lit((1L << planes) - 1)).as("c_list"))
+        var scored = assigned
+        for (_ <- 1 to E6bLloydIters) {
+          val cent = meansOf(assigned)
+          scored = base.crossJoin(broadcast(cent))
+            .withColumn("csim", VectorOps.dotD(col("embedding"), col("c_vec")) /
+              (col("norm") * col("c_norm")))
+            .select(col("vec_id"), col("embedding"), col("norm"),
+              col("c_list"), col("csim"))
+          assigned = Relational.top1PerGroup(scored, Seq(col("vec_id")),
+              struct(negate(col("csim")), col("c_list")))
+            .select(col("vec_id"), col("embedding"), col("norm"), col("c_list"))
+        }
+        // The INDEX replicates each vector into its top-E6bAssign lists
+        // (Lloyd training above stays single-assignment, as k-means must);
+        // the same pair can then surface via two lists, so candidates are
+        // reduced to distinct (q_id, vec_id, sim) before the final top-k.
+        val indexed = Relational.topKPerGroup(scored,
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_list")), E6bAssign)
           .select(col("vec_id"), col("embedding"), col("norm"), col("c_list"))
         val probes = Relational.topKPerGroup(scored.where(probeFilter(s, d)),
-            Seq(col("vec_id")), Seq(col("csim").desc, col("c_list")), 2)
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_list")), E6bNprobe)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("norm").as("q_norm"), col("c_list"))
-        val cand = probes.join(assigned, "c_list")
+        val cand = probes.join(indexed, "c_list")
           .where(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
-            (col("q_norm") * col("norm")))
+          .select(col("q_id"), col("vec_id"),
+            (VectorOps.dotD(col("q_vec"), col("embedding")) /
+              (col("q_norm") * col("norm"))).as("sim"))
+          .distinct()
         Relational.topKPerGroup(cand, Seq(col("q_id")),
           Seq(col("sim").desc, col("vec_id")), 5)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
       },
-      s"WITH par AS (SELECT $dIvfPlanesCase p FROM embeddings), " +
-        s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) list0 " +
-        "FROM embeddings, par), " +
-        "s AS (SELECT list0, count(*) cn" +
-        (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString +
-        " FROM b GROUP BY list0), " +
-        "cent AS (SELECT list0 c_list, [" +
-        (0 until Dim).map(i => s"s$i / cn").mkString(", ") + "] c_vec FROM s), " +
-        "scored AS (SELECT e.vec_id, e.embedding, c.c_list, " +
-        s"${dDot("e.embedding", "c.c_vec")} / (sqrt(${dDot("e.embedding", "e.embedding")}) * " +
-        s"sqrt(${dDot("c.c_vec", "c.c_vec")})) csim FROM embeddings e, cent c), " +
-        "assigned AS (SELECT vec_id, embedding, c_list FROM scored " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) = 1), " +
-        "probes AS (SELECT vec_id q_id, embedding q_vec, c_list FROM scored " +
-        "WHERE " + probeFilterSql + " " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= 2) " +
-        s"SELECT q_id, a.vec_id AS neighbor_id, ${dCos("q_vec", "a.embedding")} AS sim " +
-        "FROM probes p JOIN assigned a ON p.c_list = a.c_list AND p.q_id != a.vec_id " +
-        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
-        s"${dCos("q_vec", "a.embedding")} DESC, a.vec_id) <= 5"),
+      {
+        val sums = (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString
+        val mean = (0 until Dim).map(i => s"s$i / cn").mkString(", ")
+        // One CTE triple (means -> score -> assign) per Lloyd pass; pass 1
+        // groups the LSH init buckets, pass i groups pass i-1's assignment.
+        val iters = (1 to E6bLloydIters).map { i =>
+          val src = if (i == 1) "b" else s"a${i - 1}"
+          s"st$i AS (SELECT c_list, count(*) cn$sums FROM $src GROUP BY c_list), " +
+            s"ce$i AS (SELECT c_list, [$mean] c_vec FROM st$i), " +
+            s"sc$i AS (SELECT e.vec_id, e.embedding, c.c_list, " +
+            s"${dDot("e.embedding", "c.c_vec")} / (sqrt(${dDot("e.embedding", "e.embedding")}) * " +
+            s"sqrt(${dDot("c.c_vec", "c.c_vec")})) csim FROM embeddings e, ce$i c), " +
+            s"a$i AS (SELECT vec_id, embedding, c_list FROM sc$i " +
+            "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) = 1)"
+        }.mkString(", ")
+        val last = s"sc$E6bLloydIters"
+        s"WITH par AS (SELECT $dIvfPlanesCase p FROM embeddings), " +
+          s"b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << par.p) c_list " +
+          "FROM embeddings, par), " + iters + ", " +
+          s"idx AS (SELECT vec_id, embedding, c_list FROM $last " +
+          s"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= $E6bAssign), " +
+          s"probes AS (SELECT vec_id q_id, embedding q_vec, c_list FROM $last " +
+          "WHERE " + probeFilterSql + " " +
+          s"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= $E6bNprobe), " +
+          s"cand AS (SELECT DISTINCT q_id, a.vec_id, ${dCos("q_vec", "a.embedding")} sim " +
+          "FROM probes p JOIN idx a ON p.c_list = a.c_list AND p.q_id != a.vec_id) " +
+          "SELECT q_id, vec_id AS neighbor_id, sim FROM cand " +
+          "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= 5"
+      }),
 
     // E7 — binary sign-sketch ANN: compress each 64-dim float vector to 64
     // sign bits packed in two 32-bit words (256 bytes -> 8: the binary-
     // quantization storage path), scan signatures with xor+popcount hamming
-    // (no float math), keep the top-5 least-hamming candidates per probe,
-    // and exact-cosine re-rank only those. At 100 TB the signature table is
-    // ~32x smaller than the vectors — the hamming scan streams it at
-    // memory bandwidth while the float vectors are only fetched for the
-    // k survivors (here via a self-join on the candidate ids). sim of a
-    // candidate uses the full vectors, so the output is exact cosine over
-    // an approximate (hamming top-k) candidate set; the oracle reproduces
-    // the same set bit-for-bit (ties break on vec_id).
+    // (no float math), keep the E7RerankPool least-hamming candidates per
+    // probe, and exact-cosine re-rank those down to the final top 5. At
+    // 100 TB the signature table is ~32x smaller than the vectors — the
+    // hamming scan streams it at memory bandwidth while the float vectors
+    // are only fetched for the pool survivors (here via a self-join on the
+    // candidate ids). sim uses the full vectors, so the output is exact
+    // cosine over an approximate (hamming top-pool) candidate set; the
+    // oracle reproduces the same set bit-for-bit (ties break on vec_id).
     "e7_binary_sign_ann" -> GQ(
       (s, d) => {
         // Signatures come precomputed from the shared inter-stage table —
@@ -568,21 +657,23 @@ object VectorQueries {
               bit_count(col("q_hi").bitwiseXOR(col("sig_hi"))))
               .cast("long").as("hamming"))
         // bounded-heap top-k aggregate, not a window: every map partition
-        // reduces its slice of the corpus-sized hamming scan to <= 5 pairs
-        // per probe before the shuffle (a row_number window would shuffle
-        // and sort the whole scan — probes x corpus rows)
+        // reduces its slice of the corpus-sized hamming scan to <= pool
+        // pairs per probe before the shuffle (a row_number window would
+        // shuffle and sort the whole scan — probes x corpus rows)
         val top = ham.groupBy(col("q_id"))
           .agg(graft.functions.TopKPairAgg.topkPairs(
-            col("hamming"), col("vec_id"), 5).as("top"))
+            col("hamming"), col("vec_id"), E7RerankPool).as("top"))
           .select(col("q_id"), explode(col("top")).as("p"))
           .select(col("q_id"), col("p.id").as("vec_id"),
             col("p.ord").as("hamming"))
         val v = sigs.select(col("vec_id"), col("embedding"), col("norm"))
-        top.join(v.as("q"), col("q_id") === col("q.vec_id"))
+        val scored = top.join(v.as("q"), col("q_id") === col("q.vec_id"))
           .join(v.as("c"), top("vec_id") === col("c.vec_id"))
           .select(col("q_id"), top("vec_id").as("neighbor_id"), col("hamming"),
             (VectorOps.dotD(col("q.embedding"), col("c.embedding")) /
               (col("q.norm") * col("c.norm"))).as("sim"))
+        Relational.topKPerGroup(scored, Seq(col("q_id")),
+          Seq(col("sim").desc, col("neighbor_id")), 5)
       },
       "WITH sig AS (SELECT vec_id, embedding, " +
         (0 until 32).map(i =>
@@ -597,10 +688,12 @@ object VectorQueries {
         "bit_count(xor(q_hi, sig_hi)) AS hamming FROM p JOIN sig " +
         "ON p.q_id != sig.vec_id " +
         "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
-        "bit_count(xor(q_lo, sig_lo)) + bit_count(xor(q_hi, sig_hi)), vec_id) <= 5) " +
+        s"bit_count(xor(q_lo, sig_lo)) + bit_count(xor(q_hi, sig_hi)), vec_id) <= $E7RerankPool) " +
         s"SELECT q_id, t.vec_id AS neighbor_id, t.hamming::BIGINT AS hamming, " +
         s"${dCos("q.embedding", "c.embedding")} AS sim " +
-        "FROM top t JOIN sig q ON t.q_id = q.vec_id JOIN sig c ON t.vec_id = c.vec_id"),
+        "FROM top t JOIN sig q ON t.q_id = q.vec_id JOIN sig c ON t.vec_id = c.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        s"${dCos("q.embedding", "c.embedding")} DESC, t.vec_id) <= 5"),
 
     // E7b — all-pairs binary near-dup over the sign signatures: the
     // corpus x corpus companion to e7's probe-set scan. Candidates come
