@@ -162,6 +162,34 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("e2 multiprobe KNN joins buckets, never a nested-loop scan") {
+    // The three-table radius-2 multiprobe must stay a bucket equi-join
+    // per table (the recall knobs widen the MASK LIST, not the join
+    // shape) — a nested-loop or cartesian candidate scan is the brute
+    // force plan e2 exists to avoid.
+    val plan = executedPlan(
+      SparkEntry.queries("e2_knn_lsh")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("e6b query side reads the materialized IVF index, not a rebuild") {
+    // The build/query split: the gate's executed plan must source both
+    // the centroid table and the replicated inverted index from
+    // InterStage parquet (build once, query many). A corpus-wide Lloyd
+    // rebuild in the query plan would put corpus-sized HashAggregates
+    // here — seen as more than the probe-side work — and drop the
+    // interstage scans.
+    val q = SparkEntry.queries("e6b_ivf_adaptive")(spark, Sf0001)
+    q.collect()
+    // executedPlan flattens AQE-materialized scans; the full plan string
+    // (with subtree details) names every file source
+    val plan = q.queryExecution.executedPlan.toString
+    val interScans = "graft_interstage_".r.findAllIn(plan).size
+    assert(interScans >= 2,
+      s"expected centroid + index interstage scans, found $interScans:\n${plan.take(2000)}")
+  }
+
   test("pruned projections reach the parquet reader") {
     val q = Tables.load(spark, Sf0001, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
