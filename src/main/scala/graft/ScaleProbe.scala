@@ -71,7 +71,7 @@ object ScaleProbe {
       "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
       "x1_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
-      "e7_binary_sign_ann", "e7b_binary_banded_neardup")
+      "e7_binary_sign_ann", "e7b_binary_banded_neardup", "e8_semantic_prune")
       .map(n => n -> timed(n)).toMap
     // The gates read the materialized CC label table (built in the
     // materialize phase); the ITERATIVE pass itself keeps its own tracked
@@ -80,6 +80,14 @@ object ScaleProbe {
       val t = System.nanoTime()
       val n = graft.queries.TextQueries.ccLabelsLive(spark, big).count()
       println(f"[scale] cc_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows")
+    }
+    // Same split for the cosine pair pipeline: the e3/e8 gates read the
+    // materialized pair table, and this row keeps the LSH candidate +
+    // verify pipeline's own scaling tracked.
+    locally {
+      val t = System.nanoTime()
+      val n = graft.queries.VectorQueries.cosPairsLive(spark, big).count()
+      println(f"[scale] cos_pairs_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows")
     }
     // e3 recall vs the exact baseline at the scaled corpus: e3's output is
     // exact-verified (every pair it emits passes sim >= 0.4), so e3 is a

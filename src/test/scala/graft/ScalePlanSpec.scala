@@ -70,10 +70,26 @@ class ScalePlanSpec extends SparkSpec {
   test("e3 LSH pair generation plans no nested-loop join") {
     // Regression guard for the round-2 finding: the near-dup pair join must
     // stay a bucket equi-join; a BroadcastNestedLoopJoin here is the O(n^2)
-    // plan that cannot survive corpus scale.
+    // plan that cannot survive corpus scale. Asserted on the LIVE pipeline
+    // (the e3 gate itself now scans the materialized pair table).
     val plan = executedPlan(
-      SparkEntry.queries("e3_cosine_neardup_pairs")(spark, Sf0001))
+      graft.queries.VectorQueries.cosPairsLive(spark, Sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("e8 semantic prune reads materialized labels, never re-runs CC") {
+    // The prune gate's marginal cost is one aggregate + one equi-join over
+    // the materialized cluster-label table. A live CC re-run would show up
+    // as checkpoint-RDD scans (the round-8 d7 finding, fixed by sharing
+    // the label table); a pair regeneration as the LSH explode.
+    val plan = executedPlan(
+      SparkEntry.queries("e8_semantic_prune")(spark, Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"e8 must scan the materialized label table, not a live CC run:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate explode"),
+      s"e8 must not regenerate LSH candidates:\n${plan.take(2000)}")
   }
 
   test("e7b banded near-dup plans no nested-loop join") {
