@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native expressions for the int8 affine quantization round-trip
   * (e5): per element, code = clamp(round((x + 1) * 127.5), 0, 255) and the
@@ -120,9 +120,152 @@ case class QuantSqErrF(child: Expression)
   override def prettyName: String = "quant_sq_err"
 }
 
+/** The int8 code array itself — the build step of the quantized-corpus
+  * index (e9): one codegen'd loop emitting array<int>. Production would
+  * pack the codes 4-per-word into binary; int elements keep the parquet
+  * column oracle-readable while preserving the scan-cost shape (the
+  * quantized table reads 4x fewer value bytes than float64).
+  */
+case class QuantCodesF(child: Expression)
+    extends UnaryExpression with QuantLoop {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = code(elemEval(arr, i)).toInt; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val tmp = ctx.freshName("tmp")
+      val v = ctx.freshName("v")
+      s"""
+         |int[] $tmp = new int[$arr.numElements()];
+         |for (int $i = 0; $i < $tmp.length; $i++) {
+         |  double $v = (${elemJava(arr, i)} + 1.0) * 127.5;
+         |  $tmp[$i] = (int) java.lang.Math.min(java.lang.Math.max(
+         |    java.lang.Math.round($v), 0L), 255L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantCodesF = copy(child = c)
+  override def prettyName: String = "quant_codes"
+}
+
+/** Asymmetric-distance dot product (e9 query side): left-fold sum of
+  * dequant(code_i) * probe_i over an int8 code array and a full-precision
+  * probe — the ADC scan of a quantized-index search. Same IEEE sequence
+  * as the oracle's `list_reduce` over `list_zip` (0.0 + t0 == t0).
+  */
+case class AdcDotF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType, _) | ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<int>, array<float|double>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val vec = r.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = math.min(codes.numElements(), vec.numElements())
+    while (i < n) {
+      val x = if (rightIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      acc += (codes.getInt(i).toDouble / 127.5 - 1.0) * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v) => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val x = if (rightIsFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($c.numElements(), $v.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (((double) $c.getInt($i)) / 127.5 - 1.0) * $x;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDotF =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_dot"
+}
+
+/** Squared L2 norm of a dequantized code array (e9 build side): left-fold
+  * sum of dequant(code_i)^2 — the stored-norm companion to AdcDotF.
+  */
+case class AdcSelfDotF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<int>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < codes.numElements()) {
+      val d = codes.getInt(i).toDouble / 127.5 - 1.0
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  double $d = ((double) $arr.getInt($i)) / 127.5 - 1.0;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AdcSelfDotF = copy(child = c)
+  override def prettyName: String = "adc_self_dot"
+}
+
 object QuantizeF {
   def quantCodeSum(a: Column): Column =
     ColumnBridge.toColumn(QuantCodeSumF(ColumnBridge.toExpr(a)))
   def quantSqErr(a: Column): Column =
     ColumnBridge.toColumn(QuantSqErrF(ColumnBridge.toExpr(a)))
+  def quantCodes(a: Column): Column =
+    ColumnBridge.toColumn(QuantCodesF(ColumnBridge.toExpr(a)))
+  def adcDot(codes: Column, vec: Column): Column =
+    ColumnBridge.toColumn(AdcDotF(ColumnBridge.toExpr(codes), ColumnBridge.toExpr(vec)))
+  def adcSelfDot(codes: Column): Column =
+    ColumnBridge.toColumn(AdcSelfDotF(ColumnBridge.toExpr(codes)))
 }

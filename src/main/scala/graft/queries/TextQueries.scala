@@ -808,6 +808,46 @@ object TextQueries {
         "array_to_string(toks[st:st+15], ' ') AS chunk " +
         "FROM t, unnest(range(1, len(toks) + 1, 8)) u(st)"),
 
+    // T14 — model-based quality scoring, the fastText-classifier shape the
+    // CCNet/GPT-style curation pipelines run after the rule-based funnel
+    // (x3): hash every token into a fixed feature space, join the bucket
+    // against the model's weight table, and score the document by the mean
+    // feature weight (keep = positive margin; the sigmoid is monotone, so
+    // thresholding the margin IS thresholding the probability). The weight
+    // table here is a deterministic stand-in for trained coefficients (no
+    // model artifacts ship in this sandbox) — the SCALE-RELEVANT parts are
+    // real: the model rides as a BROADCAST table (a learned vocabulary of
+    // any size would too — weights are data, not code), the per-token
+    // hash+join is map-side whole-stage codegen, the only shuffle is the
+    // per-document aggregate, and the score sum is exact integer
+    // milli-weights so the result is bit-stable under any partitioning
+    // (one IEEE division at the end, the same discipline as t6/t10).
+    "t14_quality_classifier" -> GQ(
+      (s, d) => {
+        val nb = 1024L
+        val wt = broadcast(s.range(nb).select(col("id").as("bucket"),
+          ((col("id") * 2654435761L + 12345L) % 2001L - 1000L).as("wm")))
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .select(col("doc_id"),
+            (conv(substring(sha2(concat_ws("|", lit("qc"), col("w")), 256),
+              1, 4), 16, 10).cast("long") % nb).as("bucket"))
+        toks.join(wt, "bucket")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wm")).as("sm"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sm").cast("double") / (col("n_tokens") * 1000.0)).as("score"),
+            (col("sm") > 0).as("keep"))
+      },
+      "WITH wt AS (SELECT u.b AS bucket, ((u.b * 2654435761 + 12345) % 2001) - 1000 AS wm " +
+        "FROM unnest(range(0, 1024)) u(b)), " +
+        "toks AS (SELECT doc_id, ('0x' || substr(sha256('qc|' || w), 1, 4))::BIGINT % 1024 AS bucket " +
+        "FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w FROM documents)), " +
+        "sc AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(wt.wm)::BIGINT AS sm " +
+        "FROM toks t JOIN wt ON t.bucket = wt.bucket GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, sm::DOUBLE / (n_tokens * 1000.0) AS score, " +
+        "sm > 0 AS keep FROM sc"),
+
     // T12 — token-budget shard packing: walk the corpus in doc_id order and
     // assign each document to output shard floor(tokens_before / budget) —
     // how a training pipeline cuts a corpus into fixed-token-count output

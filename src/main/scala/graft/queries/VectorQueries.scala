@@ -621,6 +621,57 @@ object VectorQueries {
         "(z[1]::DOUBLE - (z[2]::DOUBLE / 127.5 - 1.0))), (a, v) -> a + v) / 64.0), 9) " +
         "AS rmse FROM q"),
 
+    // E9 — ADC (asymmetric-distance) kNN over the int8-quantized corpus:
+    // the memory-bandwidth scale path that makes e5's compression pay.
+    // The index is a materialize-once table of code arrays + stored
+    // dequant norms (4x fewer value bytes than float64 — at 100 TB a
+    // brute scan is bandwidth-bound, so the quantized scan reads 4x less
+    // and the probe side keeps full precision; FAISS's IndexScalarQuantizer
+    // shape). The scan itself is the e1 plan — probes broadcast, corpus
+    // partitioned — with the codegen'd AdcDotF dequant-dot in the hot
+    // loop; approximation error is only the int8 rounding, so recall@5
+    // vs e1 is near-exact (RecallSpec floors it with the other ANN paths).
+    "e9_int8_adc_knn" -> GQ(
+      (s, d) => {
+        val codes = InterStage.materialize(s,
+          InterStage.tableKey(d, "embeddings") + "|int8codes",
+          Tables.load(s, d, "embeddings")
+            .select(col("vec_id"),
+              graft.functions.QuantizeF.quantCodes(col("embedding")).as("codes"))
+            .withColumn("qnorm",
+              sqrt(graft.functions.QuantizeF.adcSelfDot(col("codes")))))
+        val probes = Tables.load(s, d, "embeddings").where(probeFilter(s, d))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            VectorOps.l2Norm(col("embedding")).as("q_norm"))
+        val scored = codes
+          .repartition(s.sparkContext.defaultParallelism)
+          .join(broadcast(probes), col("q_id") =!= col("vec_id"))
+          .withColumn("sim",
+            graft.functions.QuantizeF.adcDot(col("codes"), col("q_vec")) /
+              (col("q_norm") * col("qnorm")))
+        Relational.topKPerGroup(scored, Seq(col("q_id")),
+            Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> least(greatest(round((x::DOUBLE + 1.0) * 127.5, 0), 0.0), 255.0)::INT) codes " +
+        "FROM embeddings), " +
+        "qn AS (SELECT vec_id, codes, sqrt(list_reduce(list_transform(codes, " +
+        "c -> (c::DOUBLE / 127.5 - 1.0) * (c::DOUBLE / 127.5 - 1.0)), (a, v) -> a + v)) qnorm " +
+        "FROM q), " +
+        "p AS (SELECT vec_id q_id, embedding q_vec, " +
+        s"sqrt(${dDot("embedding", "embedding")}) q_norm FROM embeddings " +
+        "WHERE " + probeFilterSql + ") " +
+        "SELECT q_id, c.vec_id AS neighbor_id, " +
+        "list_reduce(list_transform(list_zip(c.codes, q_vec), " +
+        "z -> (z[1]::DOUBLE / 127.5 - 1.0) * z[2]::DOUBLE), (a, v) -> a + v) " +
+        "/ (q_norm * qnorm) AS sim " +
+        "FROM p JOIN qn c ON p.q_id != c.vec_id " +
+        "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "list_reduce(list_transform(list_zip(c.codes, q_vec), " +
+        "z -> (z[1]::DOUBLE / 127.5 - 1.0) * z[2]::DOUBLE), (a, v) -> a + v) " +
+        "/ (q_norm * qnorm) DESC, c.vec_id) <= 5"),
+
     // E6 — IVF (inverted-file) ANN search, the classic two-level scale
     // path: a coarse quantizer (per-label mean centroids — the e4 build
     // step) partitions the corpus into inverted lists keyed by nearest

@@ -35,6 +35,27 @@ class QuantizeFSpec extends SparkSpec {
     assert(row._1 == 0L + 255L + 128L + 191L + 0L)
   }
 
+  test("quant_codes / adc_dot / adc_self_dot match the HOF reference") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    // HOF reference for the ADC dot: dequant(code_i) * x_i left fold
+    val hofAdcDot = aggregate(
+      zip_with(hofCodes, col("embedding"),
+        (c, x) => (c.cast("double") / 127.5 - 1.0) * x.cast("double")),
+      lit(0.0), (a, v) => a + v)
+    val hofSelfDot = aggregate(
+      transform(hofCodes, c => { val r = c.cast("double") / 127.5 - 1.0; r * r }),
+      lit(0.0), (a, v) => a + v)
+    val diff = e.select(
+      QuantizeF.quantCodes(col("embedding")).as("nc"), hofCodes.as("hc"),
+      QuantizeF.adcDot(QuantizeF.quantCodes(col("embedding")), col("embedding")).as("nd"),
+      hofAdcDot.as("hd"),
+      QuantizeF.adcSelfDot(QuantizeF.quantCodes(col("embedding"))).as("ns"),
+      hofSelfDot.as("hs"))
+      .where(col("nc") =!= col("hc") || col("nd") =!= col("hd") ||
+        col("ns") =!= col("hs"))
+    assert(diff.count() == 0)
+  }
+
   test("quant expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val plan = e.select(QuantizeF.quantCodeSum(col("embedding")),

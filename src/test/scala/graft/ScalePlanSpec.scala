@@ -122,6 +122,19 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("t14 classifier scores map-side: broadcast weights, one exchange") {
+    // The model-weight join must broadcast (weights are the small side at
+    // any vocabulary size) and the only shuffle allowed is the per-document
+    // aggregate — a shuffled weight join or a second exchange would put a
+    // corpus-sized shuffle in front of every scoring pass.
+    val plan = executedPlan(
+      SparkEntry.queries("t14_quality_classifier")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"t14 must shuffle only the per-doc aggregate ($exchanges exchanges):\n${plan.take(2000)}")
+  }
+
   test("t13 chunking plans zero exchanges") {
     // The chunker is pure per-row work and must compose with any upstream
     // partitioning — any Exchange in its plan is a regression against the
