@@ -257,6 +257,56 @@ case class AdcSelfDotF(child: Expression) extends UnaryExpression {
   override def prettyName: String = "adc_self_dot"
 }
 
+/** PQ ADC lookup sum (e10 query side): left-fold over the code array of
+  * `lut[j * ks + codes[j]]` — the table-lookup scan of product
+  * quantization, where the probe's per-subspace dot products against
+  * every codebook centroid are precomputed into one flat LUT. One array
+  * index per subspace replaces a sub-dim-wide dot product; the fold runs
+  * j = 0..m-1 in order, matching the oracle's `list_reduce` sequence.
+  */
+case class LutSumF(left: Expression, right: Expression, ks: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) if ks > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<int>, array<double>) and ks > 0, got " +
+            s"(${l.simpleString}, ${r.simpleString}), ks=$ks")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < codes.numElements()) {
+      acc += lut.getDouble(i * ks + codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, v) => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  $acc += $v.getDouble($i * $ks + $c.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LutSumF =
+    copy(left = l, right = r)
+  override def prettyName: String = "lut_sum"
+}
+
 object QuantizeF {
   def quantCodeSum(a: Column): Column =
     ColumnBridge.toColumn(QuantCodeSumF(ColumnBridge.toExpr(a)))
@@ -268,4 +318,6 @@ object QuantizeF {
     ColumnBridge.toColumn(AdcDotF(ColumnBridge.toExpr(codes), ColumnBridge.toExpr(vec)))
   def adcSelfDot(codes: Column): Column =
     ColumnBridge.toColumn(AdcSelfDotF(ColumnBridge.toExpr(codes)))
+  def lutSum(codes: Column, lut: Column, ks: Int): Column =
+    ColumnBridge.toColumn(LutSumF(ColumnBridge.toExpr(codes), ColumnBridge.toExpr(lut), ks))
 }

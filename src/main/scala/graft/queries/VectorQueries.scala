@@ -119,6 +119,26 @@ object VectorQueries {
     while (p < MaxPlanes && (1L << (2 * p)) < n) p += 1
     p
   }
+  /** Product-quantization geometry (e10): PqM subspaces of PqSubDim dims
+    * (PqM * PqSubDim = Dim), PqKs = 256 centroids per subspace — the
+    * standard 8-bit subquantizer, so a vector stores PqM bytes = 64 bits
+    * vs 2048 for float32 (32x). The 4-bit first cut measured recall@5
+    * 0.570 at sf0.1 (RecallProbe) — half a bit per dimension quantizes
+    * away the neighborhood structure; 8-bit reads 0.9+ with the same
+    * rerank pool. Codebooks are per-subspace means over a deterministic
+    * 8-plane sign-LSH init (no RNG; the oracle regenerates them).
+    * PqRerank is the ADC-candidate pool exact cosine re-ranks — the
+    * standard IVFADC+refine split: the coarse ADC scan ranks with table
+    * lookups only, and full vectors are fetched for pool-many candidates
+    * per probe.
+    */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqCodeBits = 8
+  val PqKs = 1 << PqCodeBits
+  val PqRerank = 100
+  lazy val pqPlaneTables: Seq[Seq[Seq[Long]]] =
+    (0 until PqM).map(j => VectorOps.hyperplaneInts(PqCodeBits, PqSubDim, s"pq$j|"))
   private def dIvfPlanesCase: String =
     (MinIvfPlanes until MaxPlanes)
       .map(p => s"WHEN count(*) <= ${1L << (2 * p)} THEN $p")
@@ -336,6 +356,51 @@ object VectorQueries {
     (cent, idx)
   }
 
+  /** e10's product-quantization codebooks and code table, materialized
+    * once per corpus. Codebooks: for each of the PqM subspaces, the means
+    * of the subvectors grouped by a deterministic 4-plane sign-LSH init
+    * (= one k-means init step; no RNG, so the oracle regenerates the
+    * identical codebooks). Codes: each vector's per-subspace nearest
+    * centroid by squared L2, plus the reconstruction norm
+    * sqrt(sum_j ||centroid_j||^2) the ADC cosine denominator needs.
+    * The code table stores PqM 4-bit codes per vector — 32 bits vs 2048
+    * for float32; production would pack them into one word, int elements
+    * keep the column oracle-readable while preserving the scan shape.
+    */
+  private def pqTables(s: SparkSession, d: String) = {
+    val key = InterStage.tableKey(d, "embeddings")
+    def subRows = (0 until PqM).map { j =>
+      Tables.load(s, d, "embeddings").select(col("vec_id"),
+        lit(j.toLong).as("sub_j"),
+        slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("sv"))
+        .withColumn("init_c", VectorOps.lshBucket(col("sv"), pqPlaneTables(j)))
+    }.reduce(_.unionByName(_))
+    val cent = InterStage.materialize(s, key + "|pqcent", {
+      val aggs = count(lit(1)).as("cn") +: (0 until PqSubDim).map(i =>
+        sum(element_at(col("sv"), i + 1).cast("double")).as(s"s$i"))
+      subRows.groupBy(col("sub_j"), col("init_c")).agg(aggs.head, aggs.tail: _*)
+        .select(col("sub_j"), col("init_c").as("c_code"),
+          array((0 until PqSubDim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
+        .withColumn("c_sq", VectorOps.dotD(col("c_vec"), col("c_vec")))
+    })
+    val codes = InterStage.materialize(s, key + "|pqcodes", {
+      val scored = subRows.join(broadcast(cent), Seq("sub_j"))
+        .withColumn("dist",
+          VectorOps.dotD(col("sv"), col("sv")) -
+            lit(2.0) * VectorOps.dotD(col("sv"), col("c_vec")) + col("c_sq"))
+      val best = Relational.top1PerGroup(scored,
+        Seq(col("vec_id"), col("sub_j")), struct(col("dist"), col("c_code")))
+      best.groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(
+          struct(col("sub_j"), col("c_code"), col("c_sq")))).as("bs"))
+        .select(col("vec_id"),
+          transform(col("bs"), x => x.getField("c_code").cast("int")).as("codes"),
+          sqrt(aggregate(transform(col("bs"), x => x.getField("c_sq")),
+            lit(0.0), (a, v) => a + v)).as("rnorm"))
+    })
+    (cent, codes)
+  }
+
   /** Cosine near-dup pairs (sim >= 0.4) — the e3 LSH candidate + verify
     * pipeline (see the e3 gate comment for the three scale moves). Factored
     * out so the pair set can be materialized once per corpus and shared by
@@ -427,6 +492,7 @@ object VectorQueries {
     labelIvfTables(s, d)
     ivfIndexTables(s, d)
     semLabelTable(s, d)
+    pqTables(s, d)
     ()
   }
 
@@ -671,6 +737,107 @@ object VectorQueries {
         "list_reduce(list_transform(list_zip(c.codes, q_vec), " +
         "z -> (z[1]::DOUBLE / 127.5 - 1.0) * z[2]::DOUBLE), (a, v) -> a + v) " +
         "/ (q_norm * qnorm) DESC, c.vec_id) <= 5"),
+
+    // E10 — product-quantization ADC kNN with exact re-rank: the 100 TB
+    // memory path beyond scalar quantization. Each vector stores PqM=8
+    // 8-bit codebook codes (64 bits vs 2048 — 32x); a probe precomputes
+    // one flat LUT of its subvector dots against every codebook centroid
+    // (PqM x PqKs = 128 doubles, O(1) per probe), and the corpus scan is
+    // PqM table lookups per vector (the codegen'd lut_sum loop) instead
+    // of a Dim-wide dot product. The top-PqRerank ADC candidates fetch
+    // full vectors for exact cosine re-ranking (the IVFADC+refine split:
+    // only pool-many vectors are ever touched at full precision per
+    // probe). Codebooks and codes are materialize-once InterStage tables
+    // (pqTables); the oracle regenerates both from the deterministic
+    // LSH-init means and replays the same two-stage ranking.
+    "e10_pq_adc_knn" -> GQ(
+      (s, d) => {
+        val (cent, codes) = pqTables(s, d)
+        // dense (sub_j, c_code) grid so LUT position j*PqKs+code is total
+        // even when an init bucket is empty (missing slots read 0.0 and
+        // are never referenced by any stored code)
+        val grid = s.range(PqM.toLong * PqKs).select(
+          (col("id") / PqKs).cast("long").as("sub_j"),
+          (col("id") % PqKs).as("c_code"))
+        val gcent = grid.join(
+          broadcast(cent.select(col("sub_j"), col("c_code"), col("c_vec"))),
+          Seq("sub_j", "c_code"), "left")
+        val probes = Tables.load(s, d, "embeddings").where(probeFilter(s, d))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            VectorOps.l2Norm(col("embedding")).as("q_norm"))
+        val lut = probes.crossJoin(broadcast(gcent))
+          .withColumn("part", coalesce(VectorOps.dotD(
+            slice(col("q_vec"), (col("sub_j") * PqSubDim + 1).cast("int"),
+              lit(PqSubDim)), col("c_vec")), lit(0.0)))
+          .groupBy(col("q_id"))
+          .agg(first(col("q_vec")).as("q_vec"), first(col("q_norm")).as("q_norm"),
+            sort_array(collect_list(
+              struct(col("sub_j"), col("c_code"), col("part")))).as("ps"))
+          .select(col("q_id"), col("q_vec"), col("q_norm"),
+            transform(col("ps"), x => x.getField("part")).as("lut"))
+        val pool = Relational.topKPerGroup(
+          codes.repartition(s.sparkContext.defaultParallelism)
+            .crossJoin(broadcast(lut))
+            .where(col("q_id") =!= col("vec_id"))
+            .withColumn("adc",
+              graft.functions.QuantizeF.lutSum(col("codes"), col("lut"), PqKs) /
+                (col("q_norm") * col("rnorm"))),
+          Seq(col("q_id")), Seq(col("adc").desc, col("vec_id")), PqRerank)
+        val v = normedBuckets(s, d)
+          .select(col("vec_id"), col("embedding"), col("norm"))
+        val reranked = pool
+          .select(col("q_id"), col("q_vec"), col("q_norm"), col("vec_id"))
+          .join(v, "vec_id")
+          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
+            (col("q_norm") * col("norm")))
+        Relational.topKPerGroup(reranked, Seq(col("q_id")),
+            Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      {
+        val sums = (0 until PqSubDim).map(i => s", sum(sv[${i + 1}]::DOUBLE) s$i").mkString
+        val mean = (0 until PqSubDim).map(i => s"s$i / cn").mkString(", ")
+        val initCase = (0 until PqM).map(j =>
+          s"WHEN sub_j = $j THEN ${dBucket("sv", pqPlaneTables(j))}")
+          .mkString("CASE ", " ", " END")
+        s"WITH sub AS (SELECT vec_id, u.j sub_j, " +
+          s"embedding[u.j*$PqSubDim+1 : u.j*$PqSubDim+$PqSubDim] sv " +
+          s"FROM embeddings, unnest(range(0, $PqM)) u(j)), " +
+          s"init AS (SELECT vec_id, sub_j, sv, ($initCase) init_c FROM sub), " +
+          s"st AS (SELECT sub_j, init_c c_code, count(*) cn$sums FROM init GROUP BY 1, 2), " +
+          s"cent AS (SELECT sub_j, c_code, [$mean] c_vec FROM st), " +
+          s"centq AS (SELECT sub_j, c_code, c_vec, ${dDot("c_vec", "c_vec")} c_sq FROM cent), " +
+          s"scored AS (SELECT i.vec_id, i.sub_j, c.c_code, c.c_sq, " +
+          s"${dDot("i.sv", "i.sv")} - 2.0 * ${dDot("i.sv", "c.c_vec")} + c.c_sq dist " +
+          "FROM init i JOIN centq c ON i.sub_j = c.sub_j), " +
+          "best AS (SELECT vec_id, sub_j, c_code, c_sq FROM scored " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id, sub_j ORDER BY dist, c_code) = 1), " +
+          "codes AS (SELECT vec_id, array_agg(c_code ORDER BY sub_j) codes, " +
+          "sqrt(list_reduce(array_agg(c_sq ORDER BY sub_j), (a, v) -> a + v)) rnorm " +
+          "FROM best GROUP BY vec_id), " +
+          s"grid AS (SELECT g.i // $PqKs sub_j, g.i % $PqKs c_code " +
+          s"FROM unnest(range(0, ${PqM * PqKs})) g(i)), " +
+          "probes AS (SELECT vec_id q_id, embedding q_vec, " +
+          s"sqrt(${dDot("embedding", "embedding")}) q_norm FROM embeddings " +
+          "WHERE " + probeFilterSql + "), " +
+          "lutrows AS (SELECT p.q_id, p.q_norm, p.q_vec, gr.sub_j, gr.c_code, " +
+          s"coalesce(${dDot(s"p.q_vec[gr.sub_j*$PqSubDim+1 : gr.sub_j*$PqSubDim+$PqSubDim]", "c.c_vec")}, 0.0) part " +
+          "FROM probes p CROSS JOIN grid gr " +
+          "LEFT JOIN centq c ON gr.sub_j = c.sub_j AND gr.c_code = c.c_code), " +
+          "lut AS (SELECT q_id, q_norm, q_vec, array_agg(part ORDER BY sub_j, c_code) lut " +
+          "FROM lutrows GROUP BY q_id, q_norm, q_vec), " +
+          s"pool AS (SELECT l.q_id, l.q_vec, c.vec_id, " +
+          s"list_reduce(list_transform(range(0, $PqM), " +
+          s"j -> l.lut[j * $PqKs + c.codes[j + 1] + 1]), (a, v) -> a + v) " +
+          "/ (l.q_norm * c.rnorm) adc " +
+          "FROM lut l, codes c WHERE l.q_id != c.vec_id " +
+          "QUALIFY row_number() OVER (PARTITION BY l.q_id " +
+          s"ORDER BY adc DESC, c.vec_id) <= $PqRerank) " +
+          s"SELECT p.q_id, p.vec_id AS neighbor_id, ${dCos("p.q_vec", "e.embedding")} AS sim " +
+          "FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id " +
+          "QUALIFY row_number() OVER (PARTITION BY p.q_id " +
+          s"ORDER BY ${dCos("p.q_vec", "e.embedding")} DESC, p.vec_id) <= 5"
+      }),
 
     // E6 — IVF (inverted-file) ANN search, the classic two-level scale
     // path: a coarse quantizer (per-label mean centroids — the e4 build
