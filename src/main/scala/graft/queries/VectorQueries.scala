@@ -640,6 +640,71 @@ object VectorQueries {
         "SELECT e.vec_id, cl.n_members, e.label " +
         "FROM embeddings e JOIN cl ON e.vec_id = cl.cluster_id"),
 
+    // E11 — incremental semantic screen: the vector-side analog of d8 and
+    // the batch form of VecStreams.semanticIngest. A new batch (the
+    // vec_id % 13 slice) is checked for semantic near-duplicates
+    // (cosine >= 0.4) against the HISTORICAL corpus before ingest:
+    // candidates come from the same three-table adaptive sign-LSH
+    // multiprobe as e3, but ONE-SIDED (fresh probes x history buckets) —
+    // per-batch cost tracks the batch x bucket occupancy in history,
+    // never a corpus rescan, and the bucket is the shuffle key. The LSH
+    // width sizes from the HISTORY count (the index the screen probes);
+    // approximate exactly as e3 is, and the oracle reproduces the same
+    // candidate set one-sided.
+    "e11_incremental_semantic" -> GQ(
+      (s, d) => {
+        val b = normedBuckets(s, d)
+        val isFresh = pmod(col("vec_id"), lit(13L)) === 0
+        val hist = b.where(!isFresh)
+        val planes = adaptivePlanes(hist.count())
+        val masks = pairMasks(planes, flipRadius(planes))
+        val bmask = lit((1L << planes) - 1)
+        val fresh = b.where(isFresh)
+        def candIds(bcol: String) = {
+          val probes = fresh.select(col("vec_id").as("q_id"),
+            explode(array(masks.map(m =>
+              col(bcol).bitwiseAND(bmask).bitwiseXOR(lit(m))): _*)).as("mb"))
+          val hb = hist.select(col("vec_id"), col(bcol).bitwiseAND(bmask).as("mb"))
+          probes.join(hb, Seq("mb"))
+            .select(col("q_id"), col("vec_id").as("h_id"))
+        }
+        val cand = candIds("bucket")
+          .unionByName(candIds("bucket2"))
+          .unionByName(candIds("bucket3"))
+        val v = b.select(col("vec_id"), col("embedding"), col("norm"))
+        val dupIds = cand
+          .join(v.as("x"), col("q_id") === col("x.vec_id"))
+          .join(v.as("y"), col("h_id") === col("y.vec_id"))
+          .where((VectorOps.dotD(col("x.embedding"), col("y.embedding")) /
+            (col("x.norm") * col("y.norm"))) >= 0.4)
+          .select(col("q_id").as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        fresh.select(col("vec_id")).join(dupIds, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("dup"), lit(false)).as("is_semdup_of_history"))
+      },
+      s"WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} bucket, " +
+        s"${dBucket("embedding", planeInts2)} bucket2, " +
+        s"${dBucket("embedding", planeInts3)} bucket3 FROM embeddings), " +
+        s"par AS (SELECT $dPlanesCase p, $dRadiusCase r FROM embeddings WHERE vec_id % 13 != 0), " +
+        s"mk AS (SELECT m FROM unnest($dPairMasks) u(m), par WHERE bit_count(m::BIGINT) <= par.r), " +
+        "mf AS (SELECT vec_id, bucket % (1 << par.p) b1, bucket2 % (1 << par.p) b2, " +
+        "bucket3 % (1 << par.p) b3 FROM b, par WHERE vec_id % 13 = 0), " +
+        "mh AS (SELECT vec_id, bucket % (1 << par.p) b1, bucket2 % (1 << par.p) b2, " +
+        "bucket3 % (1 << par.p) b3 FROM b, par WHERE vec_id % 13 != 0), " +
+        "cand AS (" +
+        "SELECT p1.q_id, y.vec_id h_id FROM (SELECT vec_id q_id, xor(b1, m) bb " +
+        "FROM mf, mk) p1 JOIN mh y ON p1.bb = y.b1 " +
+        "UNION ALL SELECT p2.q_id, y.vec_id h_id FROM (SELECT vec_id q_id, xor(b2, m) bb " +
+        "FROM mf, mk) p2 JOIN mh y ON p2.bb = y.b2 " +
+        "UNION ALL SELECT p3.q_id, y.vec_id h_id FROM (SELECT vec_id q_id, xor(b3, m) bb " +
+        "FROM mf, mk) p3 JOIN mh y ON p3.bb = y.b3), " +
+        s"dup AS (SELECT DISTINCT c.q_id FROM cand c " +
+        "JOIN b x ON c.q_id = x.vec_id JOIN b y ON c.h_id = y.vec_id " +
+        s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4) " +
+        "SELECT m.vec_id, d.q_id IS NOT NULL AS is_semdup_of_history " +
+        "FROM mf m LEFT JOIN dup d ON m.vec_id = d.q_id"),
+
     // E3b — exact brute-force near-dup pairs: the correctness baseline the
     // e3 LSH path is measured against (recall = |e3| / |e3b| at the same
     // threshold). Deliberately O(n²/2): norms come precomputed from the

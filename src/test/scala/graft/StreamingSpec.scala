@@ -166,6 +166,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * perFile)
   }
 
+  test("streaming semantic ingest equals batch e11 and survives restart") {
+    import graft.streaming.VecStreams
+    val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
+    val hist = java.nio.file.Files.createTempDirectory("graft_sem_hist_").toString + "/h"
+    val flags = java.nio.file.Files.createTempDirectory("graft_sem_flags_").toString + "/f"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sem_ckpt_").toString
+
+    // Same staging as the d8 twin below: history slice (vec_id % 13 != 0)
+    // lands first, the fresh slice arrives after a full stop/start, so it
+    // can only be screened against the recovered history index.
+    val emb = spark.read.schema(VecStreams.embSchema)
+      .parquet(s"$Sf0001/embeddings.parquet")
+    val nHist = emb.where(pmod(col("vec_id"), lit(13L)) =!= 0).count()
+    emb.where(pmod(col("vec_id"), lit(13L)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    VecStreams.semanticIngest(spark, src, hist, flags, ckpt)
+    assert(VecStreams.readFlags(spark, flags)
+      .where(col("is_semdup_of_history")).count() == 0)
+    assert(spark.read.parquet(hist).count() == nHist)
+
+    // restart with no new files: nothing reprocessed
+    VecStreams.semanticIngest(spark, src, hist, flags, ckpt)
+    assert(VecStreams.readFlags(spark, flags).count() == nHist)
+
+    // fresh slice lands; the new run screens it against recovered history
+    emb.where(pmod(col("vec_id"), lit(13L)) === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    VecStreams.semanticIngest(spark, src, hist, flags, ckpt)
+
+    val streamed = VecStreams.readFlags(spark, flags)
+      .where(pmod(col("vec_id"), lit(13L)) === 0)
+      .select("vec_id", "is_semdup_of_history")
+    val batch = SparkEntry.queries("e11_incremental_semantic")(spark, Sf0001)
+    assert(streamed.count() > 0)
+    assert(batch.where(col("is_semdup_of_history")).count() > 0) // non-trivial
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(spark.read.parquet(hist).count() == emb.count())
+  }
+
   test("streaming incremental near-dup dedup equals batch d8 and survives restart") {
     import graft.streaming.DocStreams
     val src = java.nio.file.Files.createTempDirectory("graft_ddup_src_").toString
