@@ -20,7 +20,8 @@ object RecallProbe {
     val exact = pairs("e1_knn_bruteforce")
     println(s"[recall] e1 exact baseline: ${exact.size} pairs on $d")
     for (name <- Seq("e2_knn_lsh", "e6_ivf_knn", "e6b_ivf_adaptive",
-        "e7_binary_sign_ann", "e9_int8_adc_knn", "e10_pq_adc_knn")) {
+        "e7_binary_sign_ann", "e9_int8_adc_knn", "e10_pq_adc_knn",
+        "e12_ivfpq_knn")) {
       val hit = exact.count(pairs(name).contains)
       println(f"[recall] $name recall@5 vs e1: ${hit.toDouble / exact.size}%.3f ($hit / ${exact.size})")
     }

@@ -401,6 +401,37 @@ object VectorQueries {
     (cent, codes)
   }
 
+  /** Per-probe PQ lookup table: for each probe, the dots of its PqM
+    * subvectors against every codebook centroid, flattened into one
+    * PqM*PqKs-slot array in (sub_j, c_code) order so LutSumF can index it
+    * as j*PqKs+code. Built over a dense grid so empty init buckets still
+    * occupy their slot (they read 0.0 and no stored code references
+    * them). O(PqM*PqKs) work per probe, independent of the corpus.
+    * Shared by the flat PQ scan (e10) and the IVFPQ composition (e12).
+    */
+  private def pqProbeLut(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (cent, _) = pqTables(s, d)
+    val grid = s.range(PqM.toLong * PqKs).select(
+      (col("id") / PqKs).cast("long").as("sub_j"),
+      (col("id") % PqKs).as("c_code"))
+    val gcent = grid.join(
+      broadcast(cent.select(col("sub_j"), col("c_code"), col("c_vec"))),
+      Seq("sub_j", "c_code"), "left")
+    val probes = Tables.load(s, d, "embeddings").where(probeFilter(s, d))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        VectorOps.l2Norm(col("embedding")).as("q_norm"))
+    probes.crossJoin(broadcast(gcent))
+      .withColumn("part", coalesce(VectorOps.dotD(
+        slice(col("q_vec"), (col("sub_j") * PqSubDim + 1).cast("int"),
+          lit(PqSubDim)), col("c_vec")), lit(0.0)))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_vec")).as("q_vec"), first(col("q_norm")).as("q_norm"),
+        sort_array(collect_list(
+          struct(col("sub_j"), col("c_code"), col("part")))).as("ps"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        transform(col("ps"), x => x.getField("part")).as("lut"))
+  }
+
   /** Cosine near-dup pairs (sim >= 0.4) — the e3 LSH candidate + verify
     * pipeline (see the e3 gate comment for the three scale moves). Factored
     * out so the pair set can be materialized once per corpus and shared by
@@ -817,29 +848,8 @@ object VectorQueries {
     // LSH-init means and replays the same two-stage ranking.
     "e10_pq_adc_knn" -> GQ(
       (s, d) => {
-        val (cent, codes) = pqTables(s, d)
-        // dense (sub_j, c_code) grid so LUT position j*PqKs+code is total
-        // even when an init bucket is empty (missing slots read 0.0 and
-        // are never referenced by any stored code)
-        val grid = s.range(PqM.toLong * PqKs).select(
-          (col("id") / PqKs).cast("long").as("sub_j"),
-          (col("id") % PqKs).as("c_code"))
-        val gcent = grid.join(
-          broadcast(cent.select(col("sub_j"), col("c_code"), col("c_vec"))),
-          Seq("sub_j", "c_code"), "left")
-        val probes = Tables.load(s, d, "embeddings").where(probeFilter(s, d))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            VectorOps.l2Norm(col("embedding")).as("q_norm"))
-        val lut = probes.crossJoin(broadcast(gcent))
-          .withColumn("part", coalesce(VectorOps.dotD(
-            slice(col("q_vec"), (col("sub_j") * PqSubDim + 1).cast("int"),
-              lit(PqSubDim)), col("c_vec")), lit(0.0)))
-          .groupBy(col("q_id"))
-          .agg(first(col("q_vec")).as("q_vec"), first(col("q_norm")).as("q_norm"),
-            sort_array(collect_list(
-              struct(col("sub_j"), col("c_code"), col("part")))).as("ps"))
-          .select(col("q_id"), col("q_vec"), col("q_norm"),
-            transform(col("ps"), x => x.getField("part")).as("lut"))
+        val (_, codes) = pqTables(s, d)
+        val lut = pqProbeLut(s, d)
         val pool = Relational.topKPerGroup(
           codes.repartition(s.sparkContext.defaultParallelism)
             .crossJoin(broadcast(lut))
@@ -902,6 +912,128 @@ object VectorQueries {
           "FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id " +
           "QUALIFY row_number() OVER (PARTITION BY p.q_id " +
           s"ORDER BY ${dCos("p.q_vec", "e.embedding")} DESC, p.vec_id) <= 5"
+      }),
+
+    // E12 — IVFPQ: the canonical 100 TB ANN layout, composing the trained
+    // inverted lists (e6b) with the PQ codes (e10) — codes stored IN the
+    // lists, exactly FAISS's IndexIVFPQ. A probe touches nprobe of ~sqrt(n)
+    // lists; each candidate costs PqM table lookups (the codegen'd
+    // lut_sum), never a full-width dot; the top-PqRerank ADC pool fetches
+    // full vectors for exact re-ranking. Per-probe work is
+    // nprobe * n/nlists * PqM lookups + PqRerank dots — the product of
+    // the two scale paths' savings, and the list id stays the shuffle
+    // key. All three inputs (lists, codebooks, codes) are the SAME
+    // materialize-once tables their standalone gates use; the composed
+    // index (codes keyed by list) materializes once more. The oracle
+    // regenerates the full stack — Lloyd-trained lists, codebooks, codes,
+    // per-probe LUTs — and replays the two-stage ranking.
+    "e12_ivfpq_knn" -> GQ(
+      (s, d) => {
+        val (cent, indexed) = ivfIndexTables(s, d)
+        val (_, codes) = pqTables(s, d)
+        val idx = InterStage.materialize(s,
+          InterStage.tableKey(d, "embeddings") +
+            s"|ivfpqidx$E6bLloydIters:$E6bAssign",
+          indexed.select(col("vec_id"), col("c_list")).join(codes, Seq("vec_id")))
+        val scoredProbes = normedBuckets(s, d).where(probeFilter(s, d))
+          .select(col("vec_id"), col("embedding"), col("norm"))
+          .crossJoin(broadcast(cent))
+          .withColumn("csim", VectorOps.dotD(col("embedding"), col("c_vec")) /
+            (col("norm") * col("c_norm")))
+        val probeLists = Relational.topKPerGroup(scoredProbes,
+            Seq(col("vec_id")), Seq(col("csim").desc, col("c_list")), E6bNprobe)
+          .select(col("vec_id").as("q_id"), col("c_list"))
+        val lut = pqProbeLut(s, d)
+        val cand = probeLists.join(broadcast(lut), Seq("q_id"))
+          .join(idx, Seq("c_list"))
+          .where(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (graft.functions.QuantizeF.lutSum(col("codes"), col("lut"), PqKs) /
+              (col("q_norm") * col("rnorm"))).as("adc"))
+          .distinct() // multi-assigned vectors surface once per shared list
+        val pool = Relational.topKPerGroup(cand,
+          Seq(col("q_id")), Seq(col("adc").desc, col("vec_id")), PqRerank)
+        val v = normedBuckets(s, d)
+          .select(col("vec_id"), col("embedding"), col("norm"))
+        val reranked = pool
+          .join(lut.select(col("q_id"), col("q_vec"), col("q_norm")), Seq("q_id"))
+          .join(v, Seq("vec_id"))
+          .withColumn("sim", VectorOps.dotD(col("q_vec"), col("embedding")) /
+            (col("q_norm") * col("norm")))
+        Relational.topKPerGroup(reranked, Seq(col("q_id")),
+            Seq(col("sim").desc, col("vec_id")), 5)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      },
+      {
+        // IVF side (prefixed iv*): e6b's Lloyd-trained lists, regenerated
+        val sums64 = (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString
+        val mean64 = (0 until Dim).map(i => s"s$i / cn").mkString(", ")
+        val ivIters = (1 to E6bLloydIters).map { i =>
+          val src = if (i == 1) "ivb" else s"iva${i - 1}"
+          s"ivst$i AS (SELECT c_list, count(*) cn$sums64 FROM $src GROUP BY c_list), " +
+            s"ivce$i AS (SELECT c_list, [$mean64] c_vec FROM ivst$i), " +
+            s"ivsc$i AS (SELECT e.vec_id, e.embedding, c.c_list, " +
+            s"${dDot("e.embedding", "c.c_vec")} / (sqrt(${dDot("e.embedding", "e.embedding")}) * " +
+            s"sqrt(${dDot("c.c_vec", "c.c_vec")})) csim FROM embeddings e, ivce$i c), " +
+            s"iva$i AS (SELECT vec_id, embedding, c_list FROM ivsc$i " +
+            "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) = 1)"
+        }.mkString(", ")
+        val ivLast = s"ivsc$E6bLloydIters"
+        // PQ side (prefixed pq*): e10's codebooks, codes and per-probe LUTs
+        val sums8 = (0 until PqSubDim).map(i => s", sum(sv[${i + 1}]::DOUBLE) s$i").mkString
+        val mean8 = (0 until PqSubDim).map(i => s"s$i / cn").mkString(", ")
+        val initCase = (0 until PqM).map(j =>
+          s"WHEN sub_j = $j THEN ${dBucket("sv", pqPlaneTables(j))}")
+          .mkString("CASE ", " ", " END")
+        s"WITH ivpar AS (SELECT $dIvfPlanesCase p FROM embeddings), " +
+          s"ivb AS (SELECT vec_id, embedding, ${dBucket("embedding", planeInts)} % (1 << ivpar.p) c_list " +
+          "FROM embeddings, ivpar), " + ivIters + ", " +
+          s"ividx AS (SELECT vec_id, c_list FROM $ivLast " +
+          s"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= $E6bAssign), " +
+          s"ivprobes AS (SELECT vec_id q_id, c_list FROM $ivLast " +
+          "WHERE " + probeFilterSql + " " +
+          s"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_list) <= $E6bNprobe), " +
+          s"pqsub AS (SELECT vec_id, u.j sub_j, " +
+          s"embedding[u.j*$PqSubDim+1 : u.j*$PqSubDim+$PqSubDim] sv " +
+          s"FROM embeddings, unnest(range(0, $PqM)) u(j)), " +
+          s"pqinit AS (SELECT vec_id, sub_j, sv, ($initCase) init_c FROM pqsub), " +
+          s"pqst AS (SELECT sub_j, init_c c_code, count(*) cn$sums8 FROM pqinit GROUP BY 1, 2), " +
+          s"pqcent AS (SELECT sub_j, c_code, [$mean8] c_vec FROM pqst), " +
+          s"pqcentq AS (SELECT sub_j, c_code, c_vec, ${dDot("c_vec", "c_vec")} c_sq FROM pqcent), " +
+          s"pqscored AS (SELECT i.vec_id, i.sub_j, c.c_code, c.c_sq, " +
+          s"${dDot("i.sv", "i.sv")} - 2.0 * ${dDot("i.sv", "c.c_vec")} + c.c_sq dist " +
+          "FROM pqinit i JOIN pqcentq c ON i.sub_j = c.sub_j), " +
+          "pqbest AS (SELECT vec_id, sub_j, c_code, c_sq FROM pqscored " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id, sub_j ORDER BY dist, c_code) = 1), " +
+          "pqcodes AS (SELECT vec_id, array_agg(c_code ORDER BY sub_j) codes, " +
+          "sqrt(list_reduce(array_agg(c_sq ORDER BY sub_j), (a, v) -> a + v)) rnorm " +
+          "FROM pqbest GROUP BY vec_id), " +
+          s"pqgrid AS (SELECT g.i // $PqKs sub_j, g.i % $PqKs c_code " +
+          s"FROM unnest(range(0, ${PqM * PqKs})) g(i)), " +
+          "pqprobes AS (SELECT vec_id q_id, embedding q_vec, " +
+          s"sqrt(${dDot("embedding", "embedding")}) q_norm FROM embeddings " +
+          "WHERE " + probeFilterSql + "), " +
+          "pqlutrows AS (SELECT p.q_id, p.q_norm, p.q_vec, gr.sub_j, gr.c_code, " +
+          s"coalesce(${dDot(s"p.q_vec[gr.sub_j*$PqSubDim+1 : gr.sub_j*$PqSubDim+$PqSubDim]", "c.c_vec")}, 0.0) part " +
+          "FROM pqprobes p CROSS JOIN pqgrid gr " +
+          "LEFT JOIN pqcentq c ON gr.sub_j = c.sub_j AND gr.c_code = c.c_code), " +
+          "pqlut AS (SELECT q_id, q_norm, q_vec, array_agg(part ORDER BY sub_j, c_code) lut " +
+          "FROM pqlutrows GROUP BY q_id, q_norm, q_vec), " +
+          "cand AS (SELECT DISTINCT p.q_id, i.vec_id, " +
+          s"list_reduce(list_transform(range(0, $PqM), " +
+          s"j -> l.lut[j * $PqKs + c.codes[j + 1] + 1]), (a, v) -> a + v) " +
+          "/ (l.q_norm * c.rnorm) adc " +
+          "FROM ivprobes p JOIN ividx i ON p.c_list = i.c_list " +
+          "JOIN pqlut l ON l.q_id = p.q_id " +
+          "JOIN pqcodes c ON c.vec_id = i.vec_id WHERE p.q_id != i.vec_id), " +
+          "pool AS (SELECT q_id, vec_id, adc FROM cand " +
+          "QUALIFY row_number() OVER (PARTITION BY q_id " +
+          s"ORDER BY adc DESC, vec_id) <= $PqRerank) " +
+          s"SELECT p.q_id, p.vec_id AS neighbor_id, ${dCos("l.q_vec", "e.embedding")} AS sim " +
+          "FROM pool p JOIN pqlut l ON p.q_id = l.q_id " +
+          "JOIN embeddings e ON p.vec_id = e.vec_id " +
+          "QUALIFY row_number() OVER (PARTITION BY p.q_id " +
+          s"ORDER BY ${dCos("l.q_vec", "e.embedding")} DESC, p.vec_id) <= 5"
       }),
 
     // E6 — IVF (inverted-file) ANN search, the classic two-level scale

@@ -26,7 +26,8 @@ class RecallSpec extends SparkSpec {
   }
 
   for (name <- Seq("e2_knn_lsh", "e6_ivf_knn", "e6b_ivf_adaptive",
-      "e7_binary_sign_ann", "e9_int8_adc_knn", "e10_pq_adc_knn"))
+      "e7_binary_sign_ann", "e9_int8_adc_knn", "e10_pq_adc_knn",
+      "e12_ivfpq_knn"))
     test(s"$name recall@5 vs the exact baseline stays above the floor") {
       val r = recall(name)
       assert(r >= 0.7, f"$name recall@5 = $r%.3f < 0.7 — an accuracy " +
