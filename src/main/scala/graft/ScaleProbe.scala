@@ -72,7 +72,8 @@ object ScaleProbe {
       "x1_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
       "e7_binary_sign_ann", "e7b_binary_banded_neardup", "e8_semantic_prune",
-      "e9_int8_adc_knn", "e10_pq_adc_knn", "e12_ivfpq_knn")
+      "e9_int8_adc_knn", "e10_pq_adc_knn", "e11_incremental_semantic",
+      "e12_ivfpq_knn")
       .map(n => n -> timed(n)).toMap
     // The gates read the materialized CC label table (built in the
     // materialize phase); the ITERATIVE pass itself keeps its own tracked

@@ -56,6 +56,20 @@ class QuantizeFSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("lut_sum matches the HOF lookup fold") {
+    // codes index into a 2-slot-per-subspace LUT: lut[j*2 + codes[j]]
+    val df = Seq((Seq(0, 1, 1, 0), Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)))
+      .toDF("codes", "lut")
+    val hof = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(3)),
+        (c, j) => element_at(col("lut"), (j * 2 + c + 1).cast("int"))),
+      lit(0.0), (a, v) => a + v)
+    val row = df.select(QuantizeF.lutSum(col("codes"), col("lut"), 2).as("n"),
+      hof.as("h")).as[(Double, Double)].head()
+    assert(row._1 == row._2)
+    assert(row._1 == 1.0 + 4.0 + 6.0 + 7.0)
+  }
+
   test("quant expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val plan = e.select(QuantizeF.quantCodeSum(col("embedding")),

@@ -122,6 +122,23 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("e12 IVFPQ candidates come from a list-id equi-join, never a scan") {
+    // The composed index's whole point is that a probe touches only its
+    // nprobe lists: the join against the code table must be an equi-join
+    // keyed on c_list. (BroadcastNestedLoopJoins DO legitimately appear —
+    // they are the probe-side products against the tiny centroid/LUT
+    // tables, probe-bounded O(1) rows, the same shape e6b's query side
+    // plans — so the assertions target the corpus-sized join only.)
+    val plan = executedPlan(
+      SparkEntry.queries("e12_ivfpq_knn")(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val clistEqui = plan.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("c_list"))
+    assert(clistEqui,
+      s"the code-table join must be a c_list equi-join:\n${plan.take(2000)}")
+  }
+
   test("t14 classifier scores map-side: broadcast weights, one exchange") {
     // The model-weight join must broadcast (weights are the small side at
     // any vocabulary size) and the only shuffle allowed is the per-document
