@@ -375,7 +375,7 @@ object VectorQueries {
         slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("sv"))
         .withColumn("init_c", VectorOps.lshBucket(col("sv"), pqPlaneTables(j)))
     }.reduce(_.unionByName(_))
-    val cent = InterStage.materialize(s, key + "|pqcent", {
+    val cent = InterStage.materialize(s, key + s"|pqcent$PqCodeBits", {
       val aggs = count(lit(1)).as("cn") +: (0 until PqSubDim).map(i =>
         sum(element_at(col("sv"), i + 1).cast("double")).as(s"s$i"))
       subRows.groupBy(col("sub_j"), col("init_c")).agg(aggs.head, aggs.tail: _*)
@@ -383,7 +383,7 @@ object VectorQueries {
           array((0 until PqSubDim).map(i => col(s"s$i") / col("cn")): _*).as("c_vec"))
         .withColumn("c_sq", VectorOps.dotD(col("c_vec"), col("c_vec")))
     })
-    val codes = InterStage.materialize(s, key + "|pqcodes", {
+    val codes = InterStage.materialize(s, key + s"|pqcodes$PqCodeBits", {
       val scored = subRows.join(broadcast(cent), Seq("sub_j"))
         .withColumn("dist",
           VectorOps.dotD(col("sv"), col("sv")) -
@@ -933,7 +933,7 @@ object VectorQueries {
         val (_, codes) = pqTables(s, d)
         val idx = InterStage.materialize(s,
           InterStage.tableKey(d, "embeddings") +
-            s"|ivfpqidx$E6bLloydIters:$E6bAssign",
+            s"|ivfpqidx$E6bLloydIters:$E6bAssign:$PqCodeBits",
           indexed.select(col("vec_id"), col("c_list")).join(codes, Seq("vec_id")))
         val scoredProbes = normedBuckets(s, d).where(probeFilter(s, d))
           .select(col("vec_id"), col("embedding"), col("norm"))
