@@ -286,4 +286,52 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          gramLen: Int = 8, window: Int = 4): DataFrame =
     winnowAggregate(winnowRows(df, idCol, textCol, gramLen, window), idCol)
+
+  /** Maximal duplicated-substring spans per document — exact substring
+    * dedup ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022) re-expressed for a cluster. The single-node tool is
+    * a suffix array; the distributable equivalent used here: every char
+    * position contributes one `gramLen`-char gram, a gram whose exact
+    * bytes occur at >= 2 positions corpus-wide (any document, including
+    * the same one) marks its chars duplicated, and the per-doc union of
+    * those char intervals collapses to maximal disjoint spans
+    * (`span_start`, `span_len`, both char-granular, 1-based).
+    *
+    * Scale shape: the occurrence count groups on the 60-bit gram hash — a
+    * uniformly distributed corpus-wide shuffle key, the same shape as the
+    * winnowing fingerprint count (t11) — and the island merge is a
+    * per-doc window bounded by document length. Nothing is quadratic:
+    * unlike the pair-list dedup ops, the output here is spans, linear in
+    * corpus size however heavy the duplication.
+    *
+    * Span semantics: positions whose covering intervals touch or overlap
+    * (gap <= gramLen) merge, so spans are disjoint and `sum(span_len)` is
+    * the exact duplicated-char count.
+    */
+  def repeatedSpanRows(df: DataFrame, idCol: String, textCol: String,
+                       gramLen: Int = 20): DataFrame = {
+    // Same codegen'd explode-position idiom as winnowRows.
+    val grams = df
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - (gramLen - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        h60(col(textCol).substr(col("pos"), lit(gramLen))).as("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select(col("gh"))
+    val dupPos = grams.join(dupGrams, "gh").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > gramLen, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      .select(col(idCol),
+        col("p0").cast(LongType).as("span_start"),
+        (col("p1") - col("p0") + gramLen).cast(LongType).as("span_len"))
+  }
 }

@@ -65,6 +65,31 @@ object TextQueries {
     InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|winnow8x4",
       TextOps.winnowRows(Tables.load(s, d, "documents"), "doc_id", "text", 8, 4))
 
+  /** Maximal duplicated-substring spans (20-char grams), materialized once
+    * per corpus and shared by the span gate (d9) and the per-doc coverage
+    * stats (d9b) — the production shape: the gram-hash count runs once,
+    * downstream consumers scan spans.
+    */
+  private def repSpanTable(s: SparkSession, d: String) =
+    InterStage.materialize(s, InterStage.tableKey(d, "documents") + "|repspans20",
+      TextOps.repeatedSpanRows(Tables.load(s, d, "documents"), "doc_id", "text", 20))
+
+  /** DuckDB CTE chain reproducing repeatedSpanRows bit-for-bit: same
+    * position range, same 60-bit sha2 gram hash, same gap<=G island merge.
+    */
+  private val dRepSpanCtes =
+    "g AS (SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS pos " +
+      "FROM documents WHERE length(text) >= 20), " +
+      s"h AS (SELECT doc_id, pos, ${dH60("substr(text, pos::INT, 20)")} gh FROM g), " +
+      "occ AS (SELECT gh FROM h GROUP BY gh HAVING count(*) >= 2), " +
+      "dup AS (SELECT doc_id, pos FROM h JOIN occ USING (gh)), " +
+      "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) > 20 THEN 1 ELSE 0 END brk FROM dup), " +
+      "grpd AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS UNBOUNDED PRECEDING) grp FROM isl), " +
+      "spans AS (SELECT doc_id, min(pos) AS span_start, " +
+      "max(pos) - min(pos) + 20 AS span_len FROM grpd GROUP BY doc_id, grp)"
+
   /** 60-bit SimHash signature table (shared by d4 and d5), materialized
     * once per corpus per JVM. Built as explode → codegen'd sha2 →
     * native bounded-state aggregate: the token hashing (the real work —
@@ -541,6 +566,42 @@ object TextQueries {
         "cl AS (SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1) " +
         "SELECT d.doc_id, cl.n_members, d.n_chars " +
         "FROM documents d JOIN cl ON d.doc_id = cl.cluster_id"),
+
+    // D9 — exact repeated-substring spans (Lee et al. 2022): the one dedup
+    // mode the fuzzy family (d2-d8) can't express — char-exact duplicated
+    // REGIONS inside documents, the thing a training pipeline cuts out
+    // rather than dropping the whole document. Distributed suffix-array
+    // replacement: corpus-wide 20-gram occurrence count on the gram hash
+    // (the shuffle key), join back, per-doc island merge. Output is spans,
+    // linear in the corpus regardless of duplication rate.
+    "d9_repeated_spans" -> GQ(
+      (s, d) => repSpanTable(s, d),
+      s"WITH $dRepSpanCtes SELECT doc_id, span_start, span_len FROM spans"),
+
+    // D9b — per-doc duplicated-char coverage over the SAME materialized
+    // span table: spans are disjoint by construction, so sum(span_len) is
+    // the exact duplicated-char count and dup_frac the removable fraction
+    // — the corpus-QA number a dedup pass reports. Marginal cost: one
+    // groupBy + one left join against the doc table.
+    "d9b_span_coverage" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val agg = repSpanTable(s, d).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
+        docs.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+            (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+              .as("dup_frac"))
+      },
+      s"WITH $dRepSpanCtes, " +
+        "agg AS (SELECT doc_id, count(*) AS n_spans, sum(span_len)::BIGINT AS dup_chars " +
+        "FROM spans GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans, " +
+        "coalesce(a.dup_chars, 0) AS dup_chars, " +
+        "coalesce(a.dup_chars, 0)::DOUBLE / d.n_chars AS dup_frac " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"),
 
     // T6 — repetition / boilerplate stats (Gopher-style quality rules):
     // per doc, the fraction of word bigrams inside the single most

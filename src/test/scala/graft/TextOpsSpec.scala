@@ -97,6 +97,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_fingerprints") > 0))
   }
 
+  test("repeated spans: cross-doc shared region found, merged maximal, unique doc clean") {
+    // Docs 1 and 2 share a 40-char region (surrounded by unique prose);
+    // doc 3 repeats a 25-char phrase within itself; doc 4 is unique.
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val phrase = "repeat me twice exactly !" // 25 chars
+    val df = Seq(
+      (1L, s"unique lead-in text one. $shared and a unique tail here."),
+      (2L, s"a different opening now: $shared closing words differ too."),
+      (3L, s"$phrase middle filler text $phrase"),
+      (4L, "entirely singular content with no duplicated twenty-gram at all"))
+      .toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpanRows(df, "doc_id", "text", 20)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+    // Docs 1/2: exactly one maximal span each. The duplicated region is
+    // the 40 shared chars PLUS the space on each side (both docs embed it
+    // as " <shared> "), so 42 chars starting at position 25 (1-based).
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.length == 1 && d2.length == 1)
+    assert(d1.head._3 == 42L && d2.head._3 == 42L)
+    assert(d1.head._2 == 25L)
+    // Doc 3: the phrase occurs at positions 1 and 47; the two 25-char
+    // covered regions are > 20 apart, so two disjoint spans of 25.
+    val d3 = spans.filter(_._1 == 3L)
+    assert(d3.map(_._3).toSeq == Seq(25L, 25L))
+    // Doc 4: nothing.
+    assert(!spans.exists(_._1 == 4L))
+  }
+
   test("band digests: equal signatures share all bands, perturbed share fewer") {
     val sig1 = (1L to 12L).toSeq
     val sig2 = sig1.updated(0, 99L) // perturb first band only
