@@ -8,12 +8,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
   * of arrow-batched UDFs; a real codec loads its native context once per
   * partition there).
   *
-  * The decode seam is REAL for binary PPM (P6): `decodePpm` parses the
-  * wire format any netpbm tool writes — ASCII header, raw RGB samples —
-  * and derives dimensions and pixel statistics from the actual bytes.
-  * Formats that need native codec libraries (JPEG/PNG/WAV) are not
-  * decodable in this environment; their metadata path (m1/m2) treats the
-  * payload as opaque bytes, which is exactly what it would be.
+  * The decode seam is REAL for two formats needing no native codec:
+  * binary PPM (P6) — `decodePpm` parses the wire format any netpbm tool
+  * writes (ASCII header, raw RGB samples) — and PCM WAV — `decodeWav`
+  * parses the RIFF container (little-endian header fields, signed 16-bit
+  * samples). Formats that need native codec libraries (JPEG/PNG/Opus) are
+  * not decodable in this environment; their metadata path (m1/m2) treats
+  * the payload as opaque bytes, which is exactly what it would be.
   */
 object Multimodal {
 
@@ -90,6 +91,97 @@ object Multimodal {
     var i = 0
     while (i < n) {
       out(header.length + i) = ((docId * 131 + i * 7) % 256).toByte
+      i += 1
+    }
+    MediaRow(docId, out)
+  }
+
+  /** Typed decode output of a PCM WAV payload: format fields from the
+    * parsed RIFF header, amplitude statistics from the raw little-endian
+    * 16-bit samples.
+    */
+  final case class WavMeta(doc_id: Long, n_channels: Int, sample_rate: Int,
+                           n_frames: Long, n_bytes: Long,
+                           amp_sum: Long, amp_peak: Int, duration_s: Double)
+
+  /** Parse a canonical 44-byte-header PCM WAV (RIFF/WAVE, fmt 16, 16-bit)
+    * payload — the second real decoder behind the multimodal seam, and the
+    * audio counterpart to decodePpm: every field is read from the actual
+    * bytes (little-endian, as the wire format specifies), internal size
+    * fields are cross-checked against the payload length, and the
+    * amplitude stats come from the decoded signed samples. Malformed
+    * payloads fail loudly.
+    */
+  def decodeWav(row: MediaRow): WavMeta = {
+    val b = row.media
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)).toLong |
+        ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 44, s"WAV: payload too short in doc ${row.doc_id}")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"WAV: bad RIFF/WAVE magic in doc ${row.doc_id}")
+    require(u32(4) == b.length - 8, s"WAV: RIFF size mismatch in doc ${row.doc_id}")
+    require(tag(12) == "fmt " && u32(16) == 16,
+      s"WAV: missing 16-byte fmt chunk in doc ${row.doc_id}")
+    require(u16(20) == 1, s"WAV: not PCM in doc ${row.doc_id}")
+    val ch = u16(22)
+    val rate = u32(24).toInt
+    val bits = u16(34)
+    require(bits == 16, s"WAV: unsupported bit depth $bits in doc ${row.doc_id}")
+    require(u16(32) == ch * 2, s"WAV: block align mismatch in doc ${row.doc_id}")
+    require(u32(28) == rate.toLong * ch * 2, s"WAV: byte rate mismatch in doc ${row.doc_id}")
+    require(tag(36) == "data", s"WAV: missing data chunk in doc ${row.doc_id}")
+    val dataSize = u32(40).toInt
+    require(b.length - 44 == dataSize && dataSize % (2 * ch) == 0,
+      s"WAV: data size mismatch in doc ${row.doc_id}")
+    val n = dataSize / 2
+    var i = 0
+    var sum = 0L
+    var peak = 0
+    while (i < n) {
+      val v = (((b(44 + 2 * i) & 0xff) | (b(45 + 2 * i) << 8)).toShort).toInt
+      sum += v
+      val a = if (v < 0) -v else v
+      if (a > peak) peak = a
+      i += 1
+    }
+    val frames = n / ch
+    WavMeta(row.doc_id, ch, rate, frames.toLong, b.length.toLong,
+      sum, peak, frames.toDouble / rate)
+  }
+
+  /** Deterministic PCM WAV fixture for a doc id: channel count, sample
+    * rate and frame count derived from the id, interleaved 16-bit samples
+    * from `((id*37 + i*101) % 65536) - 32768`. The oracle recomputes the
+    * stats analytically from the formula; the decoder only ever sees the
+    * serialized RIFF bytes.
+    */
+  def wavFixture(docId: Long): MediaRow = {
+    val ch = (docId % 2).toInt + 1
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val frames = (docId % 50).toInt + 10
+    val n = frames * ch
+    val dataSize = n * 2
+    val out = new Array[Byte](44 + dataSize)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def wtag(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, o, 4)
+    wtag(0, "RIFF"); w32(4, 36L + dataSize); wtag(8, "WAVE")
+    wtag(12, "fmt "); w32(16, 16L); w16(20, 1); w16(22, ch)
+    w32(24, rate.toLong); w32(28, rate.toLong * ch * 2); w16(32, ch * 2); w16(34, 16)
+    wtag(36, "data"); w32(40, dataSize.toLong)
+    var i = 0
+    while (i < n) {
+      val v = ((docId * 37 + i.toLong * 101) % 65536).toInt - 32768
+      w16(44 + 2 * i, v & 0xffff)
       i += 1
     }
     MediaRow(docId, out)

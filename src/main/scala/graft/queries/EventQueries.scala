@@ -209,5 +209,32 @@ object EventQueries {
         "FROM dims, unnest(range(0, (w * h * 3)::BIGINT)) u(i) GROUP BY 1, 2, 3) " +
         "SELECT doc_id, w AS width, h AS height, 'ppm' AS format, " +
         "(9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h * 3)::BIGINT AS n_bytes, " +
-        "s AS px_sum, round(s / (w * h * 3), 6) AS px_mean FROM px"))
+        "s AS px_sum, round(s / (w * h * 3), 6) AS px_mean FROM px"),
+
+    // M4 — REAL audio decode through the same seam: each doc id
+    // synthesizes a deterministic PCM WAV (RIFF container, little-endian
+    // 16-bit samples) and Multimodal.decodeWav PARSES the bytes back —
+    // format fields from the header (cross-checked against payload
+    // length), amplitude stats from the decoded signed samples. The oracle
+    // recomputes the stats analytically from the generative formula, so an
+    // endianness slip, a sign error, or a skipped header field
+    // hash-mismatches.
+    "m4_wav_decode" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long].map(Multimodal.wavFixture _)
+        Multimodal.decodeAll(s, media, Multimodal.decodeWav)
+          .withColumn("duration_s", round(col("duration_s"), 6))
+      },
+      "WITH p AS (SELECT doc_id, ((doc_id % 2) + 1)::INT c, " +
+        "(8000 + (doc_id % 4) * 4000)::INT rate, (doc_id % 50 + 10)::BIGINT f " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, c, rate, f, " +
+        "sum(((doc_id * 37 + i * 101) % 65536) - 32768)::BIGINT amp_sum, " +
+        "max(abs(((doc_id * 37 + i * 101) % 65536) - 32768))::INT amp_peak " +
+        "FROM p, unnest(range(0, f * c)) u(i) GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, c AS n_channels, rate AS sample_rate, f AS n_frames, " +
+        "(44 + f * c * 2)::BIGINT AS n_bytes, amp_sum, amp_peak, " +
+        "round(f::DOUBLE / rate, 6) AS duration_s FROM s"))
 }

@@ -62,6 +62,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeWav parses a hand-written PCM payload byte-for-byte") {
+    // 1 channel, 8000 Hz, 3 frames: samples +1, -2, +32767 — serialized
+    // by hand against the RIFF spec, independent of the fixture builder.
+    val data = Array[Byte](
+      0x01, 0x00, // +1
+      0xfe.toByte, 0xff.toByte, // -2
+      0xff.toByte, 0x7f) // +32767
+    val hdr = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + 6).put("WAVE".getBytes("US-ASCII"))
+    hdr.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+    hdr.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    hdr.put("data".getBytes("US-ASCII")).putInt(6)
+    val m = Multimodal.decodeWav(MediaRow(5L, hdr.array() ++ data))
+    assert(m.n_channels == 1 && m.sample_rate == 8000 && m.n_frames == 3L)
+    assert(m.amp_sum == 1L - 2L + 32767L)
+    assert(m.amp_peak == 32767)
+    assert(m.duration_s == 3.0 / 8000)
+  }
+
+  test("decodeWav round-trips the fixture and matches its formula") {
+    for (id <- Seq(0L, 1L, 13L, 49L, 777L)) {
+      val m = Multimodal.decodeWav(Multimodal.wavFixture(id))
+      val ch = (id % 2).toInt + 1
+      val frames = (id % 50).toInt + 10
+      assert(m.n_channels == ch && m.sample_rate == 8000 + (id % 4).toInt * 4000)
+      assert(m.n_frames == frames.toLong, s"id=$id")
+      val vs = (0 until frames * ch).map(i => ((id * 37 + i * 101) % 65536).toInt - 32768)
+      assert(m.amp_sum == vs.map(_.toLong).sum, s"id=$id")
+      assert(m.amp_peak == vs.map(math.abs).max, s"id=$id")
+      assert(m.n_bytes == 44L + frames * ch * 2)
+    }
+  }
+
+  test("decodeWav rejects malformed payloads loudly") {
+    val good = Multimodal.wavFixture(3L).media
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(1L, badMagic))
+    }
+    // truncated data
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(2L, good.dropRight(2)))
+    }
+    // internal size field inconsistent with payload
+    val badSize = good.clone(); badSize(40) = (badSize(40) + 2).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(3L, badSize))
+    }
+  }
+
   test("decodeAll preserves rows and partitioning through mapPartitions") {
     val media = spark.range(100)
       .select(col("id").as("doc_id"))
