@@ -7,7 +7,7 @@ object PlanAudit {
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("p1_p2_projection", "agg_priority_filtered", "j4_left_join_enrich",
         "agg_per_segment", "e2_knn_lsh", "d1_exact_dedup",
-        "x1_decontaminate", "e7_binary_sign_ann", "e3_cosine_neardup_pairs",
+        "x1_decontaminate", "x1b_bloom_decontaminate", "d9_repeated_spans", "e7_binary_sign_ann", "e3_cosine_neardup_pairs",
         "e6_ivf_knn", "x2_pii_scrub", "x3_quality_funnel",
         "t14_quality_classifier", "e8_semantic_prune", "e9_int8_adc_knn",
         "e10_pq_adc_knn", "e11_incremental_semantic")) {

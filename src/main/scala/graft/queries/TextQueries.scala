@@ -759,6 +759,45 @@ object TextQueries {
         "FROM hashed h LEFT JOIN ct USING (doc_id) " +
         "WHERE h.doc_id % 97 != 0 AND h.n > 0"),
 
+    // X1b — bloom-prefiltered decontamination: byte-identical output to
+    // x1, different data movement — the 100 TB shape for an eval index too
+    // large to broadcast as keys. The eval grams build a Bloom filter
+    // (distributed treeAggregate; ~10 bits/key at 1% fpp, 50-100x smaller
+    // than the key set), the corpus scan drops non-members at the scan
+    // via the codegen'd native probe (no shuffle for the ~99% that cannot
+    // match), and the exact join runs only on the surviving candidates —
+    // removing bloom false positives, so the result provably equals x1's
+    // exact semi-join and the SAME oracle gates both.
+    "x1b_bloom_decontaminate" -> GQ(
+      (s, d) => {
+        val inv = shingleIndex(s, d)
+        val evalSet = inv.where(col("doc_id") % 97 === 0)
+          .select("s").distinct()
+        val bloom = evalSet.stat.bloomFilter("s", math.max(evalSet.count(), 1L), 0.01)
+        val train = inv.where(col("doc_id") % 97 =!= 0)
+        val candidates = train.where(graft.functions.BloomMightContainF(col("s"), bloom))
+        val hits = candidates.join(evalSet, "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+        train.select(col("doc_id"), col("n")).distinct()
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+            coalesce(col("c"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("c"), lit(0L)).cast("double") / col("n"))
+              .as("contamination_frac"),
+            (coalesce(col("c"), lit(0L)) > 0).as("is_contaminated"))
+      },
+      s"WITH $dShingleCtes, " +
+        "inv AS (SELECT doc_id, n, unnest(h) s FROM hashed), " +
+        "ev AS (SELECT DISTINCT s FROM inv WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT * FROM inv WHERE doc_id % 97 != 0), " +
+        "ct AS (SELECT doc_id, count(*) c FROM tr JOIN ev USING (s) GROUP BY 1) " +
+        "SELECT h.doc_id, h.n::BIGINT AS n_shingles, " +
+        "coalesce(c, 0)::BIGINT AS n_contaminated, " +
+        "coalesce(c, 0)::DOUBLE / h.n AS contamination_frac, " +
+        "coalesce(c, 0) > 0 AS is_contaminated " +
+        "FROM hashed h LEFT JOIN ct USING (doc_id) " +
+        "WHERE h.doc_id % 97 != 0 AND h.n > 0"),
+
     // X3 — quality funnel: the Gopher-style keep/drop decision a corpus
     // actually ships through, composing the t2/t6 signals into ordered
     // rules with a reason code (first failing rule wins — the funnel shape
