@@ -971,5 +971,100 @@ object TextQueries {
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS shard_off, " +
         "(coalesce(sum(n_tokens) OVER " +
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256)::BIGINT AS shard_id " +
-        "FROM t"))
+        "FROM t"),
+
+    // D10 — C4-style corpus-wide segment dedup: cut every document into
+    // fixed 10-token segments, keep only the FIRST occurrence of each
+    // distinct segment across the whole corpus (min (doc_id, seg_idx)),
+    // and rebuild each document from its surviving segments — the dedup
+    // mode that REMOVES boilerplate in place instead of dropping documents
+    // (C4 did this at three-sentence granularity; d9 marks repeated
+    // regions, d10 actually rewrites the text). Two shuffles, both keyed
+    // by high-cardinality columns: first-occurrence election partitions by
+    // the 60-bit segment hash (narrow shuffle rows — the hash, not the
+    // text, is the key), the rebuild groups by doc_id. No join at all:
+    // the election is a row_number window inside each hash bucket, whose
+    // size is the duplication count of one segment — bounded in any real
+    // corpus, and a skew-salted election would drop in via saltedJoin's
+    // pattern if one segment dominated.
+    "d10_segment_dedup" -> GQ(
+      (s, d) => {
+        val segs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(10))))
+          .toDF("doc_id", "t", "seg_idx", "st")
+          .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+            concat_ws(" ", slice(col("t"), col("st"), lit(10))).as("seg"))
+        val w = Window.partitionBy(TextOps.h60(col("seg")))
+          .orderBy(col("doc_id"), col("seg_idx"))
+        segs.withColumn("kept", row_number().over(w) === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(
+                when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg"))).as("clean_text"))
+      },
+      "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks " +
+        "FROM documents), " +
+        "segs AS (SELECT doc_id, ((st - 1) // 10)::BIGINT seg_idx, " +
+        "array_to_string(toks[st:st+9], ' ') seg " +
+        "FROM t, unnest(range(1, len(toks) + 1, 10)) u(st)), " +
+        "m AS (SELECT doc_id, seg_idx, seg, row_number() OVER " +
+        s"(PARTITION BY ${dH60("seg")} ORDER BY doc_id, seg_idx) = 1 AS kept " +
+        "FROM segs) " +
+        "SELECT doc_id, count(*)::BIGINT n_segs, " +
+        "coalesce(sum(CASE WHEN kept THEN 1 END), 0)::BIGINT n_kept, " +
+        "coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '') " +
+        "AS clean_text FROM m GROUP BY doc_id"),
+
+    // T15 — temperature-scaled corpus mixture resampling (the XLM-R /
+    // multilingual-LM data-mixing step): per-language token mass c_i sets
+    // a sampling weight w_i ∝ c_i^0.5 — upsampling low-resource languages
+    // relative to their natural share — and each language receives a doc
+    // quota n_i = N_target · w_i / Σw. Selection is per-row Bernoulli
+    // against an integer hash threshold (2^20 · n_i / c_docs_i), NOT a
+    // per-language top-n sort: a sort-based pick needs one reducer per
+    // language holding that language's whole corpus, while the threshold
+    // is decidable from the row alone — the 5-row threshold table
+    // broadcasts and selection is a map-only scan. All arithmetic that
+    // crosses rows is exact integer (the one sqrt is per-lang scalar IEEE,
+    // floored to micro-units before the cross-language normalization), so
+    // the picked set is bit-stable under any partitioning.
+    "t15_mixture_resample" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val lc = docs
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("c_docs"), sum(col("nt")).as("c_tok"))
+        // #languages is bounded (5 here, a few hundred ever), so the
+        // unpartitioned window over the per-lang table is O(#langs).
+        val th = lc
+          .withColumn("wi", floor(sqrt(col("c_tok").cast("double")) * 1e6)
+            .cast("long"))
+          .withColumn("ws", expr("sum(wi) OVER ()"))
+          .withColumn("ntarget", expr("(sum(c_docs) OVER ()) div 2"))
+          .withColumn("quota", expr("(ntarget * wi) div ws"))
+          .withColumn("thr", expr("(1048576 * quota) div c_docs"))
+          .select("lang", "quota", "thr")
+        docs.join(broadcast(th), "lang")
+          .where(pmod(TextOps.h60(concat_ws("|", lit("mix42"), col("doc_id"))),
+            lit(1048576L)) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("quota"))
+      },
+      "WITH lc AS (SELECT lang, count(*)::BIGINT c_docs, " +
+        "sum(len(string_split_regex(text, '\\s+')))::BIGINT c_tok " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT lang, c_docs, floor(sqrt(c_tok) * 1e6)::BIGINT wi FROM lc), " +
+        // ::BIGINT: DuckDB sum(BIGINT) widens to HUGEINT, which the
+        // driver's type-sensitive hasher rejects against Spark's int64.
+        "th AS (SELECT lang, (((sum(c_docs) OVER () // 2) * wi) " +
+        "// (sum(wi) OVER ()))::BIGINT AS quota, c_docs FROM w), " +
+        "t2 AS (SELECT lang, quota, (1048576 * quota) // c_docs AS thr FROM th) " +
+        "SELECT d.doc_id, d.lang, t2.quota FROM documents d JOIN t2 USING (lang) " +
+        s"WHERE ${dH60("'mix42|' || d.doc_id::VARCHAR")} % 1048576 < t2.thr"))
 }
