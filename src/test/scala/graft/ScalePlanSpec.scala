@@ -244,4 +244,32 @@ class ScalePlanSpec extends SparkSpec {
       scan.contains("ReadSchema: struct<l_orderkey"), scan)
     assert(!scan.contains("l_comment"), scan)
   }
+
+  test("d10 segment dedup keys every shuffle by segment hash or doc id") {
+    // The first-occurrence election partitions by the 60-bit segment hash
+    // and the rebuild by doc_id — both high-cardinality. A SinglePartition
+    // exchange anywhere means the election degenerated into a global
+    // window over every segment row, the shape that cannot scale.
+    val plan = executedPlan(
+      SparkEntry.queries("d10_segment_dedup")(spark, Sf0001))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("t15 mixture resampling broadcasts the threshold table") {
+    // Selection must be a map-only scan against a broadcast per-language
+    // threshold row: the only SinglePartition funnels carry the per-lang
+    // aggregate (O(#languages) rows), never the document rows.
+    val q = SparkEntry.queries("t15_mixture_resample")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 7)
+          .exists(_.contains("HashAggregate(keys=[lang")),
+          s"SinglePartition exchange not over the per-lang aggregate:\n${plan.take(2000)}")
+      }
+  }
 }
