@@ -33,6 +33,106 @@ object TextQueries {
 
   val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** BPE merge rounds learned by t16. Fixed and small: each round is one
+    * corpus-wide pair-count shuffle over the DISTINCT-WORD table, so the
+    * constant bounds total cost; real trainers run thousands of rounds by
+    * checkpointing the symbol table between batches of merges (the
+    * InterStage pattern), which changes nothing about the per-round shape
+    * gated here.
+    */
+  val BpeRounds = 3
+
+  /** Distributed BPE trainer core (t16/t16b): learn `BpeRounds` merge
+    * rules on the word-frequency dictionary, SentencePiece-style.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT words first (the
+    * classic BPE trick — pair statistics only need word counts), so every
+    * later stage runs on a table orders of magnitude smaller than the
+    * corpus at 100 TB, shuffle-keyed by word. Each round is then
+    * (1) adjacent-pair counts keyed by the pair (map-side combine),
+    * (2) a global top-1 (TakeOrdered — no full sort), and (3) a map-only
+    * broadcast apply of the merge via an `aggregate` fold that implements
+    * greedy left-to-right pairing exactly: merge when the accumulator's
+    * last symbol equals p1 and the next equals p2. A freshly merged
+    * symbol is p1||p2 ≠ p1, so no new match can appear mid-round — which
+    * is what makes the single-pass DuckDB window-parity oracle provably
+    * equivalent to the fold.
+    *
+    * Returns (one merge-rule row per round, final symbol table).
+    */
+  private def bpeStages(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    val words = Tables.load(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var cur = words.select(col("w"), col("wc"),
+      concat(filter(split(col("w"), ""), x => length(x) > 0),
+        array(lit("</w>"))).as("syms"))
+    val merges = (1 to BpeRounds).map { r =>
+      val pairs = cur.select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("p1"),
+              element_at(col("syms"), i + 1).as("p2")))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("wc")).as("freq"))
+      val best = pairs.orderBy(col("freq").desc, col("p1"), col("p2")).limit(1)
+      cur = cur.crossJoin(broadcast(
+          best.select(col("p1").as("bp1"), col("p2").as("bp2"))))
+        .select(col("w"), col("wc"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) === 0, array(x))
+              .when(element_at(acc, -1) === col("bp1") && x === col("bp2"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("bp1"), col("bp2")))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+      best.select(lit(r.toLong).as("merge_round"), col("p1"), col("p2"),
+        col("freq"))
+    }
+    (merges, cur)
+  }
+
+  /** DuckDB CTEs mirroring bpeStages' base: word-frequency dict + initial
+    * per-character symbol rows (pos-indexed, '</w>' terminated).
+    */
+  private val dBpeBase =
+    "w0 AS (SELECT t AS w, count(*)::BIGINT wc FROM " +
+      "(SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents) q " +
+      "WHERE len(t) > 0 GROUP BY 1), " +
+      "s0 AS (SELECT w, wc, i AS pos, " +
+      "CASE WHEN i <= len(w) THEN w[i:i] ELSE '</w>' END AS sym " +
+      "FROM w0, unnest(range(1, len(w) + 2)) u(i))"
+
+  /** One DuckDB BPE round over s{r-1}: pair counts → deterministic top-1
+    * → greedy merge application. Greedy left-to-right pairing = within
+    * each maximal run of consecutive matches, merge the odd-indexed ones
+    * (a taken match consumes its successor); since a merged symbol can
+    * never re-match p1 within the round (p1||p2 ≠ p1), matching against
+    * the ORIGINAL symbols is exact — see bpeStages.
+    */
+  private def dBpeRound(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"pc$r AS (SELECT p1, p2, sum(wc)::BIGINT freq FROM " +
+      s"(SELECT sym p1, lead(sym) OVER (PARTITION BY w ORDER BY pos) p2, wc " +
+      s"FROM $prev) q WHERE p2 IS NOT NULL GROUP BY 1, 2), " +
+      s"b$r AS (SELECT p1, p2, freq FROM pc$r ORDER BY freq DESC, p1, p2 LIMIT 1), " +
+      s"m$r AS (SELECT s.w, s.wc, s.pos, s.sym, " +
+      s"COALESCE(s.sym = b.p1 AND lead(s.sym) OVER " +
+      s"(PARTITION BY s.w ORDER BY s.pos) = b.p2, FALSE) AS mt " +
+      s"FROM $prev s CROSS JOIN b$r b), " +
+      s"g$r AS (SELECT *, pos - row_number() OVER " +
+      s"(PARTITION BY w, mt ORDER BY pos) AS grp FROM m$r), " +
+      s"k$r AS (SELECT *, mt AND (row_number() OVER " +
+      s"(PARTITION BY w, mt, grp ORDER BY pos) % 2 = 1) AS take FROM g$r), " +
+      s"s$r AS (SELECT w, wc, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, " +
+      s"CASE WHEN take THEN sym || nxt ELSE sym END AS sym FROM " +
+      s"(SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, " +
+      s"COALESCE(lag(take) OVER (PARTITION BY w ORDER BY pos), FALSE) AS ptake " +
+      s"FROM k$r) q WHERE NOT ptake)"
+  }
+
+  private val dBpeCtes: String =
+    "WITH " + dBpeBase + ", " + (1 to BpeRounds).map(dBpeRound).mkString(", ")
+
   /** Stop-shingle document-frequency cutoff for the d2 inverted index: a
     * shingle present in more than this many documents is dropped before the
     * self-join (CCNet-style boilerplate removal). 6 sits below the max df
@@ -1066,5 +1166,30 @@ object TextQueries {
         "// (sum(wi) OVER ()))::BIGINT AS quota, c_docs FROM w), " +
         "t2 AS (SELECT lang, quota, (1048576 * quota) // c_docs AS thr FROM th) " +
         "SELECT d.doc_id, d.lang, t2.quota FROM documents d JOIN t2 USING (lang) " +
-        s"WHERE ${dH60("'mix42|' || d.doc_id::VARCHAR")} % 1048576 < t2.thr"))
+        s"WHERE ${dH60("'mix42|' || d.doc_id::VARCHAR")} % 1048576 < t2.thr"),
+
+    // T16 — distributed BPE vocabulary induction (the SentencePiece /
+    // subword-tokenizer training step): learn the first BpeRounds merge
+    // rules over the corpus word-frequency dictionary. Output = one rule
+    // per round (the argmax adjacent-symbol pair with its weighted
+    // frequency). See bpeStages for the scale story; the oracle replays
+    // the identical greedy merges through window-parity SQL.
+    "t16_bpe_merges" -> GQ(
+      (s, d) => bpeStages(s, d)._1.reduce(_.union(_)),
+      dBpeCtes + " " + (1 to BpeRounds).map(r =>
+        s"SELECT $r::BIGINT AS merge_round, p1, p2, freq FROM b$r")
+        .mkString(" UNION ALL ")),
+
+    // T16b — the vocabulary the learned merges induce: corpus frequency of
+    // every symbol after applying all BpeRounds merges. Verifies the
+    // REBUILT symbol sequences (not just the argmax rules) cross-engine,
+    // i.e. that the fold's greedy application matches the oracle's.
+    "t16b_bpe_vocab" -> GQ(
+      (s, d) => {
+        val fin = bpeStages(s, d)._2
+        fin.select(col("wc"), explode(col("syms")).as("sym"))
+          .groupBy("sym").agg(sum(col("wc")).as("cnt"))
+      },
+      dBpeCtes +
+        s" SELECT sym, sum(wc)::BIGINT AS cnt FROM s$BpeRounds GROUP BY 1"))
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** t16 BPE trainer semantics on the textbook corpus (low/lower/newest),
+  * where the merge sequence is hand-computable — including a first-round
+  * frequency TIE that pins the deterministic (freq DESC, p1, p2)
+  * tie-break, and greedy-application correctness for the induced vocab.
+  */
+class BpeSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(1L, "low low lower", "en", "syn", 0L),
+          Row(2L, "low lower newest", "en", "syn", 0L)), 2), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("t16 learns the hand-computed merge sequence with deterministic ties") {
+    // word dict: low:3 lower:2 newest:1. Round 1 pairs: (l,o)=5 and
+    // (o,w)=5 tie -> p1 order picks (l,o). Round 2: (lo,w)=5. Round 3:
+    // (low,</w>)=3 beats (low,e)/(e,r)/(r,</w>)=2.
+    val merges = SparkEntry.queries("t16_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(merges.toSeq === Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "low", "</w>", 3L)))
+  }
+
+  test("t16b vocabulary reflects greedy application of all three merges") {
+    // low -> [low</w>]x3; lower -> [low,e,r,</w>]x2;
+    // newest -> [n,e,w,e,s,t,</w>]x1.
+    val vocab = SparkEntry.queries("t16b_bpe_vocab")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map(
+      "low</w>" -> 3L, "low" -> 2L, "e" -> 4L, "r" -> 2L, "</w>" -> 3L,
+      "n" -> 1L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
+  }
+
+  test("t16 plan never funnels word rows through one partition") {
+    // The pair-count shuffle is keyed by the symbol pair and the apply
+    // side by word; the only tiny-side artifacts allowed are the 1-row
+    // argmax broadcasts. A SinglePartition exchange would mean the
+    // trainer sorted or folded the whole dictionary in one task.
+    val q = SparkEntry.queries("t16b_bpe_vocab")(spark, dir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
+}
