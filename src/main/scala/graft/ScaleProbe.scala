@@ -68,8 +68,10 @@ object ScaleProbe {
     val counts = Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs",
       "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
       "d6_dup_clusters", "d7_canonical_prune", "d8_incremental_dedup",
+      "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
       "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
-      "x1_decontaminate",
+      "t14_quality_classifier", "t15_mixture_resample", "t16b_bpe_vocab",
+      "x1_decontaminate", "x1b_bloom_decontaminate",
       "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
       "e7_binary_sign_ann", "e7b_binary_banded_neardup", "e8_semantic_prune",
       "e9_int8_adc_knn", "e10_pq_adc_knn", "e11_incremental_semantic",

