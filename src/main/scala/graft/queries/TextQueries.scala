@@ -1229,5 +1229,66 @@ object TextQueries {
         "tk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) w " +
         "FROM documents) " +
         "SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subwords " +
-        "FROM tk JOIN nsub USING (w) WHERE len(w) > 0 GROUP BY 1"))
+        "FROM tk JOIN nsub USING (w) WHERE len(w) > 0 GROUP BY 1"),
+
+    // TP1 — the end-to-end training-data manifest: raw corpus → exact
+    // dedup (keep min doc_id per content hash) → quality screen →
+    // temperature-scaled language mixing over the SURVIVORS (the stats the
+    // thresholds derive from are post-filter, as a real pipeline's are) →
+    // token-budget shard packing. One declarative job, one lineage: the
+    // composition a user actually ships, demonstrating the pieces compose
+    // without materialization barriers. Every stage keeps its scale shape:
+    // content-hash window (shuffle keyed by sha256), per-row screen,
+    // O(#langs) broadcast thresholds, two-level prefix-sum packing.
+    "tp1_training_manifest" -> GQ(
+      (s, d) => {
+        val dedupW = Window.partitionBy(sha2(col("text"), 256))
+          .orderBy(col("doc_id"))
+        val t = TextOps.tokens(col("text"))
+        val kept = Tables.load(s, d, "documents")
+          .withColumn("rn", row_number().over(dedupW)).where(col("rn") === 1)
+          .select(col("doc_id"), col("lang"),
+            size(t).cast("long").as("n_tokens"),
+            (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+          .where(col("n_tokens").between(50L, 100000L) && col("ttr") >= 0.05)
+        val lc = kept.groupBy("lang")
+          .agg(count(lit(1)).as("c_docs"), sum(col("n_tokens")).as("c_tok"))
+        val th = lc
+          .withColumn("wi", floor(sqrt(col("c_tok").cast("double")) * 1e6)
+            .cast("long"))
+          .withColumn("quota",
+            expr("(((sum(c_docs) OVER ()) div 2) * wi) div (sum(wi) OVER ())"))
+          .withColumn("thr", expr("(1048576 * quota) div c_docs"))
+          .select("lang", "thr")
+        val picked = kept.join(broadcast(th), "lang")
+          .where(pmod(TextOps.h60(concat_ws("|", lit("mix42"), col("doc_id"))),
+            lit(1048576L)) < col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        Relational.packByBudget(picked, "doc_id", col("n_tokens"), budget = 4096L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("shard_off"), col("shard_id"))
+      },
+      "WITH dd AS (SELECT doc_id, lang, text FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn FROM documents) q " +
+        "WHERE rn = 1), " +
+        "tk AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') t FROM dd), " +
+        "sc AS (SELECT doc_id, lang, len(t)::BIGINT n_tokens, " +
+        "len(list_distinct(t))::DOUBLE / len(t) AS ttr FROM tk), " +
+        "kept AS (SELECT doc_id, lang, n_tokens FROM sc " +
+        "WHERE n_tokens BETWEEN 50 AND 100000 AND ttr >= 0.05), " +
+        "lc AS (SELECT lang, count(*)::BIGINT c_docs, sum(n_tokens)::BIGINT c_tok " +
+        "FROM kept GROUP BY 1), " +
+        "w AS (SELECT lang, c_docs, floor(sqrt(c_tok) * 1e6)::BIGINT wi FROM lc), " +
+        "th AS (SELECT lang, ((((sum(c_docs) OVER ()) // 2) * wi) " +
+        "// (sum(wi) OVER ()))::BIGINT AS quota, c_docs FROM w), " +
+        "t2 AS (SELECT lang, (1048576 * quota) // c_docs AS thr FROM th), " +
+        "picked AS (SELECT k.doc_id, k.lang, k.n_tokens FROM kept k " +
+        "JOIN t2 USING (lang) " +
+        s"WHERE ${dH60("'mix42|' || k.doc_id::VARCHAR")} % 1048576 < t2.thr) " +
+        "SELECT doc_id, lang, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0)::BIGINT AS shard_off, " +
+        "(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id " +
+        "FROM picked"))
 }
