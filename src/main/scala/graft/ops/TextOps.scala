@@ -344,4 +344,52 @@ object TextOps {
         col("p0").cast(LongType).as("span_start"),
         (col("p1") - col("p0") + gramLen).cast(LongType).as("span_len"))
   }
+
+  /** Per-row quality screen shared by the tp1 manifest and the streaming
+    * ingest twin: token-count window + type/token-ratio floor. Pure
+    * projection + filter — runs unchanged on a stream.
+    * @return (idCol, langCol, n_tokens)
+    */
+  def qualityScreen(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    langCol: String = "lang"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol), col(langCol), size(t).cast(LongType).as("n_tokens"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+      .where(col("n_tokens").between(50L, 100000L) && col("ttr") >= 0.05)
+      .drop("ttr")
+  }
+
+  /** Sqrt-temperature mixture thresholds over a screened corpus (XLM-R
+    * style, exact integer micro-unit math — see the t15 gate): per
+    * language, an integer hash threshold out of 2^20 such that expected
+    * selections meet the w ∝ c_tok^0.5 quota. O(#languages) output; the
+    * unpartitioned windows run over the per-language aggregate only.
+    * @return (langCol, thr)
+    */
+  def mixtureThresholds(screened: DataFrame,
+                        langCol: String = "lang"): DataFrame =
+    screened.groupBy(langCol)
+      .agg(count(lit(1)).as("c_docs"), sum(col("n_tokens")).as("c_tok"))
+      .withColumn("wi",
+        floor(sqrt(col("c_tok").cast("double")) * 1e6).cast(LongType))
+      .withColumn("quota",
+        expr("(((sum(c_docs) OVER ()) div 2) * wi) div (sum(wi) OVER ())"))
+      .withColumn("thr", expr("(1048576 * quota) div c_docs"))
+      .select(col(langCol), col("thr"))
+
+  /** Hash-Bernoulli mixture selection against broadcast thresholds: a
+    * pure row predicate (deterministic under any partitioning, streamable
+    * unchanged). The corpus-global statistic lives in `thresholds`;
+    * production refreshes it offline while ingest keeps applying it
+    * map-only.
+    * @return (idCol, langCol, n_tokens)
+    */
+  def mixtureSelect(screened: DataFrame, thresholds: DataFrame,
+                    idCol: String = "doc_id",
+                    langCol: String = "lang"): DataFrame =
+    screened.join(broadcast(thresholds), langCol)
+      .where(pmod(h60(concat_ws("|", lit("mix42"), col(idCol))),
+        lit(1048576L)) < col("thr"))
+      .select(col(idCol), col(langCol), col("n_tokens"))
 }

@@ -1244,26 +1244,9 @@ object TextQueries {
       (s, d) => {
         val dedupW = Window.partitionBy(sha2(col("text"), 256))
           .orderBy(col("doc_id"))
-        val t = TextOps.tokens(col("text"))
-        val kept = Tables.load(s, d, "documents")
-          .withColumn("rn", row_number().over(dedupW)).where(col("rn") === 1)
-          .select(col("doc_id"), col("lang"),
-            size(t).cast("long").as("n_tokens"),
-            (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
-          .where(col("n_tokens").between(50L, 100000L) && col("ttr") >= 0.05)
-        val lc = kept.groupBy("lang")
-          .agg(count(lit(1)).as("c_docs"), sum(col("n_tokens")).as("c_tok"))
-        val th = lc
-          .withColumn("wi", floor(sqrt(col("c_tok").cast("double")) * 1e6)
-            .cast("long"))
-          .withColumn("quota",
-            expr("(((sum(c_docs) OVER ()) div 2) * wi) div (sum(wi) OVER ())"))
-          .withColumn("thr", expr("(1048576 * quota) div c_docs"))
-          .select("lang", "thr")
-        val picked = kept.join(broadcast(th), "lang")
-          .where(pmod(TextOps.h60(concat_ws("|", lit("mix42"), col("doc_id"))),
-            lit(1048576L)) < col("thr"))
-          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        val kept = TextOps.qualityScreen(Tables.load(s, d, "documents")
+          .withColumn("rn", row_number().over(dedupW)).where(col("rn") === 1))
+        val picked = TextOps.mixtureSelect(kept, TextOps.mixtureThresholds(kept))
         Relational.packByBudget(picked, "doc_id", col("n_tokens"), budget = 4096L)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("shard_off"), col("shard_id"))

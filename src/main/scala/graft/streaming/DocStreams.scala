@@ -100,4 +100,33 @@ object DocStreams {
   /** The accumulated flag log (doc_id, is_dup_of_history, batch). */
   def readFlags(spark: SparkSession, flagsDir: String): DataFrame =
     spark.read.parquet(flagsDir)
+
+  /** Streaming quality screen + mixture selection — the ingest-time twin
+    * of tp1's middle stages. Each micro-batch runs the SAME per-row
+    * functions the batch manifest uses (`TextOps.qualityScreen` →
+    * `TextOps.mixtureSelect`): both are projections/filters with no
+    * cross-row state, so batch and stream agree bit-for-bit by
+    * construction — the spec asserts it anyway. The corpus-global piece
+    * (the per-language threshold table) is TRAINED OFFLINE and passed in:
+    * the production split between a periodically-refreshed statistic and
+    * a map-only per-row decision at ingest. Accepted rows land in a
+    * `batch=<id>` subdirectory in overwrite mode, so a crashed batch's
+    * re-execution replaces its own partial output (same exactly-once
+    * recipe as `incrementalDedup`).
+    */
+  def qualityMixtureIngest(spark: SparkSession, srcDir: String,
+                           thresholds: DataFrame, acceptDir: String,
+                           checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextOps.mixtureSelect(TextOps.qualityScreen(batch), thresholds)
+          .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

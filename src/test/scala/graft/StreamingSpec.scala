@@ -299,4 +299,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming quality+mixture ingest equals the batch screen and survives restart") {
+    import graft.streaming.DocStreams
+    import graft.ops.TextOps
+    val src = java.nio.file.Files.createTempDirectory("graft_qm_src_").toString
+    val acc = java.nio.file.Files.createTempDirectory("graft_qm_acc_").toString + "/a"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qm_ckpt_").toString
+    val docs = spark.read.schema(DocStreams.docSchema)
+      .parquet(s"$Sf0001/documents.parquet")
+    // thresholds trained offline on the full corpus — the refresh cadence
+    // is the production knob; the ingest decision itself is per-row
+    val th = TextOps.mixtureThresholds(TextOps.qualityScreen(docs))
+
+    docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.qualityMixtureIngest(spark, src, th, acc, ckpt)
+    val afterFirst = spark.read.parquet(acc).count()
+    assert(afterFirst > 0)
+
+    // restart with no new files: nothing reprocessed, nothing duplicated
+    DocStreams.qualityMixtureIngest(spark, src, th, acc, ckpt)
+    assert(spark.read.parquet(acc).count() == afterFirst)
+
+    docs.where(pmod(col("doc_id"), lit(2L)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.qualityMixtureIngest(spark, src, th, acc, ckpt)
+
+    // accepted set == the batch composition over the whole corpus
+    val streamed = spark.read.parquet(acc)
+      .select("doc_id", "lang", "n_tokens")
+    val batch = TextOps.mixtureSelect(TextOps.qualityScreen(docs), th)
+    assert(streamed.count() < docs.count(), "mixture must subsample")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
