@@ -1231,6 +1231,50 @@ object TextQueries {
         "SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subwords " +
         "FROM tk JOIN nsub USING (w) WHERE len(w) > 0 GROUP BY 1"),
 
+    // T17 — per-source quality prior (domain blocklist derivation): for
+    // every source, the exact-dup rate and quality-screen pass rate, and
+    // an integer-exact keep/flag verdict (flag when >half the source's
+    // docs are dups or <half pass the screen) — the corpus statistic a
+    // pipeline turns into a source blocklist before the next crawl. The
+    // dup flag is a count window keyed by the content hash
+    // (high-cardinality); the per-source rollup partial-aggregates
+    // map-side, so one giant source can't skew the shuffle.
+    "t17_source_prior" -> GQ(
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val per = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            sha2(col("text"), 256).as("h"),
+            size(t).cast("long").as("nt"),
+            (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+        val flagged = per
+          .withColumn("is_dup",
+            count(lit(1)).over(Window.partitionBy(col("h"))) > 1)
+          .withColumn("ok",
+            col("nt").between(50L, 100000L) && col("ttr") >= 0.05)
+        flagged.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("is_dup").cast("long")).as("n_dup"),
+            sum(col("ok").cast("long")).as("n_ok"))
+          .select(col("source"), col("n_docs"), col("n_dup"), col("n_ok"),
+            (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
+            (col("n_ok").cast("double") / col("n_docs")).as("keep_rate"),
+            (col("n_dup") * 2 <= col("n_docs") &&
+              col("n_ok") * 2 >= col("n_docs")).as("keep_source"))
+      },
+      "WITH per AS (SELECT doc_id, source, sha256(text) h, " +
+        "len(string_split_regex(text, '\\s+'))::BIGINT nt, " +
+        "len(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE / " +
+        "len(string_split_regex(text, '\\s+')) AS ttr FROM documents), " +
+        "f AS (SELECT *, count(*) OVER (PARTITION BY h) > 1 AS is_dup, " +
+        "(nt BETWEEN 50 AND 100000 AND ttr >= 0.05) AS ok FROM per), " +
+        "agg AS (SELECT source, count(*)::BIGINT n_docs, " +
+        "coalesce(sum(CASE WHEN is_dup THEN 1 END), 0)::BIGINT n_dup, " +
+        "coalesce(sum(CASE WHEN ok THEN 1 END), 0)::BIGINT n_ok FROM f GROUP BY 1) " +
+        "SELECT source, n_docs, n_dup, n_ok, " +
+        "n_dup::DOUBLE / n_docs AS dup_rate, n_ok::DOUBLE / n_docs AS keep_rate, " +
+        "(n_dup * 2 <= n_docs AND n_ok * 2 >= n_docs) AS keep_source FROM agg"),
+
     // TP1 — the end-to-end training-data manifest: raw corpus → exact
     // dedup (keep min doc_id per content hash) → quality screen →
     // temperature-scaled language mixing over the SURVIVORS (the stats the

@@ -245,6 +245,25 @@ class ScalePlanSpec extends SparkSpec {
     assert(!scan.contains("l_comment"), scan)
   }
 
+  test("tp1 manifest funnels only language- or bucket-level aggregates") {
+    // The end-to-end manifest composes four stages that each keep a
+    // distributed shape; the only legal SinglePartition exchanges carry
+    // the per-language threshold table or the per-bucket offsets of the
+    // prefix sum — never document rows.
+    val q = SparkEntry.queries("tp1_training_manifest")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 7).exists(l =>
+          l.contains("HashAggregate(keys=[lang") ||
+            l.contains("HashAggregate(keys=[pk_bucket")),
+          s"SinglePartition exchange over document rows (line $i):\n${plan.take(2000)}")
+      }
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("d10 segment dedup keys every shuffle by segment hash or doc id") {
     // The first-occurrence election partitions by the 60-bit segment hash
     // and the rebuild by doc_id — both high-cardinality. A SinglePartition
