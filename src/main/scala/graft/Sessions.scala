@@ -20,8 +20,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has no
-      // timestamp type for — read as Long nanos (oracle uses epoch_ns).
+      // Canonical events encoding is TIMESTAMP(µs) (TESTDATA ts contract);
+      // this flag ONLY affects legacy INT64 TIMESTAMP(NANOS) files, which
+      // Spark otherwise refuses to read — kept so old landings decode as
+      // Long nanos and flow through Tables.eventTimeUs's LongType branch.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

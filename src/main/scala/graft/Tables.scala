@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test data
   * (see /root/repo/TESTDATA.md). At cluster scale these would be
@@ -16,4 +18,35 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Event time in epoch MICROSECONDS, whatever the physical encoding of
+    * the `ts` column. A 100 TB lakehouse never controls its producers'
+    * timestamp encodings — upstream re-encodes happen (the driver's own
+    * testdata switched from INT64 epoch-nanos to TIMESTAMP(µs) between
+    * rounds) — so the engine absorbs the encoding exactly once, here at
+    * the loader seam, instead of in every query:
+    *   - TimestampNTZType (canonical since 2026-08: the testdata carries
+    *     naive TIMESTAMP(µs), isAdjustedToUTC=false): cast to instant then
+    *     `unix_micros` — face-value-exact because every graft session pins
+    *     spark.sql.session.timeZone=UTC, matching the oracle's epoch_us
+    *     read of the same naive values.
+    *   - TimestampType: `unix_micros` directly — exact, codegen'd.
+    *   - LongType (legacy INT64 epoch-nanos, read via
+    *     spark.sql.legacy.parquet.nanosAsLong): integral `div 1000` —
+    *     truncation matches the oracle's parquet reader, which truncates
+    *     nanosecond timestamps to µs.
+    * Any other physical type fails LOUDLY at plan time — a silent
+    * unit-confused read (ms-as-µs is 1000× off) is the worst failure mode
+    * an event pipeline has. Pair with `Checks.epochRangeUs` for the
+    * value-level guard (schema dispatch can't tell ms-Longs from ns-Longs).
+    */
+  def eventTimeUs(df: DataFrame, ts: String = "ts"): Column =
+    df.schema(ts).dataType match {
+      case TimestampNTZType => unix_micros(col(ts).cast(TimestampType))
+      case TimestampType    => unix_micros(col(ts))
+      case LongType         => expr(s"`$ts` div 1000")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time encoding for column '$ts': $other " +
+          "(expected TIMESTAMP or legacy INT64 epoch-nanos)")
+    }
 }

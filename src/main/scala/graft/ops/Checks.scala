@@ -80,6 +80,32 @@ object Checks {
     require(missing == 0, "referentialIntegrity", s"$missing $fk values missing from dim.$pk")
   }
 
+  /** Event-time sanity: every decoded epoch-µs value lands in a credible
+    * epoch window (default 2000-01-01 .. 2100-01-01). This is the
+    * VALUE-level companion to the schema dispatch in `Tables.eventTimeUs`:
+    * schema alone cannot tell a millisecond Long from a nanosecond Long,
+    * but a 1000× unit slip moves every value out of the window (ms read as
+    * ns → year 1970; µs read as ns → 1970; ns read as µs → year 55965), so
+    * one aggregate pass converts silent corruption into a loud failure.
+    * Deliberately ONE min/max aggregation (map-side partial, one scalar to
+    * the driver) rather than a per-row raise_error branch, which would sit
+    * inside whole-stage codegen on every downstream read.
+    */
+  def epochRangeUs(df: DataFrame, tsUsCol: String,
+                   loUs: Long = 946684800000000L,     // 2000-01-01T00:00Z
+                   hiUs: Long = 4102444800000000L     // 2100-01-01T00:00Z
+                  ): Either[Violation, Unit] = {
+    val row = df.agg(min(col(tsUsCol)).as("lo"), max(col(tsUsCol)).as("hi")).head()
+    if (row.isNullAt(0)) Right(()) // empty frame: nothing to mis-decode
+    else {
+      val (lo, hi) = (row.getLong(0), row.getLong(1))
+      require(lo >= loUs && hi < hiUs, "epochRangeUs",
+        s"$tsUsCol spans [$lo, $hi] µs — outside the credible epoch window " +
+          s"[$loUs, $hiUs); a ms/µs/ns unit confusion shifts values 1000× " +
+          "and always leaves this window")
+    }
+  }
+
   /** Run a batch of checks, collecting all violations. */
   def runAll(checks: Seq[Either[Violation, Unit]]): Either[Seq[Violation], Unit] = {
     val bad = checks.collect { case Left(v) => v }

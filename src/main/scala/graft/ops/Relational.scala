@@ -473,13 +473,14 @@ object Relational {
     val ranged = df
       .repartitionByRange(nBuckets, col(orderCol))
       .withColumn("pk_bucket", spark_partition_id())
-      // Truncate-to-Long is the documented contract; the guard is per-row
-      // codegen'd and fails fast instead of producing corrupt offsets.
-      .withColumn("pk_w",
-        when(weightCol.cast(LongType) < 0,
-          raise_error(concat(lit("packByBudget: negative weight "),
-            weightCol.cast(StringType))))
-          .otherwise(weightCol.cast(LongType)))
+      // Truncate-to-Long is the documented contract. The negative-weight
+      // guard lives AGGREGATE-side (below, on the bucket-count-sized
+      // offsets table) rather than as a per-row when/raise_error branch:
+      // the per-row form sat inside whole-stage codegen on every input row
+      // and measurably tripled the gate's runtime at sf0.1, while a
+      // min() folded into the already-computed per-bucket aggregate is
+      // free and fails the job just as surely before any offset is used.
+      .withColumn("pk_w", weightCol.cast(LongType))
     val bucketed =
       if (checkpointDir.isDefined) {
         val cached = ranged.persist()
@@ -488,11 +489,18 @@ object Relational {
         out
       } else ranged.localCheckpoint()
     val offsets = bucketed.groupBy(col("pk_bucket"))
-      .agg(sum(col("pk_w")).as("pk_total"))
+      .agg(sum(col("pk_w")).as("pk_total"), min(col("pk_w")).as("pk_min"))
+      // A corrupt (negative) weight would silently mis-pack every shard
+      // after it; the check rides the offsets aggregate — per-BUCKET rows,
+      // not per-input-row — and every offsets row is evaluated for the
+      // broadcast, so any negative weight anywhere fails the job loudly.
       .withColumn("pk_base",
-        coalesce(sum(col("pk_total")).over(
-          Window.orderBy(col("pk_bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        when(col("pk_min") < 0,
+          raise_error(concat(lit("packByBudget: negative weight (bucket min "),
+            col("pk_min").cast(StringType), lit(")"))))
+          .otherwise(coalesce(sum(col("pk_total")).over(
+            Window.orderBy(col("pk_bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
       .select(col("pk_bucket"), col("pk_base"))
     val within = Window.partitionBy(col("pk_bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)

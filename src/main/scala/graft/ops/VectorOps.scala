@@ -87,6 +87,37 @@ object VectorOps {
   val signBands: Seq[(Int, Int)] = Seq(
     (0, 7), (7, 7), (14, 7), (21, 7), (28, 7), (35, 7), (42, 7), (49, 7), (56, 8))
 
+  /** Coarser pigeonhole layouts for the APPROXIMATE regime (thresholds
+    * above bands-1, where the band join is a recall filter by contract):
+    * 6 bands (complete <= 5) and 4 bands (complete <= 3). Fewer, WIDER
+    * bands shrink per-bucket occupancy exponentially in the width — the
+    * candidate volume of a self-join is sum over bands of n^2/2^(w+1), so
+    * at fixed layout it grows QUADRATICALLY with the corpus; widening
+    * bands as n grows is what keeps it near-linear (e3's occupancy-pinning
+    * trick applied to the sign bands).
+    */
+  val signBands6: Seq[(Int, Int)] = Seq(
+    (0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+  val signBands4: Seq[(Int, Int)] = Seq(
+    (0, 16), (16, 16), (32, 16), (48, 16))
+
+  /** The adaptive selection ladder, exposed so the oracle SQL generator
+    * mirrors the SAME integer thresholds (a CASE over count(*)) the Scala
+    * side dispatches on — one source of truth for both engines.
+    */
+  val adaptiveSignBandSteps: Seq[(Long, Seq[(Int, Int)])] = Seq(
+    65536L -> signBands, 262144L -> signBands6)
+
+  /** Occupancy-adaptive band layout for approximate-regime near-dup: keep
+    * the 9-band layout (highest recall, hamming-8 complete) while expected
+    * bucket occupancy n/2^7 stays moderate, then step to 6x~11-bit and
+    * 4x16-bit bands. Integer thresholds so any engine reproduces the
+    * selection from a row count. COMPLETE-regime callers (threshold <= 8)
+    * must pass `signBands` explicitly — completeness needs all 9 bands.
+    */
+  def adaptiveSignBands(n: Long): Seq[(Int, Int)] =
+    adaptiveSignBandSteps.find(n <= _._1).map(_._2).getOrElse(signBands4)
+
   /** Band `(off, w)` of the signature as a column — assembled from the two
     * sign words (both non-negative, so plain shiftright is a logical
     * shift). One band spans the word boundary; its low part comes from the
@@ -112,10 +143,15 @@ object VectorOps {
     * times; the final distinct runs on qualifying pairs only.
     *
     * COMPLETE (identical to a brute-force pair scan) iff
-    * `maxHamming <= signBands.size - 1 = 8`; above that the band join is
-    * a recall filter (pairs whose differing bits touch all 9 bands are
-    * unseen) — the approximate-by-design contract of every LSH pass here.
-    * The scale knob for wider thresholds is a LONGER signature (e.g.
+    * `maxHamming <= bands0.size - 1` (8 for the default 9-band layout);
+    * above that the band join is a recall filter (pairs whose differing
+    * bits touch every band are unseen) — the approximate-by-design
+    * contract of every LSH pass here. Approximate-regime callers should
+    * pass `adaptiveSignBands(n)`: a FIXED layout's candidate volume grows
+    * quadratically with the corpus (each band contributes ~n^2/2^(w+1)
+    * same-bucket pairs), which is exactly the 100x blow-up the round-9
+    * probe measured; occupancy-adaptive widths keep it near-linear. The
+    * scale knob for wider COMPLETE thresholds is a LONGER signature (e.g.
     * 128-bit sigs -> 9 bands of 14 bits), not more/narrower bands, which
     * would shrink the band space and saturate occupancy.
     *
@@ -124,9 +160,10 @@ object VectorOps {
     */
   def bandedHammingPairs(sigs: DataFrame, idCol: String,
                          loCol: String, hiCol: String,
-                         maxHamming: Int): DataFrame = {
+                         maxHamming: Int,
+                         bands0: Seq[(Int, Int)] = signBands): DataFrame = {
     val bands = sigs.select(col(idCol), col(loCol), col(hiCol),
-      explode(array(signBands.zipWithIndex.map { case ((off, w), i) =>
+      explode(array(bands0.zipWithIndex.map { case ((off, w), i) =>
         struct(lit(i).as("bidx"),
           signBand(col(loCol), col(hiCol), off, w).as("bval"))
       }: _*)).as("b"))

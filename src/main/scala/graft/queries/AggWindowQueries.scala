@@ -293,17 +293,17 @@ object AggWindowQueries {
 
     // J6 — temporal nearest-within-band join (±12 h), the reference's
     // bucket-replicate band join with corrected floor(epoch/B) bucketing
-    // (reference: load_fact.py:225-297; SURVEY §2.4 J6). `ts` is read as
-    // Long nanoseconds (spark.sql.legacy.parquet.nanosAsLong).
-    // Timestamps are compared in microseconds (`ts div 1000`) because the
-    // oracle's parquet reader truncates nanosecond timestamps to µs.
+    // (reference: load_fact.py:225-297; SURVEY §2.4 J6). Timestamps are
+    // compared in epoch-µs via the schema-adaptive Tables.eventTimeUs seam
+    // (the cross-engine-exact representation: DuckDB's epoch_us agrees).
     "j6_nearest_within_band" -> GQ(
       (s, d) => {
         val ev = Tables.load(s, d, "events")
+        val tus = Tables.eventTimeUs(ev)
         val probe = ev.where(col("event_type") === "error")
-          .select(col("event_id").as("p_id"), expr("ts div 1000").as("p_ts"))
+          .select(col("event_id").as("p_id"), tus.as("p_ts"))
         val readings = ev.where(col("event_type") === "view")
-          .select(col("event_id").as("r_id"), expr("ts div 1000").as("r_ts"))
+          .select(col("event_id").as("r_id"), tus.as("r_ts"))
         Relational.nearestWithinBand(probe, "p_id", "p_ts",
           readings, "r_ts", 43200L * 1000000L, "r_id")
           .select(col("p_id"), col("r_id"), abs(col("p_ts") - col("r_ts")).as("diff_us"))
@@ -318,12 +318,16 @@ object AggWindowQueries {
         "ORDER BY abs(p_ts - r_ts), r_id) = 1"),
 
     // Time-bucketed event aggregation (hourly tumbling windows, batch
-    // form; integral `div` keeps the bucket math exact on int64 nanos).
+    // form; integral `div` on epoch-µs keeps the bucket math exact —
+    // no float division anywhere near a bucket boundary).
     "ev_hourly_rollup" -> GQ(
-      (s, d) => Tables.load(s, d, "events")
-        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")),
-      "SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        ev.withColumn("tus", Tables.eventTimeUs(ev))
+          .groupBy(expr("tus div 3600000000").as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      },
+      "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type, " +
         "count(*) AS n_events, round(sum(value), 2) AS total_value " +
         "FROM events GROUP BY 1, 2"))
 }

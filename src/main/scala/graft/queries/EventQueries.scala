@@ -6,8 +6,9 @@ import graft.Tables
 import graft.ops.{Multimodal, Relational}
 
 /** Event-stream batch analytics (JSON extraction, gap sessionization) and
-  * multimodal binary-column plumbing. `ts` arrives as Long nanoseconds
-  * (spark.sql.legacy.parquet.nanosAsLong); the oracle uses epoch_ns.
+  * multimodal binary-column plumbing. `ts` is decoded to epoch-µs through
+  * the schema-adaptive `Tables.eventTimeUs` seam (TIMESTAMP(µs) canonical,
+  * legacy INT64-nanos accepted); the oracle uses epoch_us on its side.
   */
 object EventQueries {
 
@@ -49,12 +50,10 @@ object EventQueries {
     // of one user stay on one partition — the layout a cluster wants.
     "ev_sessionize" -> GQ(
       (s, d) => {
-        // ts is Long nanos; compared in micros because the oracle's parquet
-        // reader truncates nanosecond timestamps to microseconds.
         val gapUs = 1800L * 1000000L
         val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
-        Tables.load(s, d, "events")
-          .withColumn("tus", expr("ts div 1000"))
+        val ev = Tables.load(s, d, "events")
+        ev.withColumn("tus", Tables.eventTimeUs(ev))
           .withColumn("new_sess",
             when(lag(col("tus"), 1).over(w).isNull ||
               col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -88,8 +87,8 @@ object EventQueries {
     // a range predicate, and the arg-min partial-aggregates map-side.
     "j7_asof_join" -> GQ(
       (s, d) => {
-        val ev = Tables.load(s, d, "events")
-          .withColumn("tus", expr("ts div 1000"))
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.withColumn("tus", Tables.eventTimeUs(raw))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("tus"))
         val clicks = ev.where(col("event_type") === "click")

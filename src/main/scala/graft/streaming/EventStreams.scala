@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with `ts` as Long nanoseconds (the session reads
-    * INT64 TIMESTAMP(NANOS) via spark.sql.legacy.parquet.nanosAsLong).
+  /** events.parquet schema — `ts` is naive TIMESTAMP(µs)
+    * (isAdjustedToUTC=false → TimestampNTZType), the canonical encoding
+    * (TESTDATA ts contract; legacy INT64-nanos batch files go through the
+    * schema-adaptive `Tables.eventTimeUs` instead — a file STREAM needs one
+    * declared schema up front, so the stream pins the canonical one).
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -31,9 +34,16 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Nanos → proper event-time timestamp (microsecond precision). */
+  /** Event-time timestamp (µs precision) from whatever `ts` encoding the
+    * frame carries: `timestamp_micros ∘ eventTimeUs` is the identity on
+    * canonical TIMESTAMP(µs) input and the ns→µs decode on legacy Longs —
+    * ONE definition of event time for batch and streaming, so the two
+    * sides of every streaming==batch equivalence spec cannot diverge on
+    * units (the failure mode round 9 hit: µs-Longs read as ns passed both
+    * equally-wrong sides of the comparison).
+    */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("event_time", timestamp_micros(graft.Tables.eventTimeUs(df)))
 
   /** Hourly tumbling-window rollup per event type; 1-hour watermark bounds
     * state. Works identically on a batch frame (window() is batch-legal),
@@ -147,7 +157,8 @@ object EventStreams {
   def sessionizeCustom(spark: SparkSession, events: DataFrame,
                        gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
     import spark.implicits._
-    events.selectExpr("user_id", "ts div 1000 as tus", "value").as[TimedEvent]
+    events.select(col("user_id"), graft.Tables.eventTimeUs(events).as("tus"),
+        col("value")).as[TimedEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         org.apache.spark.sql.streaming.OutputMode.Append(),

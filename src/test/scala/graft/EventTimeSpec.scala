@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Checks
+
+/** The event-time contract: `Tables.eventTimeUs` decodes every supported
+  * physical `ts` encoding to the same epoch-µs value, rejects unsupported
+  * encodings at PLAN time, and `Checks.epochRangeUs` catches the one
+  * confusion schema dispatch cannot (a Long in the wrong unit) at VALUE
+  * time. Round 9 shipped a silent 1000×-off streaming read; these tests
+  * make every unit-confusion path fail loudly forever.
+  */
+class EventTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us2026 = 1767225600L * 1000000L // 2026-01-01T00:00Z epoch-µs
+
+  test("canonical naive TIMESTAMP(µs) events decode via unix_micros and pass the epoch guard") {
+    val ev = Tables.load(spark, Sf0001, "events")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val decoded = ev.withColumn("tus", Tables.eventTimeUs(ev))
+    assert(Checks.epochRangeUs(decoded, "tus").isRight)
+    // exactness: decode agrees with an independent string-parse path per
+    // row (date_format of the naive value re-parsed as a UTC instant)
+    val diff = decoded
+      .withColumn("via_str", unix_micros(to_timestamp(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))))
+      .where(col("tus") =!= col("via_str")).count()
+    assert(diff == 0)
+  }
+
+  test("legacy Long-nanos frames decode via div-1000 to identical µs values") {
+    val canonical = Tables.load(spark, Sf0001, "events")
+    val asNanos = canonical.withColumn("ts",
+      Tables.eventTimeUs(canonical) * 1000L)
+    assert(asNanos.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val a = canonical.withColumn("tus", Tables.eventTimeUs(canonical))
+      .select("event_id", "tus")
+    val b = asNanos.withColumn("tus", Tables.eventTimeUs(asNanos))
+      .select("event_id", "tus")
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+    assert(Checks.epochRangeUs(b, "tus").isRight)
+  }
+
+  test("a millisecond-encoded Long (ms read as ns) fails the epoch-range guard loudly") {
+    // ms values put through the legacy ns branch come out 1e6× too small:
+    // epoch lands in 1970, far outside [2000, 2100).
+    val ms = Seq((1L, us2026 / 1000L), (2L, us2026 / 1000L + 60000L))
+      .toDF("event_id", "ts")
+    val decoded = ms.withColumn("tus", Tables.eventTimeUs(ms))
+    val res = Checks.epochRangeUs(decoded, "tus")
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.detail.contains("unit confusion"))
+  }
+
+  test("a microsecond-encoded Long mistaken for nanos also fails the guard") {
+    val us = Seq((1L, us2026), (2L, us2026 + 60L * 1000000L)).toDF("event_id", "ts")
+    val decoded = us.withColumn("tus", Tables.eventTimeUs(us))
+    assert(Checks.epochRangeUs(decoded, "tus").isLeft)
+  }
+
+  test("an unsupported ts encoding is rejected at plan time, not silently decoded") {
+    val weird = Seq((1L, "2026-01-01")).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] { Tables.eventTimeUs(weird) }
+    assert(e.getMessage.contains("unsupported event-time encoding"))
+  }
+
+  test("epochRangeUs passes an empty frame (nothing to mis-decode)") {
+    val empty = Seq.empty[(Long, Long)].toDF("event_id", "tus")
+    assert(Checks.epochRangeUs(empty, "tus").isRight)
+  }
+}

@@ -19,7 +19,17 @@ class StreamingSpec extends SparkSpec {
       dir.resolve("events.parquet"))
     dir.toString
   }
-  private lazy val batchEvents = spark.read.schema(EventStreams.eventSchema).parquet(eventsDir)
+  // Native-schema read (NOT EventStreams.eventSchema): if the file's
+  // physical ts encoding ever drifts from the stream's declared schema,
+  // the equivalence tests must fail loudly instead of comparing two
+  // identically-misdecoded sides (the round-9 silent-pass failure mode).
+  private lazy val batchEvents = {
+    val df = spark.read.parquet(eventsDir)
+    assert(df.schema("ts").dataType == EventStreams.eventSchema("ts").dataType,
+      s"events ts encoding ${df.schema("ts").dataType} no longer matches the " +
+        s"stream schema ${EventStreams.eventSchema("ts").dataType}")
+    df
+  }
 
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
                           mode: String): Unit = {
@@ -61,7 +71,7 @@ class StreamingSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("tus"))
     val batch = batchEvents
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", Tables.eventTimeUs(batchEvents))
       .withColumn("new_sess", when(lag(col("tus"), 1).over(w).isNull ||
         col("tus") - lag(col("tus"), 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("sidx", sum(col("new_sess")).over(
@@ -97,10 +107,13 @@ class StreamingSpec extends SparkSpec {
     val src = java.nio.file.Files.createTempDirectory("graft_attr_src_").toString
     val sink = java.nio.file.Files.createTempDirectory("graft_attr_sink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_attr_ckpt_").toString
-    val t0 = 1767225600L * 1000000000L // 2026-01-01T00:00Z as nanos
-    def min(m: Long) = m * 60L * 1000000000L
+    val t0 = 1767225600L * 1000000L // 2026-01-01T00:00Z as µs
+    def min(m: Long) = m * 60L * 1000000L
     def writeBatch(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // canonical encoding: naive TIMESTAMP(µs); face-value-exact under
+        // the session's pinned UTC timezone
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
         .coalesce(1).write.mode("append").parquet(src)
     def runOnce(): Unit = {
       val q = EventStreams.clickAttribution(
