@@ -1,15 +1,37 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every registered gate query against
-  * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query and total
-  * wall-clock seconds. `count()` forces full execution of each plan.
+  * `SPARK_GRAFT_SF_DIR` and reports per-query and total wall-clock
+  * seconds. `count()` forces full execution of each plan.
+  *
+  * Two artifacts, because the harness that captures stdout keeps only its
+  * tail (~2000 chars — BENCH_r01..r10 all carry a truncated line and a
+  * null `parsed`):
+  *   - stdout: ONE compact JSON line, guaranteed to fit the tail window —
+  *     every query is present under its shortest-unique-prefix key with
+  *     millisecond precision, so the captured artifact is complete and
+  *     machine-parseable on its own;
+  *   - `bench_full.json` (or `$SPARK_GRAFT_BENCH_FULL`): the full
+  *     per-query median/min/max + sentinel re-runs under full names, with
+  *     a run timestamp — the self-verifying record the compact line's
+  *     `detail` field points at.
+  *
+  * Contention sentinel: wall-clock on a shared machine can triple a
+  * query's number while the code is unchanged (round 10: tp1 benched
+  * 4.4 s, clean re-measure 1.7 s). If `bench_reference.json` (committed,
+  * per-query reference seconds from the last clean round) is present, any
+  * query whose MIN exceeds 2× its reference re-runs once after the whole
+  * suite has finished and both numbers are recorded — a real regression
+  * reproduces in the re-run; contention doesn't.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val startedAt = java.time.Instant.now().toString
+    val t00 = System.nanoTime()
     // JIT/codegen warmup so the first measured query doesn't absorb
     // session startup (scheduler, codegen compiler, parquet footer reads).
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -27,47 +49,97 @@ object Bench {
       }
       finally spark.sharedState.cacheManager.clearCache()
     val materializeSec = (System.nanoTime() - tMat0) / 1e9
+
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        // Queries materialize/persist intermediates; drop cached blocks
+        // even on failure so one broken query can't degrade the rest.
+        finally spark.sharedState.cacheManager.clearCache()
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
     // Median of 3 runs per query: single-run timings on sub-3-second
     // queries swing 2-3x with JIT, GC and scheduler noise, which made
     // round-over-round comparisons unadjudicable; the median damps the
     // outlier without hiding a real regression.
     val Runs = 3
     val results = SparkEntry.registry.map { case (name, q) =>
-      val runs = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { q.fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-          // Queries materialize/persist intermediates; drop cached blocks
-          // even on failure so one broken query can't degrade the rest.
-          finally spark.sharedState.cacheManager.clearCache()
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+      val runs = (1 to Runs).map(_ => timeOnce(name, q.fn))
       val times = runs.map(_._1).sorted
       (name, times(Runs / 2), times.head, times.last, runs.forall(_._2))
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    // min/max alongside the median so run-to-run spread is visible in the
-    // artifact itself: a "regression" whose min sits at last round's median
-    // is noise, one whose min moved is real.
-    val spread = results
-      .map { case (k, _, mn, mx, _) => "\"" + k + "\":{\"min\":" + mn + ",\"max\":" + mx + "}" }
-      .mkString("{", ",", "}")
+
+    // Contention sentinel (see scaladoc): reference seconds per query from
+    // the committed last-clean-round file; absent file = sentinel off.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    val refs: Map[String, Double] =
+      if (!Files.exists(Paths.get(refPath))) Map.empty
+      else try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(Files.readString(Paths.get(refPath)),
+            classOf[java.util.Map[String, Object]])
+        import scala.jdk.CollectionConverters._
+        m.asScala.collect { case (k, v: Number) => k -> v.doubleValue() }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] reference unreadable ($refPath): ${e.getMessage}")
+        Map.empty[String, Double]
+      }
+    val registryMap = SparkEntry.registry.toMap
+    val reruns: Map[String, Double] = results.collect {
+      case (name, _, mn, _, true) if refs.get(name).exists(r => mn > 2 * r) =>
+        System.err.println(f"[bench] sentinel: $name min $mn%.2f s > 2x reference ${refs(name)}%.2f s — re-running")
+        name -> timeOnce(name, registryMap(name).fn)._1
+    }.toMap
+
     val failed = results.collect { case (k, _, _, _, false) => k } ++
       (if (matOk) Nil else Seq("materialize"))
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // A failed query poisons the run: total = -1 (a broken query must never
     // *improve* the reported number) and the exit code is nonzero. The
     // one-time materialization cost counts toward the total — it is real
     // work — but is reported separately so per-query numbers stay
     // comparable across registry reorderings. total = sum of per-query
-    // MEDIANS + materialize.
+    // MEDIANS + materialize (sentinel re-runs are recorded, not
+    // substituted — the artifact reports both and the reader adjudicates).
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum + materializeSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"materialize":$materializeSec,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    def j(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Full artifact, full names, full precision.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val fullQ = results.map { case (k, med, mn, mx, ok) =>
+      val rr = reruns.get(k).map(v => s""","rerun":$v""").getOrElse("")
+      s""""$k":{"median":$med,"min":$mn,"max":$mx,"ok":$ok$rr}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(fullPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+        s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
+        s""""materialize":$materializeSec,"nq":${results.size},""" +
+        s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
+        s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
+
+    // Compact stdout line: every query under its shortest unique prefix
+    // (deterministic from the registry's name set), 1 ms precision. Must
+    // stay under ~1900 chars so the harness tail captures it whole.
+    val names = results.map(_._1)
+    def shortKey(n: String): String =
+      (1 to n.length).iterator.map(n.take)
+        .find(p => names.count(_.startsWith(p)) == 1).getOrElse(n)
+    val qs = results.map { case (k, med, _, _, _) => "\"" + shortKey(k) + "\":" + j(med) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","runs":$Runs,""" +
+        s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
+        s""""keys":"shortest-unique-prefix","detail":"$fullPath",""" +
+        s""""sentinel":${reruns.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")
+    println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

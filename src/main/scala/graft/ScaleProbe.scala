@@ -18,9 +18,38 @@ object ScaleProbe {
     // new (recall is adjudicated at 1x/10x; the ≥30x run exists to fire
     // the adaptive-width switch points and confirm the approximate
     // paths' scaling).
-    val light = args.lift(2).contains("light")
+    val light = args.drop(2).contains("light")
+    // "only=q1,q2": probe a SUBSET — synthesize only the source tables the
+    // subset reads and warm only the inter-stage chains it consumes, so a
+    // targeted 100x re-measure (one operator, one fix) doesn't pay the
+    // full ~50-minute materialize of every chain.
+    val only: Option[Set[String]] = args.drop(2)
+      .find(_.startsWith("only=")).map(_.stripPrefix("only=")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A probe row is selected if the only-set names it in full
+    // ("cc_live", "e7b_binary_banded_neardup") or by its leading code
+    // ("e7b", "j6"). No only-set selects everything.
+    def sel(q: String): Boolean =
+      only.forall(o => o.contains(q) || o.contains(q.takeWhile(_ != '_')))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val big = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+
+    val docRows = Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs",
+      "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
+      "d6_dup_clusters", "d7_canonical_prune", "d8_incremental_dedup",
+      "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
+      "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
+      "t14_quality_classifier", "t15_mixture_resample", "t16b_bpe_vocab",
+      "x1_decontaminate", "x1b_bloom_decontaminate")
+    val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
+      "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
+      "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",
+      "e11_incremental_semantic", "e12_ivfpq_knn")
+    val eventRows = Seq("j6_nearest_within_band", "j7_asof_join",
+      "ev_sessionize", "ev_hourly_rollup")
+    val needDocs = (docRows :+ "cc_live").exists(sel)
+    val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
+    val needEvents = eventRows.exists(sel)
 
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
@@ -28,28 +57,58 @@ object ScaleProbe {
     // spaces can't collide between copies.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
-    val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    docs
-      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
-        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    if (needDocs) {
+      val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      docs
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
+          concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
 
     // embeddings x copies: tiny per-copy perturbation on one dimension.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nVec = emb.count()
-    val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-    emb
-      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
-            .otherwise(x).cast("float")).as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    if (needVecs) {
+      val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      emb
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
+              .otherwise(x).cast("float")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
 
-    println(s"[scale] corpus at $big: ${nDocs * copies} docs, ${nVec * copies} vecs")
+    // events x copies: each copy shifts by the full time span (plus an
+    // hour) and offsets user/event ids — the "longer history, more users"
+    // scale-up a 100 TB event table actually has. Per-band/per-user
+    // density stays what the 1x table has, so the banded/as-of join rows
+    // measure plan scaling, not a synthetic everything-in-one-band pile-up
+    // (oversampling TIME would make every ±12 h window quadratically
+    // dense, a different corpus, not a bigger one). ts round-trips through
+    // eventTimeUs and lands as TimestampType (instant µs) — exercising the
+    // seam's second branch at probe scale.
+    if (needEvents) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val tus = graft.Tables.eventTimeUs(ev)
+      val row = ev.agg(min(tus).as("lo"), max(tus).as("hi"),
+        max(col("event_id")).as("eid"), max(col("user_id")).as("uid")).head()
+      val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
+      ev.withColumn("tus", tus)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
+          timestamp_micros(col("tus") + col("copy") * spanUs).as("ts"),
+          (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
+    }
+
+    println(s"[scale] corpus at $big: ${nDocs * copies} docs, ${nVec * copies} vecs" +
+      only.map(o => s" (only=${o.mkString(",")})").getOrElse(""))
     def timed(name: String): Option[Long] = {
       val t0 = System.nanoTime()
       try {
@@ -63,32 +122,51 @@ object ScaleProbe {
       } finally spark.sharedState.cacheManager.clearCache()
     }
     val t0 = System.nanoTime()
-    SparkEntry.preMaterialize(spark, big)
+    // Full runs warm every chain; only-runs warm just what the subset
+    // consumes (the targeted 100x re-measure case).
+    if (only.isEmpty) SparkEntry.preMaterialize(spark, big)
+    else {
+      import graft.queries.{TextQueries, VectorQueries}
+      if (Seq("d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
+          "x1_decontaminate", "x1b_bloom_decontaminate").exists(sel))
+        TextQueries.warmShingleChain(spark, big)
+      if (Seq("t4_winnow_fingerprint", "t11_dup_rate").exists(sel))
+        TextQueries.warmWinnowChain(spark, big)
+      if (Seq("d9_repeated_spans", "d9b_span_coverage").exists(sel))
+        TextQueries.warmRepSpanChain(spark, big)
+      if ((Seq("d4_simhash_sig", "d5_simhash_hamming_pairs", "d6_dup_clusters",
+          "d7_canonical_prune", "d8_incremental_dedup") :+ "cc_live").exists(sel))
+        TextQueries.warmSimhashChain(spark, big)
+      if ((vecRows :+ "cos_pairs_live").exists(sel)) {
+        // Sign-signature consumers need only the normed/bucketed corpus
+        // table, not the IVF/PQ/semantic-CC builds (at 100x those are
+        // tens of minutes this subset never reads).
+        val sigOnly = Set("e2_knn_lsh", "e7_binary_sign_ann",
+          "e7b_binary_banded_neardup")
+        if ((vecRows :+ "cos_pairs_live").filter(sel).forall(sigOnly))
+          VectorQueries.warmSigChain(spark, big)
+        else VectorQueries.warmInterStage(spark, big)
+      }
+    }
     println(f"[scale] materialize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val counts = Seq("d1_exact_dedup", "d2_ngram_jaccard_pairs",
-      "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
-      "d6_dup_clusters", "d7_canonical_prune", "d8_incremental_dedup",
-      "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
-      "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
-      "t14_quality_classifier", "t15_mixture_resample", "t16b_bpe_vocab",
-      "x1_decontaminate", "x1b_bloom_decontaminate",
-      "e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn", "e6b_ivf_adaptive",
-      "e7_binary_sign_ann", "e7b_binary_banded_neardup", "e8_semantic_prune",
-      "e9_int8_adc_knn", "e10_pq_adc_knn", "e11_incremental_semantic",
-      "e12_ivfpq_knn")
+    val counts = (docRows ++ vecRows ++ eventRows).filter(sel)
       .map(n => n -> timed(n)).toMap
     // The gates read the materialized CC label table (built in the
     // materialize phase); the ITERATIVE pass itself keeps its own tracked
-    // number here so its scaling can't hide inside the shared phase.
-    locally {
+    // number here so its scaling can't hide inside the shared phase. The
+    // rounds count adjudicates any scale-up slowdown: rounds flat + time
+    // up = memory/spill-bound; rounds up = algorithmic.
+    if (sel("cc_live")) {
       val t = System.nanoTime()
       val n = graft.queries.TextQueries.ccLabelsLive(spark, big).count()
-      println(f"[scale] cc_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows")
+      val rounds = graft.ops.Graph.lastRounds
+        .map(r => s"rounds=${r.contract}+${r.jump}j").getOrElse("rounds=?")
+      println(f"[scale] cc_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows, $rounds")
     }
     // Same split for the cosine pair pipeline: the e3/e8 gates read the
     // materialized pair table, and this row keeps the LSH candidate +
     // verify pipeline's own scaling tracked.
-    locally {
+    if (sel("cos_pairs_live")) {
       val t = System.nanoTime()
       val n = graft.queries.VectorQueries.cosPairsLive(spark, big).count()
       println(f"[scale] cos_pairs_live: ${(System.nanoTime() - t) / 1e9}%.1f s, $n rows")
@@ -99,8 +177,8 @@ object ScaleProbe {
     // e3's count is already in hand from its timed run above). e3b is the
     // deliberate O(n^2/2) baseline; acceptable at probe scale.
     counts.getOrElse("e3_cosine_neardup_pairs", None) match {
-      case _ if light =>
-        println("[scale] recall SKIPPED (light mode)")
+      case _ if light || only.isDefined =>
+        println("[scale] recall SKIPPED (light/only mode)")
       case Some(e3) =>
         timed("e3b_cosine_neardup_exact") match {
           case Some(e3b) if e3b > 0 =>
@@ -118,7 +196,7 @@ object ScaleProbe {
     // probe-bounded (ProbeCount x 5 rows), so the set compare is a tiny
     // driver-side operation regardless of corpus size; e1 itself is the
     // probe-bounded brute-force scan (linear in the corpus).
-    if (light) println("[scale] knn recall SKIPPED (light mode)")
+    if (light || only.isDefined) println("[scale] knn recall SKIPPED (light/only mode)")
     else try {
       val t = System.nanoTime()
       val exact = SparkEntry.queries("e1_knn_bruteforce")(spark, big)

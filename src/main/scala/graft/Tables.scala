@@ -42,7 +42,18 @@ object Tables {
     */
   def eventTimeUs(df: DataFrame, ts: String = "ts"): Column =
     df.schema(ts).dataType match {
-      case TimestampNTZType => unix_micros(col(ts).cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→instant cast is zone-sensitive: a non-UTC session would
+        // shift every decoded value by its zone offset — well inside the
+        // epochRangeUs window, so the value guard can't catch it. Fail as
+        // loudly as the unsupported-encoding case instead of decoding
+        // shifted values. (Sessions.local pins UTC; this guards every
+        // other entry point.)
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"eventTimeUs requires spark.sql.session.timeZone=UTC to decode " +
+            s"naive TIMESTAMP '$ts' face-value-exactly; session has '$tz'")
+        unix_micros(col(ts).cast(TimestampType))
       case TimestampType    => unix_micros(col(ts))
       case LongType         => expr(s"`$ts` div 1000")
       case other => throw new IllegalArgumentException(

@@ -95,8 +95,21 @@ object Checks {
                    loUs: Long = 946684800000000L,     // 2000-01-01T00:00Z
                    hiUs: Long = 4102444800000000L     // 2100-01-01T00:00Z
                   ): Either[Violation, Unit] = {
+    // A guard must not itself throw on the malformed input it guards
+    // against: a non-Long column (Integer seconds, Decimal millis) is
+    // exactly the kind of encoding slip this check exists for, so it's a
+    // Violation, not a getLong ClassCastException.
+    df.schema(tsUsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => ()
+      case other => return Left(Violation("epochRangeUs",
+        s"$tsUsCol is $other, not LongType epoch-µs — decode through " +
+          "Tables.eventTimeUs before range-checking"))
+    }
     val row = df.agg(min(col(tsUsCol)).as("lo"), max(col(tsUsCol)).as("hi")).head()
-    if (row.isNullAt(0)) Right(()) // empty frame: nothing to mis-decode
+    // min==null covers both the empty frame and the all-null column:
+    // nothing to mis-decode in either (an all-null ts column is a data
+    // quality question for nonEmpty/completeness checks, not a unit one).
+    if (row.isNullAt(0)) Right(())
     else {
       val (lo, hi) = (row.getLong(0), row.getLong(1))
       require(lo >= loUs && hi < hiUs, "epochRangeUs",

@@ -12,6 +12,20 @@ object Graph {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Convergence telemetry of one `connectedComponents` run: contraction
+    * rounds (phase 1) and pointer-jump rounds (phase 2). */
+  final case class CcRounds(contract: Int, jump: Int)
+
+  /** Rounds of the most recent `connectedComponents` call in this JVM —
+    * probe tooling reads this right after the action that ran the rounds
+    * (ScaleProbe's cc_live row), so a scale-up slowdown is adjudicable as
+    * algorithmic (round count grew) vs memory-bound (rounds flat, time
+    * grew). Driver-side telemetry only; never consulted by query plans.
+    */
+  private val lastRoundsRef =
+    new java.util.concurrent.atomic.AtomicReference[Option[CcRounds]](None)
+  def lastRounds: Option[CcRounds] = lastRoundsRef.get()
+
   /** Connected components by min-label propagation with pointer jumping:
     * every node starts labeled with its own id, and each round every node
     * takes the minimum of (its label, its neighbors' labels, its LABEL'S
@@ -167,6 +181,8 @@ object Graph {
         jumps += 1
       }
       require(stable, s"connectedComponents chains did not collapse in $maxIter rounds")
+      lastRoundsRef.set(Some(CcRounds(iter, jumps)))
+      log.info(s"connectedComponents converged: $iter contraction rounds, $jumps jump rounds")
       val singletons = nodes.select(col(idCol).as("n"))
         .join(inEdges, Seq("n"), "left_anti")
         .select(col("n"), col("n").as("lbl"))

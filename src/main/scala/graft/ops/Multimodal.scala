@@ -187,6 +187,35 @@ object Multimodal {
     MediaRow(docId, out)
   }
 
+  /** Payload for the m1 mixed-corpus metadata gate: ids cycle through the
+    * two real wire-format fixtures (P6 PPM, RIFF/WAVE PCM) and raw text
+    * bytes — so the metadata pass sees a corpus where format is a property
+    * of the BYTES, not of any column the pipeline could cheat from.
+    */
+  def mixedFixture(docId: Long, text: String): MediaRow =
+    (docId % 3) match {
+      case 0 => ppmFixture(docId)
+      case 1 => wavFixture(docId)
+      case _ => MediaRow(docId, text.getBytes("UTF-8"))
+    }
+
+  /** Content-derived format sniff over the payload's magic bytes — what a
+    * real media pipeline dispatches decoders on (never a filename, never a
+    * hash): "P6" + one whitespace byte → ppm; "RIFF" with "WAVE" at offset
+    * 8 → wav; anything else stays opaque binary. Pure codegen'd column
+    * functions, so the sniff rides any 100 TB scan for free.
+    */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val m2 = upper(hex(substring(payload, 1, 2)))
+    val ws3 = upper(hex(substring(payload, 3, 1)))
+    val riff = upper(hex(substring(payload, 1, 4)))
+    val wave = upper(hex(substring(payload, 9, 4)))
+    when(m2 === "5036" && ws3.isin("0A", "20", "09", "0D"), "ppm")
+      .when(riff === "52494646" && wave === "57415645", "wav")
+      .otherwise("bin")
+  }
+
   /** Decode a corpus of media rows partition-by-partition with the given
     * decoder. `mapPartitions` keeps per-partition batching (amortizes
     * decoder init — exactly where a real codec loads its native context

@@ -20,8 +20,9 @@ object EventQueries {
     // function builds the batch plan here and the streaming plan in
     // production — this gate pins its values against the oracle, and the
     // StreamingSpec restart case pins the state semantics. Timestamps are
-    // compared as epoch micros (unix_micros == ts div 1000 exactly), the
-    // cross-engine-exact representation.
+    // compared as epoch-µs decoded through the schema-adaptive
+    // Tables.eventTimeUs seam (the oracle's epoch_us reads the same
+    // values) — the cross-engine-exact representation.
     "ev_click_attribution" -> GQ(
       (s, d) => graft.streaming.EventStreams.clickAttribution(
           Tables.load(s, d, "events"), Tables.load(s, d, "events"))
@@ -141,29 +142,52 @@ object EventQueries {
         "len(regexp_extract_all(s2, '[0-9]+')) AS n_digit_runs, " +
         "s3 AS scrubbed, length(props) - length(s3) AS len_delta FROM s3t"),
 
-    // M1 — multimodal metadata: payload as an opaque binary column; byte
-    // length, digest, magic-prefix hex, and a hash-derived format sniff
-    // (decode itself is stubbed — no codec libs in this environment).
+    // M1 — multimodal metadata over a MIXED corpus: each doc id carries a
+    // payload that is a real P6 PPM, a real RIFF/WAVE PCM, or raw text
+    // bytes (Multimodal.mixedFixture cycles the three). Byte length, a
+    // source-record digest, the magic-prefix hex, and a format SNIFFED
+    // FROM THE PAYLOAD BYTES (Multimodal.sniffFormat — magic-byte
+    // dispatch, the thing a real media pipeline keys decoders on). The
+    // oracle recomputes everything analytically from the fixture formulas
+    // (m3/m4's oracles pin the same generative constants) and mirrors the
+    // sniff on the text branch — a sniffer that misread magic bytes
+    // hash-mismatches.
     "m1_media_metadata" -> GQ(
       (s, d) => {
-        val bin = col("text").cast("binary")
-        Tables.load(s, d, "documents").select(
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            (id, text, Multimodal.mixedFixture(id, text).media) }
+          .toDF("doc_id", "text", "payload")
+        media.select(
           col("doc_id"),
-          length(bin).cast("long").as("n_bytes"),
-          sha2(bin, 256).as("digest"),
-          upper(hex(substring(bin, 1, 4))).as("magic"),
-          element_at(array(Multimodal.Formats.map(lit(_)): _*),
-            (pmod(graft.ops.TextOps.h60(col("text")), lit(3L)) + 1).cast("int"))
-            .as("format"))
+          length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("src_digest"),
+          upper(hex(substring(col("payload"), 1, 4))).as("magic"),
+          Multimodal.sniffFormat(col("payload")).as("format"))
       },
       // hex-then-substr (8 hex chars = 4 bytes): Spark slices the first 4
-      // BYTES of the binary; substr on VARCHAR would take 4 CHARACTERS and
-      // diverge on any document starting with multibyte UTF-8. DuckDB has
-      // no BLOB substr, so slice the hex encoding instead.
-      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest, " +
-        "upper(substr(hex(encode(text)), 1, 8)) AS magic, " +
-        "['png', 'jpeg', 'wav'][((('0x' || substr(sha256(text), 1, 15))::BIGINT % 3) + 1)::INT] " +
-        "AS format FROM documents"),
+      // BYTES of the payload; substr on VARCHAR would take 4 CHARACTERS
+      // and diverge on any document starting with multibyte UTF-8. DuckDB
+      // has no BLOB substr, so slice the hex encoding instead.
+      "WITH dims AS (SELECT doc_id, text, (doc_id % 16 + 1)::INT w, " +
+        "((doc_id // 16) % 16 + 1)::INT h, ((doc_id % 2) + 1)::BIGINT c, " +
+        "(doc_id % 50 + 10)::BIGINT f FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN (9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h * 3)::BIGINT " +
+        "WHEN doc_id % 3 = 1 THEN (44 + f * c * 2)::BIGINT " +
+        "ELSE octet_length(encode(text))::BIGINT END AS n_bytes, " +
+        "sha256(text) AS src_digest, " +
+        "CASE WHEN doc_id % 3 = 0 THEN upper(hex('P6' || chr(10) || substr(w::VARCHAR, 1, 1))) " +
+        "WHEN doc_id % 3 = 1 THEN '52494646' " +
+        "ELSE upper(substr(hex(encode(text)), 1, 8)) END AS magic, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'ppm' WHEN doc_id % 3 = 1 THEN 'wav' " +
+        "ELSE (CASE WHEN upper(substr(hex(encode(text)), 1, 4)) = '5036' " +
+        "AND upper(substr(hex(encode(text)), 5, 2)) IN ('0A', '20', '09', '0D') THEN 'ppm' " +
+        "WHEN upper(substr(hex(encode(text)), 1, 8)) = '52494646' " +
+        "AND upper(substr(hex(encode(text)), 17, 8)) = '57415645' THEN 'wav' " +
+        "ELSE 'bin' END) END AS format FROM dims"),
 
     // M2 — frame sampling plumbing: 4 fixed-size byte slices at a
     // stride-derived offset per payload (posexplode = one row per frame),

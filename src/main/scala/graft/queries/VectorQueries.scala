@@ -272,6 +272,28 @@ object VectorQueries {
         s"(($pfx.sig_hi & ${(1L << (w - lo)) - 1}) << $lo))"
     }
 
+  /** One band layout's OR-of-band-equality between aliases x and y. */
+  private def dBandOr(bands: Seq[(Int, Int)]): String =
+    bands.map { case (off, w) => s"${dBand("x", off, w)} = ${dBand("y", off, w)}" }
+      .mkString("(", " OR ", ")")
+
+  /** DuckDB predicate mirroring `VectorOps.adaptiveSignBands(count)` —
+    * the CASE-over-count the ladder was designed for: each tier of
+    * `adaptiveSignBandSteps` guards its band-OR with the SAME integer
+    * count thresholds the Scala side dispatches on (the final tier
+    * mirrors the ladder's `getOrElse(signBands4)`), so both engines
+    * select identical band layouts from the corpus row count alone.
+    * Expects alias `n(c)` = `count(*)` of the signature table in scope.
+    */
+  private def dAdaptiveBandPred: String = {
+    val steps = VectorOps.adaptiveSignBandSteps
+    val tiers = steps.zipWithIndex.map { case ((hi, bands), i) =>
+      val lo = if (i == 0) "" else s"n.c > ${steps(i - 1)._1} AND "
+      s"($lo" + s"n.c <= $hi AND ${dBandOr(bands)})"
+    } :+ s"(n.c > ${steps.last._1} AND ${dBandOr(VectorOps.signBands4)})"
+    tiers.mkString("(", " OR ", ")")
+  }
+
   /** All <=3-bit masks over the FULL MaxPlanes width, as a SQL literal;
     * the oracle filters to the active radius with bit_count and masks
     * buckets to the active plane count — masks touching planes >= the
@@ -524,6 +546,15 @@ object VectorQueries {
     ivfIndexTables(s, d)
     semLabelTable(s, d)
     pqTables(s, d)
+    ()
+  }
+
+  /** Just the normed/bucketed/signed corpus table — what the sign-LSH
+    * consumers (e2/e7/e7b) read. ScaleProbe's only-mode warms this instead
+    * of the full inter-stage set when the subset touches nothing else.
+    */
+  def warmSigChain(s: SparkSession, d: String): Unit = {
+    normedBuckets(s, d)
     ()
   }
 
@@ -1239,33 +1270,42 @@ object VectorQueries {
 
     // E7b — all-pairs binary near-dup over the sign signatures: the
     // corpus x corpus companion to e7's probe-set scan. Candidates come
-    // from the 9-band pigeonhole equi-join over the two sig words
+    // from the pigeonhole band equi-join over the two sig words
     // (VectorOps.bandedHammingPairs — d5's trick on binary embeddings),
     // exact xor+popcount hamming verifies inline, distinct runs on
-    // qualifying pairs. Provably COMPLETE for hamming <= 8; the gate runs
-    // at E7bMaxHamming = 20 because this corpus' closest signature pair
-    // sits at hamming 14 (a hamming-8 gate would compare empty sets) —
-    // above 8 the band join is a recall filter, approximate by design,
-    // and the oracle reproduces exactly that band-OR + verify semantics.
+    // qualifying pairs. The gate runs at E7bMaxHamming = 20 because this
+    // corpus' closest signature pair sits at hamming 14 (a hamming-8 gate
+    // would compare empty sets) — the APPROXIMATE regime, where the band
+    // join is a recall filter by contract. The band layout is therefore
+    // the occupancy-adaptive ladder (`VectorOps.adaptiveSignBands`): a
+    // fixed layout's candidate volume grows ~n²/2^(w+1) per band — the
+    // measured 24× blow-up at the 100× probe — while stepping to fewer,
+    // WIDER bands as the corpus grows keeps per-bucket occupancy (and so
+    // candidate volume) near-linear. The oracle reproduces the SAME
+    // selection as a CASE over count(*) on the mirrored integer
+    // thresholds, then the same band-OR + verify semantics. The COMPLETE
+    // regime (threshold <= bands-1) keeps an explicit 9-band layout —
+    // that's e7b_complete below.
     "e7b_binary_banded_neardup" -> GQ(
-      (s, d) => VectorOps.bandedHammingPairs(
-        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
-        "vec_id", "sig_lo", "sig_hi", E7bMaxHamming),
+      (s, d) => {
+        val sig = normedBuckets(s, d)
+          .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+        VectorOps.bandedHammingPairs(sig, "vec_id", "sig_lo", "sig_hi",
+          E7bMaxHamming, VectorOps.adaptiveSignBands(sig.count()))
+      },
       "WITH sig AS (SELECT vec_id, " +
         (0 until 32).map(i =>
           s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
           .mkString("(", " + ", ") sig_lo, ") +
         (0 until 32).map(i =>
           s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+          .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
+        "n AS (SELECT count(*) AS c FROM sig) " +
         "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
         "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
-        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id, n " +
         "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
-        s"<= $E7bMaxHamming AND (" +
-        VectorOps.signBands.map { case (off, w) =>
-          s"${dBand("x", off, w)} = ${dBand("y", off, w)}"
-        }.mkString(" OR ") + ")"),
+        s"<= $E7bMaxHamming AND " + dAdaptiveBandPred),
 
     // E7b-complete — the COMPLETE regime of the banded near-dup, oracle-
     // checked. The corpus' closest signature pair sits at hamming 14, so

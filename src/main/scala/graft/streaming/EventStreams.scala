@@ -112,6 +112,20 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Ingest gate — the value-level unit guard at the seam where new files
+    // enter the lake: schema dispatch (eventTimeUs) accepts any credible
+    // TIMESTAMP encoding, but can't tell a producer that wrote ms-as-µs
+    // values (every decoded instant lands 1000× off, deep in 1970). One
+    // min/max aggregate over the sink converts that into a loud ingest
+    // failure instead of poisoning every downstream watermark. At lake
+    // scale, scope the scan to this run's landed files/partition; here the
+    // sink IS the run's table.
+    val landed = spark.read.parquet(sinkDir)
+    graft.ops.Checks.epochRangeUs(
+        landed.select(graft.Tables.eventTimeUs(landed).as("ingest_tus")),
+        "ingest_tus")
+      .left.foreach(v => throw new IllegalStateException(
+        s"incrementalIngest: ${v.check} violation at $sinkDir — ${v.detail}"))
   }
 
   /** Streaming exact deduplication — the streaming twin of the batch d1

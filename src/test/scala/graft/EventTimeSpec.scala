@@ -70,4 +70,45 @@ class EventTimeSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("event_id", "tus")
     assert(Checks.epochRangeUs(empty, "tus").isRight)
   }
+
+  test("epochRangeUs rejects a non-Long column as a Violation, not a cast crash") {
+    val ints = Seq((1L, 1767225600)).toDF("event_id", "tus") // Integer seconds
+    val res = Checks.epochRangeUs(ints, "tus")
+    assert(res.isLeft)
+    assert(res.swap.toOption.get.detail.contains("not LongType"))
+  }
+
+  test("epochRangeUs passes an all-null Long column (a completeness question, not a unit one)") {
+    val nulls = Seq(1L, 2L).toDF("event_id")
+      .withColumn("tus", lit(null).cast("long"))
+    assert(Checks.epochRangeUs(nulls, "tus").isRight)
+  }
+
+  test("eventTimeUs refuses to decode naive TIMESTAMP in a non-UTC session") {
+    val ev = Tables.load(spark, Sf0001, "events")
+    val tzKey = "spark.sql.session.timeZone"
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val e = intercept[IllegalStateException] { Tables.eventTimeUs(ev) }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(tzKey, "UTC")
+  }
+
+  test("incrementalIngest gates ms-as-µs producer values loudly (production epochRangeUs call site)") {
+    // Physically valid TIMESTAMP(µs) whose VALUES are epoch-ms — the slip
+    // schema dispatch cannot see. The ingest must land the files, then
+    // fail the run on the range guard instead of returning cleanly.
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    Seq((1L, us2026 / 1000L, 7L, "click", 1.0, "{}"),
+        (2L, us2026 / 1000L + 60000000L, 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/src")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.EventStreams.incrementalIngest(
+        spark, s"$base/src", s"$base/sink", s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("epochRangeUs"))
+  }
 }

@@ -124,26 +124,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairMasks(6, 2).forall(m => m < 64 && java.lang.Long.bitCount(m) <= 2))
   }
 
-  test("signBands reassemble the full 64-bit signature losslessly") {
-    // the 9 bands are disjoint and cover all 64 bits: re-shifting each
-    // band back to its offset must reproduce the original two words
+  test("every sign-band layout reassembles the full 64-bit signature losslessly") {
+    // each layout's bands are disjoint and cover all 64 bits: re-shifting
+    // each band back to its offset must reproduce the original two words —
+    // including the adaptive ladder's coarser 6- and 4-band layouts (the
+    // word-boundary-spanning assembly path differs per layout)
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map(i =>
       (i.toLong, rnd.nextInt().toLong & 0xffffffffL, rnd.nextInt().toLong & 0xffffffffL))
       .toDF("vec_id", "sig_lo", "sig_hi")
-    assert(VectorOps.signBands.map(_._2).sum == 64)
-    val bandCols = VectorOps.signBands.zipWithIndex.map { case ((off, w), i) =>
-      VectorOps.signBand(col("sig_lo"), col("sig_hi"), off, w).as(s"b$i")
-    }
-    rows.select(col("sig_lo") +: col("sig_hi") +: bandCols: _*).collect()
-      .foreach { r =>
-        val full = BigInt(r.getLong(0)) | (BigInt(r.getLong(1)) << 32)
-        VectorOps.signBands.zipWithIndex.foreach { case ((off, w), i) =>
-          assert(r.getLong(i + 2) ==
-            ((full >> off) & ((BigInt(1) << w) - 1)).toLong,
-            s"band $i (off $off width $w) of $full")
-        }
+    for (bands <- Seq(VectorOps.signBands, VectorOps.signBands6, VectorOps.signBands4)) {
+      assert(bands.map(_._2).sum == 64)
+      // disjoint + contiguous coverage: offsets sorted, each starts where
+      // the previous ended
+      assert(bands.sortBy(_._1).foldLeft(0) { case (at, (off, w)) =>
+        assert(off == at, s"band at $off, expected $at"); off + w
+      } == 64)
+      val bandCols = bands.zipWithIndex.map { case ((off, w), i) =>
+        VectorOps.signBand(col("sig_lo"), col("sig_hi"), off, w).as(s"b$i")
       }
+      rows.select(col("sig_lo") +: col("sig_hi") +: bandCols: _*).collect()
+        .foreach { r =>
+          val full = BigInt(r.getLong(0)) | (BigInt(r.getLong(1)) << 32)
+          bands.zipWithIndex.foreach { case ((off, w), i) =>
+            assert(r.getLong(i + 2) ==
+              ((full >> off) & ((BigInt(1) << w) - 1)).toLong,
+              s"band $i (off $off width $w) of $full")
+          }
+        }
+    }
+    // the ladder steps where documented: 9 bands to 64k, 6 to 256k, then 4
+    assert(VectorOps.adaptiveSignBands(500) == VectorOps.signBands)
+    assert(VectorOps.adaptiveSignBands(65536) == VectorOps.signBands)
+    assert(VectorOps.adaptiveSignBands(65537) == VectorOps.signBands6)
+    assert(VectorOps.adaptiveSignBands(262144) == VectorOps.signBands6)
+    assert(VectorOps.adaptiveSignBands(262145) == VectorOps.signBands4)
   }
 
   test("ANN probe set derives from the actual id space, not a dense-zero assumption") {
