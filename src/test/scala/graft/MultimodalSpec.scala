@@ -125,6 +125,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.where(col("format") === "ppm").count() == 100)
   }
 
+  test("sniffFormat dispatches on payload magic bytes, not provenance") {
+    val rows = Seq(
+      (0L, Multimodal.ppmFixture(48L).media),            // "P6\n..."
+      (1L, Multimodal.wavFixture(7L).media),             // RIFF....WAVE
+      (2L, "plain text payload".getBytes("UTF-8")),      // opaque
+      (3L, "RIFFxxxxJUNK padded".getBytes("UTF-8")),     // RIFF but not WAVE
+      (4L, "P6without-whitespace".getBytes("UTF-8")),    // P6 but no ws byte
+      (5L, Array[Byte]('P', '6', ' ', '1'))              // P6 + space ws
+    ).toDF("doc_id", "payload")
+    val got = rows.select(col("doc_id"),
+        Multimodal.sniffFormat(col("payload")).as("format"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "ppm", 1L -> "wav", 2L -> "bin",
+      3L -> "bin", 4L -> "bin", 5L -> "ppm"))
+  }
+
   test("decodeAll is decoder-generic: the codec test double plugs in") {
     val media = spark.range(20)
       .select(col("id").as("doc_id"), concat(lit("payload-"), col("id")).cast("binary").as("media"))
