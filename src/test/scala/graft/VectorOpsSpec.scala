@@ -161,6 +161,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorOps.adaptiveSignBands(262145) == VectorOps.signBands4)
   }
 
+  test("coarser band layouts stay pigeonhole-complete at their own thresholds") {
+    // b disjoint covering bands are COMPLETE for hamming <= b-1 (some band
+    // is untouched by the differing bits): equality against the
+    // brute-force pair scan is that claim, checked per layout — the
+    // e7b_complete gate proves it end-to-end for the 9-band layout only.
+    val rnd = new scala.util.Random(13)
+    for ((bands, thr) <- Seq((VectorOps.signBands6, 5), (VectorOps.signBands4, 3))) {
+      val base = (0 until 120).map { i =>
+        (i.toLong, rnd.nextInt().toLong & 0xffffffffL, rnd.nextInt().toLong & 0xffffffffL)
+      }
+      // twins: every 5th signature re-enters with exactly `thr` bits
+      // flipped — guaranteed in-threshold pairs at the completeness edge
+      val twins = base.collect { case (id, lo, hi) if id % 5 == 0 =>
+        var l = lo; var h = hi
+        rnd.shuffle((0 until 64).toList).take(thr).foreach { b =>
+          if (b < 32) l ^= 1L << b else h ^= 1L << (b - 32)
+        }
+        (-id - 1, l, h)
+      }
+      val all = base ++ twins
+      val got = VectorOps.bandedHammingPairs(
+          all.toDF("vec_id", "sig_lo", "sig_hi"),
+          "vec_id", "sig_lo", "sig_hi", thr, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+        java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      val want = (for {
+        x <- all; y <- all if x._1 < y._1 && ham(x, y) <= thr
+      } yield (x._1, y._1)).toSet
+      assert(want.nonEmpty && got == want,
+        s"layout with ${bands.size} bands at hamming <= $thr")
+    }
+  }
+
   test("ANN probe set derives from the actual id space, not a dense-zero assumption") {
     // offset every vec_id by 10^9: a literal `vec_id < 40` filter would
     // silently probe nothing; the rank-based cut must still yield exactly
