@@ -116,12 +116,18 @@ object Bench {
       val rr = reruns.get(k).map(v => s""","rerun":$v""").getOrElse("")
       s""""$k":{"median":$med,"min":$mn,"max":$mx,"ok":$ok$rr}"""
     }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(fullPath),
+    // The full artifact is best-effort: an unwritable CWD must not turn a
+    // healthy benchmark run into a failed one (stdout still carries every
+    // query's numbers in the compact line).
+    try Files.writeString(Paths.get(fullPath),
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
         s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
         s""""materialize":$materializeSec,"nq":${results.size},""" +
         s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
         s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full artifact write failed ($fullPath): ${e.getMessage}")
+    }
 
     // Compact stdout line: every query under its shortest unique prefix
     // (deterministic from the registry's name set), 1 ms precision. Must
