@@ -114,6 +114,55 @@ object DocStreams {
     * re-execution replaces its own partial output (same exactly-once
     * recipe as `incrementalDedup`).
     */
+  /** Streaming benchmark decontamination — the ingest-time twin of the
+    * batch x1/x1b gates: every arriving batch is checked for eval-set
+    * 3-gram overlap BEFORE it lands, so contaminated documents never
+    * enter the corpus (the batch pass is the retroactive sweep; this is
+    * the front door). The eval index is TRAINED OFFLINE and passed in
+    * (distinct gram hashes of the benchmark suite — the same
+    * statistic/decision split as `qualityMixtureIngest`'s thresholds):
+    *   1. a Bloom prefilter over the eval grams builds once per run
+    *      (x1b's 100 TB shape — ~10 bits/key, 50-100x smaller than the
+    *      key set, probed scan-side by the codegen'd native
+    *      `BloomMightContainF` so ~99% of grams never shuffle),
+    *   2. each micro-batch extracts grams with the SAME builder the batch
+    *      gates use (`TextOps.shingleRows` — bit-identical hashes),
+    *   3. the exact join on Bloom survivors removes false positives, so
+    *      per-doc flags provably equal x1's exact semi-join semantics,
+    *   4. flags land in a `batch=<id>` subdirectory in overwrite mode —
+    *      the same exactly-once recipe as `incrementalDedup`.
+    */
+  def decontaminateIngest(spark: SparkSession, srcDir: String,
+                          evalGrams: DataFrame, flagsDir: String,
+                          checkpointDir: String): Unit = {
+    val ev = evalGrams.select(col("s")).distinct().persist()
+    val bloom = ev.stat.bloomFilter("s", math.max(ev.count(), 1L), 0.01)
+    try {
+      val q = spark.readStream.schema(docSchema).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val grams = TextOps.shingleRows(batch, "doc_id", "text")
+          val hits = grams
+            .where(graft.functions.BloomMightContainF(col("s"), bloom))
+            .join(ev, "s")
+            .groupBy("doc_id").agg(count(lit(1)).as("c"))
+          grams.select(col("doc_id"), col("n")).distinct()
+            .join(hits, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n").cast("long").as("n_shingles"),
+              coalesce(col("c"), lit(0L)).as("n_contaminated"),
+              (coalesce(col("c"), lit(0L)).cast("double") / col("n"))
+                .as("contamination_frac"),
+              (coalesce(col("c"), lit(0L)) > 0).as("is_contaminated"))
+            .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally { ev.unpersist(); () }
+  }
+
   def qualityMixtureIngest(spark: SparkSession, srcDir: String,
                            thresholds: DataFrame, acceptDir: String,
                            checkpointDir: String): Unit = {

@@ -313,6 +313,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming decontamination equals the batch x1 gate and survives restart") {
+    import graft.streaming.DocStreams
+    import graft.ops.TextOps
+    val src = java.nio.file.Files.createTempDirectory("graft_dc_src_").toString
+    val flags = java.nio.file.Files.createTempDirectory("graft_dc_flags_").toString + "/f"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dc_ckpt_").toString
+    val docs = spark.read.schema(DocStreams.docSchema)
+      .parquet(s"$Sf0001/documents.parquet")
+    // eval index trained offline: distinct gram hashes of the benchmark
+    // slice (x1's doc_id % 97 == 0 convention); the stream sees only the
+    // training slice, landing in two drops with a full stop/start between
+    val evalGrams = TextOps.shingleRows(
+      docs.where(pmod(col("doc_id"), lit(97L)) === 0), "doc_id", "text")
+    val train = docs.where(pmod(col("doc_id"), lit(97L)) =!= 0)
+
+    train.where(pmod(col("doc_id"), lit(2L)) === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.decontaminateIngest(spark, src, evalGrams, flags, ckpt)
+    val afterFirst = spark.read.parquet(flags).count()
+    assert(afterFirst > 0)
+
+    // restart with no new files: nothing reprocessed, nothing duplicated
+    DocStreams.decontaminateIngest(spark, src, evalGrams, flags, ckpt)
+    assert(spark.read.parquet(flags).count() == afterFirst)
+
+    train.where(pmod(col("doc_id"), lit(2L)) =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    DocStreams.decontaminateIngest(spark, src, evalGrams, flags, ckpt)
+
+    // streamed flags over both drops == the batch x1 gate bit-for-bit
+    // (same gram builder, same exact-join semantics, same columns)
+    val streamed = spark.read.parquet(flags).drop("batch")
+    val batch = SparkEntry.queries("x1_decontaminate")(spark, Sf0001)
+    assert(batch.where(col("is_contaminated")).count() > 0) // non-trivial
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming quality+mixture ingest equals the batch screen and survives restart") {
     import graft.streaming.DocStreams
     import graft.ops.TextOps
