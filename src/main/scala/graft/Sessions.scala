@@ -10,14 +10,20 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** `local[threads]` session with the graft extensions installed.
-    * `threads` doubles as the shuffle-partition count — at local scale
-    * one partition per core is the right size (the 200 default just adds
-    * scheduling overhead); a cluster deployment sets its own.
+    * `threads` doubles as the default shuffle-partition count — at local
+    * scale one partition per core is the right size (the 200 default just
+    * adds scheduling overhead). `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides
+    * it for probe-scale experiments (AQE coalesces small partitions, so
+    * over-provisioning is safe). Measured on the 300x e7b pair distinct:
+    * 128 partitions read 214 s vs 165 s at 32 — the single-JVM probes are
+    * disk/CPU-bound there, not per-task-memory-bound, so the knob exists
+    * for cluster parity, not as a local win.
     */
   def local(threads: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
-      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", threads))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // Canonical events encoding is TIMESTAMP(µs) (TESTDATA ts contract);
