@@ -1307,6 +1307,47 @@ object VectorQueries {
         "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
         s"<= $E7bMaxHamming AND " + dAdaptiveBandPred),
 
+    // E7b tier gates — the coarser layouts of the adaptive ladder,
+    // oracle-checked at gate scale. The production ladder only selects
+    // signBands6/signBands4 past 65k/262k vectors, where a DuckDB n²
+    // cross-check is infeasible; these gates FORCE each coarser layout on
+    // the gate corpus, so the exact band-OR + verify semantics the
+    // 100x/300x probes run are hash-checked too (the selection ladder
+    // itself is unit-pinned and mirrored in the adaptive gate's CASE).
+    "e7b_tier6_banded_neardup" -> GQ(
+      (s, d) => VectorOps.bandedHammingPairs(
+        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
+        "vec_id", "sig_lo", "sig_hi", E7bMaxHamming, VectorOps.signBands6),
+      "WITH sig AS (SELECT vec_id, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_lo, ") +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+        "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
+        "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
+        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
+        s"<= $E7bMaxHamming AND " + dBandOr(VectorOps.signBands6)),
+
+    "e7b_tier4_banded_neardup" -> GQ(
+      (s, d) => VectorOps.bandedHammingPairs(
+        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
+        "vec_id", "sig_lo", "sig_hi", E7bMaxHamming, VectorOps.signBands4),
+      "WITH sig AS (SELECT vec_id, " +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_lo, ") +
+        (0 until 32).map(i =>
+          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+        "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
+        "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
+        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
+        s"<= $E7bMaxHamming AND " + dBandOr(VectorOps.signBands4)),
+
     // E7b-complete — the COMPLETE regime of the banded near-dup, oracle-
     // checked. The corpus' closest signature pair sits at hamming 14, so
     // at the production threshold (<= 8, where 9 bands are pigeonhole-
