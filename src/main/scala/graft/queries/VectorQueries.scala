@@ -272,6 +272,41 @@ object VectorQueries {
         s"(($pfx.sig_hi & ${(1L << (w - lo)) - 1}) << $lo))"
     }
 
+  /** The sign-signature corpus unioned with deterministic hamming-3
+    * twins: every 25th vector re-enters under the bijective negative id
+    * `-vec_id-1` with 3 sig_lo bits flipped (an id-derived mask), creating
+    * guaranteed close pairs. Shared by the complete-regime gate (whose
+    * oracle is the band-free brute-force scan — the completeness proof)
+    * and the forced-tier gates (where the natural corpus yields almost no
+    * in-band pairs at the coarse layouts).
+    */
+  private def sigWithTwins(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val sig = normedBuckets(s, d)
+      .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+    val twins = sig.where(pmod(col("vec_id"), lit(25L)) === 0)
+      .select((negate(col("vec_id")) - 1).as("vec_id"),
+        col("sig_lo").bitwiseXOR(
+          expr("shiftleft(7L, cast(vec_id % 8 as int))")).as("sig_lo"),
+        col("sig_hi"))
+    sig.unionByName(twins)
+  }
+
+  /** DuckDB CTEs mirroring `sigWithTwins`: sig (sign words), tw (the
+    * perturbed twins), u (their union) — queries select FROM u.
+    */
+  private def dSigTwinCtes: String =
+    "WITH sig AS (SELECT vec_id, " +
+      (0 until 32).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ") sig_lo, ") +
+      (0 until 32).map(i =>
+        s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
+      "tw AS (SELECT -vec_id - 1 AS vec_id, " +
+      "xor(sig_lo, 7::BIGINT << (vec_id % 8)::INT) AS sig_lo, sig_hi " +
+      "FROM sig WHERE vec_id % 25 = 0), " +
+      "u AS (SELECT * FROM sig UNION ALL SELECT * FROM tw) "
+
   /** One band layout's OR-of-band-equality between aliases x and y. */
   private def dBandOr(bands: Seq[(Int, Int)]): String =
     bands.map { case (off, w) => s"${dBand("x", off, w)} = ${dBand("y", off, w)}" }
@@ -1314,37 +1349,27 @@ object VectorQueries {
     // the gate corpus, so the exact band-OR + verify semantics the
     // 100x/300x probes run are hash-checked too (the selection ladder
     // itself is unit-pinned and mirrored in the adaptive gate's CASE).
+    // The gate corpus' natural in-band pair yield is tiny at coarse
+    // layouts (wider bands = stronger recall filter), so each tier unions
+    // in e7b_complete's hamming-3 perturbed twins — guaranteed band-
+    // sharing pairs that make the gate discriminative, not a 1-row match.
     "e7b_tier6_banded_neardup" -> GQ(
-      (s, d) => VectorOps.bandedHammingPairs(
-        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
+      (s, d) => VectorOps.bandedHammingPairs(sigWithTwins(s, d),
         "vec_id", "sig_lo", "sig_hi", E7bMaxHamming, VectorOps.signBands6),
-      "WITH sig AS (SELECT vec_id, " +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_lo, ") +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+      dSigTwinCtes +
         "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
         "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
-        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "FROM u x JOIN u y ON x.vec_id < y.vec_id " +
         "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
         s"<= $E7bMaxHamming AND " + dBandOr(VectorOps.signBands6)),
 
     "e7b_tier4_banded_neardup" -> GQ(
-      (s, d) => VectorOps.bandedHammingPairs(
-        normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi")),
+      (s, d) => VectorOps.bandedHammingPairs(sigWithTwins(s, d),
         "vec_id", "sig_lo", "sig_hi", E7bMaxHamming, VectorOps.signBands4),
-      "WITH sig AS (SELECT vec_id, " +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_lo, ") +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_hi FROM embeddings) ") +
+      dSigTwinCtes +
         "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
         "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
-        "FROM sig x JOIN sig y ON x.vec_id < y.vec_id " +
+        "FROM u x JOIN u y ON x.vec_id < y.vec_id " +
         "WHERE bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)) " +
         s"<= $E7bMaxHamming AND " + dBandOr(VectorOps.signBands4)),
 
@@ -1360,28 +1385,9 @@ object VectorQueries {
     // completeness claim (any pair within hamming 8 shares an untouched
     // band), checked end-to-end rather than argued.
     "e7b_complete" -> GQ(
-      (s, d) => {
-        val sig = normedBuckets(s, d)
-          .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
-        val twins = sig.where(pmod(col("vec_id"), lit(25L)) === 0)
-          .select((negate(col("vec_id")) - 1).as("vec_id"),
-            col("sig_lo").bitwiseXOR(
-              expr("shiftleft(7L, cast(vec_id % 8 as int))")).as("sig_lo"),
-            col("sig_hi"))
-        VectorOps.bandedHammingPairs(sig.unionByName(twins),
-          "vec_id", "sig_lo", "sig_hi", 8)
-      },
-      "WITH sig AS (SELECT vec_id, " +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_lo, ") +
-        (0 until 32).map(i =>
-          s"(CASE WHEN embedding[${32 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString("(", " + ", ") sig_hi FROM embeddings), ") +
-        "tw AS (SELECT -vec_id - 1 AS vec_id, " +
-        "xor(sig_lo, 7::BIGINT << (vec_id % 8)::INT) AS sig_lo, sig_hi " +
-        "FROM sig WHERE vec_id % 25 = 0), " +
-        "u AS (SELECT * FROM sig UNION ALL SELECT * FROM tw) " +
+      (s, d) => VectorOps.bandedHammingPairs(sigWithTwins(s, d),
+        "vec_id", "sig_lo", "sig_hi", 8),
+      dSigTwinCtes +
         "SELECT x.vec_id vec_id_1, y.vec_id vec_id_2, " +
         "(bit_count(xor(x.sig_lo, y.sig_lo)) + bit_count(xor(x.sig_hi, y.sig_hi)))::BIGINT AS hamming " +
         "FROM u x JOIN u y ON x.vec_id < y.vec_id " +
