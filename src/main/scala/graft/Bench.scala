@@ -89,10 +89,15 @@ object Bench {
         Map.empty[String, Double]
       }
     val registryMap = SparkEntry.registry.toMap
+    // A crashed re-run must not masquerade as a fast clean one (the
+    // adjudication rule reads a low rerun as "contention"): record -1 for
+    // a re-run that failed, so the artifact says "re-run crashed", not
+    // "re-run was quick".
     val reruns: Map[String, Double] = results.collect {
       case (name, _, mn, _, true) if refs.get(name).exists(r => mn > 2 * r) =>
         System.err.println(f"[bench] sentinel: $name min $mn%.2f s > 2x reference ${refs(name)}%.2f s — re-running")
-        name -> timeOnce(name, registryMap(name).fn)._1
+        val (t, ok) = timeOnce(name, registryMap(name).fn)
+        name -> (if (ok) t else -1.0)
     }.toMap
 
     val failed = results.collect { case (k, _, _, _, false) => k } ++
@@ -118,16 +123,22 @@ object Bench {
     }.mkString("{", ",", "}")
     // The full artifact is best-effort: an unwritable CWD must not turn a
     // healthy benchmark run into a failed one (stdout still carries every
-    // query's numbers in the compact line).
-    try Files.writeString(Paths.get(fullPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
-        s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
-        s""""materialize":$materializeSec,"nq":${results.size},""" +
-        s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
-        s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] full artifact write failed ($fullPath): ${e.getMessage}")
-    }
+    // query's numbers in the compact line). A failed write also blanks the
+    // compact line's detail pointer — pointing readers at a stale file
+    // from a previous run would be worse than no pointer.
+    val fullWritten =
+      try {
+        Files.writeString(Paths.get(fullPath),
+          s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+            s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
+            s""""materialize":$materializeSec,"nq":${results.size},""" +
+            s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
+            s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] full artifact write failed ($fullPath): ${e.getMessage}")
+        false
+      }
 
     // Compact stdout line: every query under its shortest unique prefix
     // (deterministic from the registry's name set), 1 ms precision. Must
@@ -141,7 +152,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","runs":$Runs,""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
-        s""""keys":"shortest-unique-prefix","detail":"$fullPath",""" +
+        s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")

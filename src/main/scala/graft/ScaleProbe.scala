@@ -38,9 +38,9 @@ object ScaleProbe {
       "d3_minhash_lsh_pairs", "d4_simhash_sig", "d5_simhash_hamming_pairs",
       "d6_dup_clusters", "d7_canonical_prune", "d8_incremental_dedup",
       "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
-      "t4_winnow_fingerprint", "t12_token_shards", "t13_chunk_windows",
-      "t14_quality_classifier", "t15_mixture_resample", "t16b_bpe_vocab",
-      "x1_decontaminate", "x1b_bloom_decontaminate")
+      "t4_winnow_fingerprint", "t11_dup_rate", "t12_token_shards",
+      "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
+      "t16b_bpe_vocab", "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
       "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",
@@ -51,13 +51,17 @@ object ScaleProbe {
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
 
+    // Banner reports ONLY what was actually synthesized — an only-mode
+    // probe must not log a corpus that does not exist at $big.
+    val synthesized = Seq.newBuilder[String]
+
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
     // Copy ids offset by max(id)+1 (not count) so sparse or offset id
     // spaces can't collide between copies.
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nDocs = docs.count()
     if (needDocs) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDocs = docs.count()
       val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
       docs
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
@@ -65,12 +69,13 @@ object ScaleProbe {
           concat(col("text"), lit(" copytag"), col("copy")).as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      synthesized += s"${nDocs * copies} docs"
     }
 
     // embeddings x copies: tiny per-copy perturbation on one dimension.
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nVec = emb.count()
     if (needVecs) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nVec = emb.count()
       val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
       emb
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
@@ -80,6 +85,7 @@ object ScaleProbe {
               .otherwise(x).cast("float")).as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      synthesized += s"${nVec * copies} vecs"
     }
 
     // events x copies: each copy shifts by the full time span (plus an
@@ -105,9 +111,10 @@ object ScaleProbe {
           (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$big/events.parquet")
+      synthesized += s"${ev.count() * copies} events"
     }
 
-    println(s"[scale] corpus at $big: ${nDocs * copies} docs, ${nVec * copies} vecs" +
+    println(s"[scale] corpus at $big: ${synthesized.result().mkString(", ")}" +
       only.map(o => s" (only=${o.mkString(",")})").getOrElse(""))
     def timed(name: String): Option[Long] = {
       val t0 = System.nanoTime()

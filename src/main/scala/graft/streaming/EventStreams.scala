@@ -105,6 +105,21 @@ object EventStreams {
     */
   def incrementalIngest(spark: SparkSession, srcDir: String,
                         sinkDir: String, checkpointDir: String): Unit = {
+    // Snapshot the sink's data files before the run, so the post-run gate
+    // scans ONLY what this run landed: a historical bad batch must alarm
+    // its own run, not wedge every later one (the file log's exactly-once
+    // contract means a poisoned batch is never reprocessed — re-scanning
+    // the whole sink would re-throw forever while good new files pile up).
+    def dataFiles(): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(sinkDir), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(sinkDir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSet
+    }
+    val before = dataFiles()
     val q = readEventStream(spark, srcDir)
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -116,16 +131,20 @@ object EventStreams {
     // enter the lake: schema dispatch (eventTimeUs) accepts any credible
     // TIMESTAMP encoding, but can't tell a producer that wrote ms-as-µs
     // values (every decoded instant lands 1000× off, deep in 1970). One
-    // min/max aggregate over the sink converts that into a loud ingest
-    // failure instead of poisoning every downstream watermark. At lake
-    // scale, scope the scan to this run's landed files/partition; here the
-    // sink IS the run's table.
-    val landed = spark.read.parquet(sinkDir)
-    graft.ops.Checks.epochRangeUs(
-        landed.select(graft.Tables.eventTimeUs(landed).as("ingest_tus")),
-        "ingest_tus")
-      .left.foreach(v => throw new IllegalStateException(
-        s"incrementalIngest: ${v.check} violation at $sinkDir — ${v.detail}"))
+    // min/max aggregate over this run's landed files converts that into a
+    // loud ingest failure instead of poisoning every downstream watermark.
+    // A run that landed nothing has nothing to gate (and an empty sink has
+    // no schema to infer — the declared eventSchema covers that too).
+    val landedFiles = (dataFiles() -- before).toSeq
+    if (landedFiles.nonEmpty) {
+      val landed = spark.read.schema(eventSchema).parquet(landedFiles: _*)
+      graft.ops.Checks.epochRangeUs(
+          landed.select(graft.Tables.eventTimeUs(landed).as("ingest_tus")),
+          "ingest_tus")
+        .left.foreach(v => throw new IllegalStateException(
+          s"incrementalIngest: ${v.check} violation in this run's landed " +
+            s"files under $sinkDir — ${v.detail}"))
+    }
   }
 
   /** Streaming exact deduplication — the streaming twin of the batch d1

@@ -110,5 +110,28 @@ class EventTimeSpec extends SparkSpec {
         spark, s"$base/src", s"$base/sink", s"$base/ckpt")
     }
     assert(e.getMessage.contains("epochRangeUs"))
+
+    // The gate is scoped to each run's OWN landed files: after the poisoned
+    // batch (committed exactly-once, never reprocessed), a later run with
+    // GOOD new files must pass — one bad batch alarms its run, it does not
+    // wedge the ingest forever.
+    Seq((3L, us2026, 9L, "click", 3.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$base/src")
+    graft.streaming.EventStreams.incrementalIngest(
+      spark, s"$base/src", s"$base/sink", s"$base/ckpt") // must not throw
+    // and a run that lands nothing (no new source files) has nothing to
+    // gate — also must not throw
+    graft.streaming.EventStreams.incrementalIngest(
+      spark, s"$base/src", s"$base/sink", s"$base/ckpt")
+  }
+
+  test("incrementalIngest over an empty landing zone completes without a sink to read") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest0_").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    graft.streaming.EventStreams.incrementalIngest(
+      spark, s"$base/src", s"$base/sink", s"$base/ckpt") // zero batches: no gate, no crash
   }
 }

@@ -43,15 +43,20 @@ TOKEN_ALLOW = {"s3a://dwp/staging/"}
 
 
 def main(out_path):
-    files = subprocess.run(
-        ["git", "ls-files", "src", "tools", "build.sbt", "*.md"],
-        capture_output=True, text=True, check=True).stdout.split()
+    # -z: NUL-delimited, so paths with spaces/newlines survive; a skipped
+    # (unreadable) file is RECORDED and fails the scan — a coverage tool
+    # must never claim "clean" over files it did not read.
+    files = [f for f in subprocess.run(
+        ["git", "ls-files", "-z", "src", "tools", "build.sbt", "*.md"],
+        capture_output=True, text=True, check=True).stdout.split("\0") if f]
     hits = {k: [] for k in CHECKS}
+    skipped = []
     n_files = 0
     for f in files:
         try:
             text = open(f, encoding="utf-8", errors="replace").read()
-        except OSError:
+        except OSError as e:
+            skipped.append(f"{f}: {e}")
             continue
         n_files += 1
         for lineno, line in enumerate(text.splitlines(), 1):
@@ -72,14 +77,16 @@ def main(out_path):
             .isoformat(timespec="seconds"),
         "git_head": head,
         "files_scanned": n_files,
+        "files_skipped": skipped,
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
     with open(out_path, "w") as fp:
         json.dump(out, fp, indent=2)
         fp.write("\n")
-    print(f"leakscan: {n_files} files, {out['n_hits']} hits -> {out_path}")
-    return 0 if out["n_hits"] == 0 else 1
+    print(f"leakscan: {n_files} files, {out['n_hits']} hits, "
+          f"{len(skipped)} skipped -> {out_path}")
+    return 0 if out["n_hits"] == 0 and not skipped else 1
 
 
 if __name__ == "__main__":
