@@ -25,6 +25,51 @@ object RecallProbe {
       val hit = exact.count(pairs(name).contains)
       println(f"[recall] $name recall@5 vs e1: ${hit.toDouble / exact.size}%.3f ($hit / ${exact.size})")
     }
+    // Band-layout recall for the e7b all-pairs near-dup, in the
+    // approximate regime (threshold above every layout's completeness
+    // bound): what fraction of ALL hamming<=threshold pairs each ladder
+    // tier admits. The denominator is the O(n²/2) brute-force pair scan —
+    // probe-only by design, the same role e1/e3b play for the KNN paths.
+    // This is the recall each tier trades for its candidate-volume cut as
+    // adaptiveSignBands widens bands with the corpus.
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.ops.VectorOps
+      import graft.queries.VectorQueries
+      // Twin-extended corpus: the base corpus' closest pair sits at
+      // hamming 14, so the near-dup stratum (h<=8) would otherwise be
+      // empty — the hamming-3 twins populate it, and every layout must
+      // hold it at 1.000 (pigeonhole-complete down to 4 bands at <=3).
+      val sigs = VectorQueries.sigTwinTable(spark, d)
+      val thr = VectorQueries.E7bMaxHamming
+      // Stratify by hamming: a near-dup pipeline cares about the SMALL-
+      // hamming strata (where coarser layouts are pigeonhole-complete or
+      // nearly so); the far strata are pairs a near-dup pass doesn't want
+      // anyway — the ladder's recall loss should concentrate there.
+      def bucket(h: org.apache.spark.sql.Column) =
+        when(h <= 8, "h<=8").when(h <= 14, "h9-14").otherwise(s"h15-$thr")
+      val ham = bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+        bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))
+      val exactByB = sigs.as("x").join(sigs.as("y"),
+          col("x.vec_id") < col("y.vec_id") && ham <= thr)
+        .groupBy(bucket(ham).as("b")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[recall] e7b exact pair baseline (hamming <= $thr): " +
+        s"${exactByB.values.sum} pairs by stratum $exactByB")
+      for ((label, bands) <- Seq(("9-band", VectorOps.signBands),
+          ("6-band", VectorOps.signBands6), ("4-band", VectorOps.signBands4))) {
+        val foundByB = VectorOps.bandedHammingPairs(sigs,
+            "vec_id", "sig_lo", "sig_hi", thr, bands)
+          .groupBy(bucket(col("hamming")).as("b")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val strata = exactByB.keys.toSeq.sorted.map { b =>
+          val e = exactByB(b); val f = foundByB.getOrElse(b, 0L)
+          f"$b ${f.toDouble / e}%.3f ($f/$e)"
+        }
+        val total = foundByB.values.sum.toDouble / exactByB.values.sum
+        println(f"[recall] e7b $label pair recall: total $total%.3f | ${strata.mkString(" | ")}")
+      }
+    }
     spark.stop()
   }
 }

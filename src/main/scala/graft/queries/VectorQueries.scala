@@ -593,6 +593,19 @@ object VectorQueries {
     ()
   }
 
+  /** The (vec_id, sig_lo, sig_hi) signature table — probe tooling reads
+    * this to measure band-layout recall against a brute-force pair scan.
+    */
+  def sigTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    normedBuckets(s, d).select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+
+  /** The twin-extended signature table (see `sigWithTwins`) — gives probe
+    * measurements a populated near-dup stratum (hamming-3 pairs) on a
+    * corpus whose natural closest pair sits at hamming 14.
+    */
+  def sigTwinTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    sigWithTwins(s, d)
+
   val all: Seq[(String, GQ)] = Seq(
 
     // E1 — brute-force cosine top-5 per probe (every 50th vector probes the
