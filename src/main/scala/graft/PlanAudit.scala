@@ -10,7 +10,9 @@ object PlanAudit {
         "x1_decontaminate", "x1b_bloom_decontaminate", "d9_repeated_spans", "e7_binary_sign_ann", "e3_cosine_neardup_pairs",
         "e6_ivf_knn", "x2_pii_scrub", "x3_quality_funnel",
         "t14_quality_classifier", "e8_semantic_prune", "e9_int8_adc_knn",
-        "e10_pq_adc_knn", "e11_incremental_semantic")) {
+        "e10_pq_adc_knn", "e11_incremental_semantic",
+        "e7b_binary_banded_neardup", "e7b_tier4_banded_neardup",
+        "m1_media_metadata", "j6_nearest_within_band", "j7_asof_join")) {
       println(s"########## $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>
