@@ -80,6 +80,60 @@ object EventQueries {
         "((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_s " +
         "FROM sess GROUP BY 1, 2"),
 
+    // EV-FUNNEL — ordered event-sequence funnel (click → view → purchase,
+    // each step within 24 h of the previous): per user, the earliest
+    // completable chain and how deep it got — the sequential-pattern
+    // operator product analytics runs (conversion funnels, drop-off
+    // attribution). Semantics are earliest-step-greedy: t1 = first click,
+    // t2 = first view in [t1, t1+24h], t3 = first purchase in [t2, t2+24h]
+    // (the 24 h step horizon populates every reachable depth on this
+    // corpus: 103/28/19 users at depths 1/2/3 of 150 at sf0.01 — a 1 h
+    // horizon left depth 3 empty, a weaker gate).
+    // Shape: THREE chained full-partition window mins over the SAME
+    // user_id partitioning — Spark plans one shuffle and reuses it (no
+    // joins, no per-event state); each step's predicate reads the previous
+    // step's per-user constant. At 100 TB users partition the work and a
+    // user's events fit one partition — the same contract ev_sessionize
+    // rides.
+    "ev_funnel" -> GQ(
+      (s, d) => {
+        val horizonUs = 86400L * 1000000L
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.select(col("user_id"), col("event_type"),
+          Tables.eventTimeUs(raw).as("tus"))
+        val wu = Window.partitionBy("user_id")
+        val s3 = ev
+          .withColumn("t1", min(when(col("event_type") === "click",
+            col("tus"))).over(wu))
+          .withColumn("t2", min(when(col("event_type") === "view" &&
+            col("tus") >= col("t1") && col("tus") <= col("t1") + horizonUs,
+            col("tus"))).over(wu))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+            col("tus") >= col("t2") && col("tus") <= col("t2") + horizonUs,
+            col("tus"))).over(wu))
+        s3.groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1x"), max(col("t2")).as("t2x"),
+            max(col("t3")).as("t3x"))
+          .select(col("user_id"),
+            coalesce(col("t1x"), lit(-1L)).as("click_us"),
+            coalesce(col("t2x"), lit(-1L)).as("view_us"),
+            coalesce(col("t3x"), lit(-1L)).as("purchase_us"),
+            when(col("t3x").isNotNull, 3L).when(col("t2x").isNotNull, 2L)
+              .when(col("t1x").isNotNull, 1L).otherwise(0L).as("funnel_depth"))
+      },
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) tus FROM events), " +
+        "s1 AS (SELECT *, min(CASE WHEN event_type = 'click' THEN tus END) " +
+        "OVER (PARTITION BY user_id) t1 FROM e), " +
+        "s2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND tus >= t1 " +
+        "AND tus <= t1 + 86400000000 THEN tus END) OVER (PARTITION BY user_id) t2 FROM s1), " +
+        "s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= t2 " +
+        "AND tus <= t2 + 86400000000 THEN tus END) OVER (PARTITION BY user_id) t3 FROM s2) " +
+        "SELECT user_id, coalesce(max(t1), -1) AS click_us, " +
+        "coalesce(max(t2), -1) AS view_us, coalesce(max(t3), -1) AS purchase_us, " +
+        "(CASE WHEN max(t3) IS NOT NULL THEN 3 WHEN max(t2) IS NOT NULL THEN 2 " +
+        "WHEN max(t1) IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_depth " +
+        "FROM s3 GROUP BY user_id"),
+
     // J7 — as-of join: each purchase event picks up the user's most recent
     // click at or before it, looking back at most one hour — the "state as
     // of this event" enrichment every event pipeline runs (attribution,

@@ -830,6 +830,45 @@ object TextQueries {
         "round(avg(log10(f.c::DOUBLE / tot.t)), 9) AS logprob " +
         "FROM toks JOIN freq f ON toks.w = f.w, tot GROUP BY doc_id"),
 
+    // T18 — bigram-LM fluency score, the conditional companion to t10's
+    // unigram proxy (a KenLM-shaped perplexity filter one order up): every
+    // document scored by the mean log10 P(w2|w1) of its bigrams under the
+    // corpus' own bigram distribution, P = C(w1 w2) / C(w1 ·) — exact
+    // integer counts, one division, so the score is reproducible in any
+    // engine. Scoring the training corpus itself means every scored bigram
+    // was counted (no zeros, no smoothing constant to tune). Shapes: the
+    // per-doc lead window is doc-partitioned (bounded by doc length); the
+    // bigram count table is corpus-derived and joined BY KEY (bigram), the
+    // t16c corpus⋈dict pattern — at 100 TB the statistic is trained
+    // offline and neither side broadcasts; the w1 table is vocab-sized.
+    // Docs with < 2 tokens have no bigrams and drop out (both engines).
+    "t18_bigram_logprob" -> GQ(
+      (s, d) => {
+        val toks = Tables.load(s, d, "documents")
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+        val wd = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = toks.withColumn("nxt", lead("w", 1).over(wd))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id"), col("w").as("w1"),
+            concat_ws(" ", col("w"), col("nxt")).as("bg"))
+        val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+        val w1c = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(bgc, "bg").join(w1c, "w1")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log10(col("c12").cast("double") / col("c1"))), 9)
+              .as("bigram_logprob"))
+      },
+      "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents), " +
+        "bg AS (SELECT doc_id, s['w1'] AS w1, s['bg'] AS bg FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> {'w1': t[i], 'bg': t[i] || ' ' || t[i+1]})) s FROM t0)), " +
+        "bgc AS (SELECT bg, count(*) c12 FROM bg GROUP BY 1), " +
+        "w1c AS (SELECT w1, count(*) c1 FROM bg GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(avg(log10(bgc.c12::DOUBLE / w1c.c1)), 9) AS bigram_logprob " +
+        "FROM bg JOIN bgc USING (bg) JOIN w1c USING (w1) GROUP BY doc_id"),
+
     // X1 — benchmark decontamination: flag training documents sharing any
     // word-3-gram with a held-out evaluation set (docs with doc_id % 97 = 0
     // stand in for the benchmark corpus). This is the standard n-gram
