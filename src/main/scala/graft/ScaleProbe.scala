@@ -40,13 +40,14 @@ object ScaleProbe {
       "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
       "t4_winnow_fingerprint", "t11_dup_rate", "t12_token_shards",
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
-      "t16b_bpe_vocab", "x1_decontaminate", "x1b_bloom_decontaminate")
+      "t16b_bpe_vocab", "t18_bigram_logprob",
+      "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
       "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",
       "e11_incremental_semantic", "e12_ivfpq_knn")
     val eventRows = Seq("j6_nearest_within_band", "j7_asof_join",
-      "ev_sessionize", "ev_hourly_rollup")
+      "ev_sessionize", "ev_hourly_rollup", "ev_funnel")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
