@@ -38,8 +38,12 @@ object RecallProbe {
       import graft.queries.VectorQueries
       // Twin-extended corpus: the base corpus' closest pair sits at
       // hamming 14, so the near-dup stratum (h<=8) would otherwise be
-      // empty — the hamming-3 twins populate it, and every layout must
-      // hold it at 1.000 (pigeonhole-complete down to 4 bands at <=3).
+      // empty — the hamming-3 twins populate it. On THIS corpus the
+      // stratum holds only base-twin pairs at hamming 3, inside even the
+      // 4-band completeness bound, so 1.000 across layouts is expected —
+      // but it is a measurement, not a guarantee: pairs at hamming 4-8
+      // (e.g. twin-twin crossings on a regenerated corpus) are past the
+      // coarser layouts' bounds and may legitimately read below 1.000.
       val sigs = VectorQueries.sigTwinTable(spark, d)
       val thr = VectorQueries.E7bMaxHamming
       // Stratify by hamming: a near-dup pipeline cares about the SMALL-

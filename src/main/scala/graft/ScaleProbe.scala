@@ -102,7 +102,8 @@ object ScaleProbe {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       val tus = graft.Tables.eventTimeUs(ev)
       val row = ev.agg(min(tus).as("lo"), max(tus).as("hi"),
-        max(col("event_id")).as("eid"), max(col("user_id")).as("uid")).head()
+        max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
+        count(lit(1)).as("n")).head()
       val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
       ev.withColumn("tus", tus)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
@@ -112,7 +113,7 @@ object ScaleProbe {
           (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$big/events.parquet")
-      synthesized += s"${ev.count() * copies} events"
+      synthesized += s"${row.getLong(4) * copies} events"
     }
 
     println(s"[scale] corpus at $big: ${synthesized.result().mkString(", ")}" +

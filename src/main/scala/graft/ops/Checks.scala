@@ -91,10 +91,15 @@ object Checks {
     * the driver) rather than a per-row raise_error branch, which would sit
     * inside whole-stage codegen on every downstream read.
     */
+  /** The credible epoch window (shared by `epochRangeUs` and the
+    * streaming ingest gate's per-file variant).
+    */
+  val EpochLoUs: Long = 946684800000000L   // 2000-01-01T00:00Z
+  val EpochHiUs: Long = 4102444800000000L  // 2100-01-01T00:00Z
+
   def epochRangeUs(df: DataFrame, tsUsCol: String,
-                   loUs: Long = 946684800000000L,     // 2000-01-01T00:00Z
-                   hiUs: Long = 4102444800000000L     // 2100-01-01T00:00Z
-                  ): Either[Violation, Unit] = {
+                   loUs: Long = EpochLoUs,
+                   hiUs: Long = EpochHiUs): Either[Violation, Unit] = {
     // A guard must not itself throw on the malformed input it guards
     // against: a non-Long column (Integer seconds, Decimal millis) is
     // exactly the kind of encoding slip this check exists for, so it's a

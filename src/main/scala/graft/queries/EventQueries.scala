@@ -81,11 +81,15 @@ object EventQueries {
         "FROM sess GROUP BY 1, 2"),
 
     // EV-FUNNEL — ordered event-sequence funnel (click → view → purchase,
-    // each step within 24 h of the previous): per user, the earliest
-    // completable chain and how deep it got — the sequential-pattern
-    // operator product analytics runs (conversion funnels, drop-off
-    // attribution). Semantics are earliest-step-greedy: t1 = first click,
-    // t2 = first view in [t1, t1+24h], t3 = first purchase in [t2, t2+24h]
+    // each step within 24 h of the previous) — the sequential-pattern
+    // operator product analytics runs. Semantics are FIRST-TOUCH GREEDY:
+    // t1 = first click, t2 = first view in [t1, t1+24h], t3 = first
+    // purchase in [t2, t2+24h]. Each step anchors on the EARLIEST
+    // qualifying event and never re-anchors — a later view whose window
+    // would have reached a purchase does not resurrect the chain, so this
+    // reports the first-touch path (the standard attribution convention),
+    // NOT maximal-chain existence (that variant needs per-user ordered
+    // scan state — a different operator)
     // (the 24 h step horizon populates every reachable depth on this
     // corpus: 103/28/19 users at depths 1/2/3 of 150 at sf0.01 — a 1 h
     // horizon left depth 3 empty, a weaker gate).

@@ -281,8 +281,7 @@ object VectorQueries {
     * in-band pairs at the coarse layouts).
     */
   private def sigWithTwins(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val sig = normedBuckets(s, d)
-      .select(col("vec_id"), col("sig_lo"), col("sig_hi"))
+    val sig = sigTable(s, d)
     val twins = sig.where(pmod(col("vec_id"), lit(25L)) === 0)
       .select((negate(col("vec_id")) - 1).as("vec_id"),
         col("sig_lo").bitwiseXOR(

@@ -105,21 +105,49 @@ object EventStreams {
     */
   def incrementalIngest(spark: SparkSession, srcDir: String,
                         sinkDir: String, checkpointDir: String): Unit = {
-    // Snapshot the sink's data files before the run, so the post-run gate
-    // scans ONLY what this run landed: a historical bad batch must alarm
-    // its own run, not wedge every later one (the file log's exactly-once
-    // contract means a poisoned batch is never reprocessed — re-scanning
-    // the whole sink would re-throw forever while good new files pile up).
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fsOf(dir: String) =
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     def dataFiles(): Set[String] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(sinkDir), spark.sparkContext.hadoopConfiguration)
+      val fs = fsOf(sinkDir)
       val p = new org.apache.hadoop.fs.Path(sinkDir)
       if (!fs.exists(p)) Set.empty
       else fs.listStatus(p).iterator
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).toSet
     }
-    val before = dataFiles()
+    // Durable per-file gate ledger, kept next to the stream checkpoint
+    // (lines "<OK|POISONED>\t<file name>"). The gate scans (current data
+    // files − ledger): a before/after listing alone would permanently
+    // exempt a batch whose run died BETWEEN sink commit and gate
+    // (exactly-once means the batch never reprocesses, so nothing would
+    // ever look at it again); with the ledger, any committed-but-unseen
+    // file is gated by the next run. Poisoned files are recorded as such
+    // and the run throws ONCE — later runs gate only genuinely new files,
+    // so one bad batch alarms loudly without wedging the ingest forever,
+    // and the ledger doubles as the operator's quarantine list.
+    val ledgerPath = new org.apache.hadoop.fs.Path(
+      checkpointDir, "graft_gate_ledger.txt")
+    def readLedger(): Map[String, String] = {
+      val fs = fsOf(checkpointDir)
+      if (!fs.exists(ledgerPath)) Map.empty
+      else {
+        val in = fs.open(ledgerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains('\t')).map { l =>
+            val Array(st, name) = l.split("\t", 2); name -> st
+          }.toMap
+        finally in.close()
+      }
+    }
+    def writeLedger(m: Map[String, String]): Unit = {
+      val fs = fsOf(checkpointDir)
+      val out = fs.create(ledgerPath, true)
+      try out.write(m.toSeq.sortBy(_._1)
+        .map { case (name, st) => s"$st\t$name" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val q = readEventStream(spark, srcDir)
       .writeStream.format("parquet")
       .option("path", sinkDir)
@@ -131,19 +159,36 @@ object EventStreams {
     // enter the lake: schema dispatch (eventTimeUs) accepts any credible
     // TIMESTAMP encoding, but can't tell a producer that wrote ms-as-µs
     // values (every decoded instant lands 1000× off, deep in 1970). One
-    // min/max aggregate over this run's landed files converts that into a
-    // loud ingest failure instead of poisoning every downstream watermark.
-    // A run that landed nothing has nothing to gate (and an empty sink has
-    // no schema to infer — the declared eventSchema covers that too).
-    val landedFiles = (dataFiles() -- before).toSeq
-    if (landedFiles.nonEmpty) {
-      val landed = spark.read.schema(eventSchema).parquet(landedFiles: _*)
-      graft.ops.Checks.epochRangeUs(
-          landed.select(graft.Tables.eventTimeUs(landed).as("ingest_tus")),
-          "ingest_tus")
-        .left.foreach(v => throw new IllegalStateException(
-          s"incrementalIngest: ${v.check} violation in this run's landed " +
-            s"files under $sinkDir — ${v.detail}"))
+    // per-file min/max aggregate over the unseen files converts that into
+    // a loud ingest failure instead of poisoning every downstream
+    // watermark — per FILE, so a mixed batch quarantines only its bad
+    // files. A run with nothing unseen has nothing to gate (and an empty
+    // sink has no schema to infer — the declared eventSchema covers that).
+    val ledger = readLedger()
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val pendingByName = dataFiles().map(p => baseName(p) -> p).toMap -- ledger.keys
+    if (pendingByName.nonEmpty) {
+      val landed = spark.read.schema(eventSchema)
+        .parquet(pendingByName.values.toSeq.sorted: _*)
+      val perFile = landed
+        .select(input_file_name().as("f"),
+          graft.Tables.eventTimeUs(landed).as("tus"))
+        .groupBy("f").agg(min("tus").as("lo"), max("tus").as("hi"))
+        .collect()
+        .map(r => (baseName(r.getString(0)), r.getLong(1), r.getLong(2)))
+      val bad = perFile.collect {
+        case (name, lo, hi)
+          if lo < graft.ops.Checks.EpochLoUs || hi >= graft.ops.Checks.EpochHiUs =>
+            (name, lo, hi)
+      }
+      // zero-row files never appear in perFile: nothing to mis-decode → OK
+      writeLedger(ledger ++
+        pendingByName.keys.map(n => n -> "OK") ++
+        bad.map { case (n, _, _) => n -> "POISONED" })
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"incrementalIngest: epochRangeUs violation in landed files under " +
+          s"$sinkDir — quarantined in $ledgerPath: " +
+          bad.map { case (n, lo, hi) => s"$n spans [$lo, $hi] µs" }.mkString("; "))
     }
   }
 

@@ -111,10 +111,9 @@ class EventTimeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("epochRangeUs"))
 
-    // The gate is scoped to each run's OWN landed files: after the poisoned
-    // batch (committed exactly-once, never reprocessed), a later run with
-    // GOOD new files must pass — one bad batch alarms its run, it does not
-    // wedge the ingest forever.
+    // The poisoned files are quarantined in the durable gate ledger: a
+    // later run with GOOD new files must pass — one bad batch alarms its
+    // run, it does not wedge the ingest forever.
     Seq((3L, us2026, 9L, "click", 3.0, "{}"))
       .toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
@@ -124,6 +123,24 @@ class EventTimeSpec extends SparkSpec {
       spark, s"$base/src", s"$base/sink", s"$base/ckpt") // must not throw
     // and a run that lands nothing (no new source files) has nothing to
     // gate — also must not throw
+    graft.streaming.EventStreams.incrementalIngest(
+      spark, s"$base/src", s"$base/sink", s"$base/ckpt")
+    // The ledger records both verdicts
+    val ledger = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/ckpt/graft_gate_ledger.txt"))
+    assert(ledger.contains("POISONED\t") && ledger.contains("OK\t"))
+    // Crash-window coverage: a ledger lost after sink commit (the run died
+    // between commit and gate) means every committed file is unseen again —
+    // the next run must RE-GATE them and re-throw on the poison, not
+    // silently exempt it.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/ckpt/graft_gate_ledger.txt"))
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.EventStreams.incrementalIngest(
+        spark, s"$base/src", s"$base/sink", s"$base/ckpt")
+    }
+    assert(e2.getMessage.contains("epochRangeUs"))
+    // ...and after the re-quarantine, ingest is clean again
     graft.streaming.EventStreams.incrementalIngest(
       spark, s"$base/src", s"$base/sink", s"$base/ckpt")
   }
