@@ -187,6 +187,108 @@ object Multimodal {
     MediaRow(docId, out)
   }
 
+  /** Nearest-neighbor half-scale resize of a binary PPM (P6) payload — a
+    * REAL image transform over the real wire format, both directions: the
+    * input bytes are parsed (header + samples), the output is a genuine P6
+    * payload any netpbm tool reads. Output dims are ceil(w/2) × ceil(h/2);
+    * output pixel (x, y) samples source pixel (2x, 2y) — the standard
+    * nearest-neighbor decimation. Runs per-row inside `mapPartitions`
+    * (decodeAll), so a 100 TB image corpus resizes map-only: no shuffle,
+    * partitioning preserved end-to-end.
+    */
+  def resizePpmHalf(row: MediaRow): MediaRow = {
+    val b = row.media
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"PPM: bad magic in doc ${row.doc_id}")
+    var i = 2
+    def isWs(c: Byte) = c == '\n' || c == ' ' || c == '\t' || c == '\r'
+    def int(): Int = {
+      while (i < b.length && isWs(b(i))) i += 1
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"PPM: expected digit at offset $i in doc ${row.doc_id}")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    require(maxv == 255, s"PPM: unsupported maxval $maxv in doc ${row.doc_id}")
+    require(i < b.length && isWs(b(i)), s"PPM: missing header terminator in doc ${row.doc_id}")
+    i += 1
+    require(b.length - i == w * h * 3,
+      s"PPM: expected ${w * h * 3} samples, got ${b.length - i} in doc ${row.doc_id}")
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = i + ((y * 2) * w + x * 2) * 3
+        val dst = header.length + (y * w2 + x) * 3
+        out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    MediaRow(row.doc_id, out)
+  }
+
+  /** Typed audio features of a PCM WAV payload, channel 0: exact integer
+    * energy (sum of squares), quantized RMS, zero-crossing count, peak.
+    * All-BIGINT so any engine reproduces them bit-for-bit (`rms_q` =
+    * floor(sqrt(sumsq div n)) — integer division then a correctly-rounded
+    * IEEE sqrt, deterministic cross-engine; a raw double RMS would hash on
+    * its last ulp).
+    */
+  final case class WavFeatures(doc_id: Long, n_frames: Long, amp_sumsq: Long,
+                               rms_q: Long, zcr: Long, amp_peak: Int)
+
+  /** Feature extraction over a PCM WAV payload — the audio counterpart of
+    * resizePpmHalf: parses the RIFF header (same validation as decodeWav),
+    * then computes channel-0 energy / RMS / zero-crossings / peak from the
+    * decoded signed samples. Map-only per row; a real feature extractor
+    * (mel filterbank, VAD) slots into the same per-partition seam.
+    */
+  def wavFeatures(row: MediaRow): WavFeatures = {
+    val b = row.media
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)).toLong |
+        ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"WAV: bad RIFF/WAVE magic in doc ${row.doc_id}")
+    require(tag(12) == "fmt " && u32(16) == 16 && u16(20) == 1 && u16(34) == 16,
+      s"WAV: not 16-bit PCM in doc ${row.doc_id}")
+    val ch = u16(22)
+    require(tag(36) == "data", s"WAV: missing data chunk in doc ${row.doc_id}")
+    val dataSize = u32(40).toInt
+    require(b.length - 44 == dataSize && dataSize % (2 * ch) == 0,
+      s"WAV: data size mismatch in doc ${row.doc_id}")
+    val frames = dataSize / 2 / ch
+    var j = 0
+    var sumsq = 0L
+    var zcr = 0L
+    var peak = 0
+    var prev = 0
+    while (j < frames) {
+      val o = 44 + 2 * (j * ch) // channel 0 of frame j
+      val v = (((b(o) & 0xff) | (b(o + 1) << 8)).toShort).toInt
+      sumsq += v.toLong * v
+      if (j > 0 && (v < 0) != (prev < 0)) zcr += 1
+      val a = if (v < 0) -v else v
+      if (a > peak) peak = a
+      prev = v
+      j += 1
+    }
+    val rmsQ = if (frames == 0) 0L else math.floor(math.sqrt((sumsq / frames).toDouble)).toLong
+    WavFeatures(row.doc_id, frames.toLong, sumsq, rmsQ, zcr, peak)
+  }
+
   /** Payload for the m1 mixed-corpus metadata gate: ids cycle through the
     * two real wire-format fixtures (P6 PPM, RIFF/WAVE PCM) and raw text
     * bytes — so the metadata pass sees a corpus where format is a property

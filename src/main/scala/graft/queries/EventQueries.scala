@@ -317,5 +317,114 @@ object EventQueries {
         "FROM p, unnest(range(0, f * c)) u(i) GROUP BY 1, 2, 3, 4) " +
         "SELECT doc_id, c AS n_channels, rate AS sample_rate, f AS n_frames, " +
         "(44 + f * c * 2)::BIGINT AS n_bytes, amp_sum, amp_peak, " +
-        "round(f::DOUBLE / rate, 6) AS duration_s FROM s"))
+        "round(f::DOUBLE / rate, 6) AS duration_s FROM s"),
+
+    // M5 — REAL image transform through the seam: fixture PPM →
+    // nearest-neighbor half-scale resize (Multimodal.resizePpmHalf — parses
+    // the wire bytes, emits a genuine P6 payload) → decodePpm re-parses the
+    // RESIZED bytes for the gated stats. The oracle recomputes the expected
+    // stats analytically from the generative formula + the NN sampling map
+    // (out pixel (x,y) ← source (2x,2y)), so an off-by-one in the sampling
+    // grid, the output header, or the re-encode hash-mismatches. Map-only
+    // per row (mapPartitions): at 100 TB the resize rides the scan with no
+    // shuffle — the shape of every production thumbnail/downsample pass.
+    "m5_ppm_resize" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .map(id => Multimodal.resizePpmHalf(Multimodal.ppmFixture(id)))
+        Multimodal.decodeAll(s, media, Multimodal.decodePpm)
+          .withColumn("px_mean", round(col("px_mean"), 6))
+      },
+      "WITH dims AS (SELECT doc_id, (doc_id % 16 + 1)::INT w, " +
+        "((doc_id // 16) % 16 + 1)::INT h FROM documents), " +
+        "d2 AS (SELECT doc_id, w, ((w + 1) // 2)::INT w2, ((h + 1) // 2)::INT h2 FROM dims), " +
+        // i enumerates resized samples; recover (y2, x2, ch), then the
+        // source sample index ((2*y2)*w + 2*x2)*3 + ch of the NN map
+        "px AS (SELECT doc_id, w2, h2, sum((doc_id * 131 + " +
+        "(((i // (w2 * 3)) * 2 * w + ((i % (w2 * 3)) // 3) * 2) * 3 + i % 3) * 7) % 256)::BIGINT s " +
+        "FROM d2, unnest(range(0, (w2 * h2 * 3)::BIGINT)) u(i) GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, w2 AS width, h2 AS height, 'ppm' AS format, " +
+        "(9 + length(w2::VARCHAR) + length(h2::VARCHAR) + w2 * h2 * 3)::BIGINT AS n_bytes, " +
+        "s AS px_sum, round(s / (w2 * h2 * 3), 6) AS px_mean FROM px"),
+
+    // M6 — audio feature extraction through the seam: parse the RIFF/PCM
+    // payload, compute channel-0 energy / quantized RMS / zero-crossings /
+    // peak (Multimodal.wavFeatures). All-BIGINT outputs (rms_q =
+    // floor(sqrt(sumsq div n)) — integer division then correctly-rounded
+    // IEEE sqrt) so the oracle reproduces every value bit-for-bit from the
+    // generative formula; a stride slip (reading interleaved channels as
+    // mono), a sign error, or an off-by-one in the crossing count
+    // hash-mismatches. Map-only, shuffle-free — the VAD/filterbank shape.
+    "m6_wav_features" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long].map(Multimodal.wavFixture _)
+        Multimodal.decodeAll(s, media, Multimodal.wavFeatures)
+      },
+      "WITH p AS (SELECT doc_id, ((doc_id % 2) + 1)::BIGINT c, " +
+        "(doc_id % 50 + 10)::BIGINT f FROM documents), " +
+        "v AS (SELECT doc_id, f, j, " +
+        "(((doc_id * 37 + (j * c) * 101) % 65536) - 32768) v, " +
+        "(((doc_id * 37 + ((j - 1) * c) * 101) % 65536) - 32768) pv " +
+        "FROM p, unnest(range(0, f)) u(j)), " +
+        "s AS (SELECT doc_id, f, sum(v * v)::BIGINT sumsq, " +
+        "sum(CASE WHEN j > 0 AND ((v < 0) != (pv < 0)) THEN 1 ELSE 0 END)::BIGINT zcr, " +
+        "max(abs(v))::INT peak FROM v GROUP BY 1, 2) " +
+        "SELECT doc_id, f AS n_frames, sumsq AS amp_sumsq, " +
+        "floor(sqrt((sumsq // f)::DOUBLE))::BIGINT AS rms_q, zcr, peak AS amp_peak FROM s"),
+
+    // W3 — time-range rolling window: per event, the count and value-sum of
+    // the same user's events in the trailing hour (inclusive), via a RANGE
+    // frame on epoch-µs — the sliding-aggregate every feature store and
+    // rate-limiter computes. One shuffle by user_id (the same partitioning
+    // ev_sessionize/ev_funnel ride); the range frame scans each partition
+    // once with two moving pointers, never materializing per-row windows.
+    // Values sum as exact per-row cents (round(value*100) ties away from
+    // zero in both engines) so the frame's summation order can't drift the
+    // hash the way a double sum could.
+    "w3_rolling_window" -> GQ(
+      (s, d) => {
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.select(col("event_id"), col("user_id"), col("value"),
+          Tables.eventTimeUs(raw).as("tus"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-3600000000L, 0L)
+        ev.select(col("event_id"), col("user_id"), col("tus"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round(col("value") * 100, 0).cast("long")).over(w).as("cents_1h"))
+      },
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) tus, " +
+        "round(value * 100)::BIGINT cents FROM events) " +
+        "SELECT event_id, user_id, tus, " +
+        "count(*) OVER w AS n_1h, (sum(cents) OVER w)::BIGINT AS cents_1h FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tus " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
+
+    // EV-RETENTION — cohort retention: each user's cohort is their first
+    // active day; the matrix counts users active at each (cohort, day
+    // offset) — THE product-analytics rollup. Day index is exact integer
+    // division of epoch-µs (`div`, never double division — a double
+    // quotient can round up across a midnight boundary at e15 magnitudes).
+    // Shape: distinct (user, day) → per-user min via the user_id-partition
+    // window (rides the distinct's shuffle) → one groupBy on the (cohort,
+    // offset) matrix key. Users partition the work; the matrix is tiny.
+    "ev_retention" -> GQ(
+      (s, d) => {
+        val raw = Tables.load(s, d, "events")
+        val ud = raw.select(col("user_id"), Tables.eventTimeUs(raw).as("tus"))
+          .select(col("user_id"), expr("tus div 86400000000").as("day"))
+          .distinct()
+        ud.withColumn("first_day",
+            min(col("day")).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("first_day").as("cohort_day"),
+            (col("day") - col("first_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "f AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) first_day FROM e) " +
+        "SELECT first_day AS cohort_day, day - first_day AS day_offset, " +
+        "count(*) AS n_users FROM f GROUP BY 1, 2"))
 }

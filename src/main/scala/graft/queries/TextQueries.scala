@@ -1356,5 +1356,75 @@ object TextQueries {
         "PRECEDING AND 1 PRECEDING), 0)::BIGINT AS shard_off, " +
         "(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
         "PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id " +
-        "FROM picked"))
+        "FROM picked"),
+
+    // T19 — out-of-vocabulary rate against a corpus-induced vocabulary
+    // (top-K words by frequency, ties broken by word) — the OOV screen a
+    // tokenizer-bound pipeline runs before training (docs that are mostly
+    // OOV are noise for a fixed vocab). Scale shape: the vocab induction
+    // is one word-count shuffle (map-side combined) + a global top-K
+    // (TakeOrdered — never a full sort); the per-doc pass left-joins the
+    // BROADCAST vocab on the token stream and re-aggregates by doc_id. K
+    // is 20 because the synthetic corpus draws from a few dozen distinct
+    // words — production K (32k/50k) changes the broadcast size, not the
+    // plan.
+    "t19_oov_rate" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(20)
+          .select(col("w").as("vw"))
+        toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      },
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w " +
+        "FROM documents), " +
+        "vocab AS (SELECT w vw FROM (SELECT w, count(*) c FROM toks GROUP BY w " +
+        "QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 20)) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov, " +
+        "sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS oov_rate " +
+        "FROM toks LEFT JOIN vocab ON w = vw GROUP BY doc_id"),
+
+    // T20 — corpus-wide rank + decile by quality score WITHOUT a global
+    // single-partition window: bucket by floor(score·32) → per-bucket
+    // counts → prefix-sum offsets over the ≤33-row bucket table (the only
+    // full-width window, on metadata) → within-bucket row_number + offset.
+    // The same two-level prefix-sum shape as t12's shard packing, applied
+    // to order statistics: the data-sized shuffles are keyed by bucket
+    // (bounded partitions, ~n/32 each), never by a single global sort key —
+    // the curriculum/decile assignment a data-mixing pipeline computes at
+    // 100 TB. Ties rank deterministically by (score desc, doc_id); the
+    // oracle is the naive global window, which must agree exactly.
+    "t20_global_rank" -> GQ(
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val scored = Tables.load(s, d, "documents").select(col("doc_id"),
+          (size(array_distinct(t)).cast("double") / size(t)).as("score"))
+        val b = scored.withColumn("bkt", floor(col("score") * 32).cast("long"))
+        val offs = b.groupBy("bkt").agg(count(lit(1)).as("bc"))
+          .withColumn("off", coalesce(
+            sum(col("bc")).over(Window.orderBy(col("bkt").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("bc")
+        val total = scored.agg(count(lit(1)).as("n_total"))
+        val wb = Window.partitionBy(col("bkt"))
+          .orderBy(col("score").desc, col("doc_id"))
+        b.join(broadcast(offs), "bkt")
+          .withColumn("rank", col("off") + row_number().over(wb))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), round(col("score"), 6).as("score"),
+            col("rank"), expr("((rank - 1) * 10) div n_total").as("decile"))
+      },
+      "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents), " +
+        "sc AS (SELECT doc_id, len(list_distinct(t))::DOUBLE / len(t) AS score FROM t0), " +
+        "r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank, " +
+        "count(*) OVER () n FROM sc) " +
+        "SELECT doc_id, round(score, 6) AS score, rank::BIGINT AS rank, " +
+        "(((rank - 1) * 10) // n)::BIGINT AS decile FROM r"))
 }

@@ -141,6 +141,68 @@ class MultimodalSpec extends SparkSpec {
       3L -> "bin", 4L -> "bin", 5L -> "ppm"))
   }
 
+  test("resizePpmHalf nearest-neighbor samples a hand-written 3x3 image") {
+    // 3x3, pixel (x,y) has RGB (10x, 10y, x+y) — a 2x2 output must sample
+    // exactly source pixels (0,0),(2,0),(0,2),(2,2); anything else (a
+    // box-filter, an off-by-one grid) produces different bytes.
+    val px = for (y <- 0 until 3; x <- 0 until 3;
+                  v <- Seq(10 * x, 10 * y, x + y)) yield v.toByte
+    val in = MediaRow(9L, "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px.toArray)
+    val out = Multimodal.resizePpmHalf(in)
+    val expPx = for ((x, y) <- Seq((0, 0), (2, 0), (0, 2), (2, 2));
+                     v <- Seq(10 * x, 10 * y, x + y)) yield v.toByte
+    assert(out.media.sameElements(
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ expPx.toArray))
+    // and the output is itself a well-formed PPM the decoder accepts
+    val m = Multimodal.decodePpm(out)
+    assert(m.width == 2 && m.height == 2)
+  }
+
+  test("resizePpmHalf handles degenerate and odd dimensions") {
+    // 1x1 resizes to itself (ceil semantics); odd dims keep the last row/col
+    val one = MediaRow(1L, "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 8, 9))
+    assert(Multimodal.resizePpmHalf(one).media.sameElements(one.media))
+    for (id <- Seq(0L, 5L, 16L, 254L, 511L)) {
+      val m = Multimodal.decodePpm(Multimodal.resizePpmHalf(Multimodal.ppmFixture(id)))
+      val w = (id % 16).toInt + 1; val h = ((id / 16) % 16).toInt + 1
+      assert(m.width == (w + 1) / 2 && m.height == (h + 1) / 2, s"id=$id")
+      // expected sum from the fixture formula + the NN sampling map
+      val exp = (for (y <- 0 until (h + 1) / 2; x <- 0 until (w + 1) / 2; c <- 0 until 3)
+        yield (id * 131 + ((y * 2 * w + x * 2) * 3 + c) * 7) % 256).sum
+      assert(m.px_sum == exp, s"id=$id")
+    }
+  }
+
+  test("wavFeatures computes channel-0 energy/zcr/peak on a crafted signal") {
+    // mono 4-sample signal 100, -50, 25, -25: 3 sign flips, peak 100,
+    // sumsq 10000+2500+625+625 = 13750, rms_q = floor(sqrt(13750/4 = 3437)) = 58
+    val data = Array(100, -50, 25, -25)
+    val hdr = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8).put("WAVE".getBytes("US-ASCII"))
+    hdr.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+    hdr.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    hdr.put("data".getBytes("US-ASCII")).putInt(8)
+    data.foreach(v => hdr.putShort(v.toShort))
+    val f = Multimodal.wavFeatures(MediaRow(4L, hdr.array()))
+    assert(f.n_frames == 4L && f.amp_sumsq == 13750L)
+    assert(f.zcr == 3L && f.amp_peak == 100 && f.rms_q == 58L)
+  }
+
+  test("wavFeatures reads channel 0 of interleaved stereo, not the stream") {
+    // stereo: ch0 = [1000, -1000], ch1 = [30000, 30000]. A stride bug that
+    // reads the interleaved stream would see peak 30000 and zcr 2.
+    val samples = Array(1000, 30000, -1000, 30000)
+    val hdr = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8).put("WAVE".getBytes("US-ASCII"))
+    hdr.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+    hdr.putInt(8000).putInt(32000).putShort(4).putShort(16)
+    hdr.put("data".getBytes("US-ASCII")).putInt(8)
+    samples.foreach(v => hdr.putShort(v.toShort))
+    val f = Multimodal.wavFeatures(MediaRow(6L, hdr.array()))
+    assert(f.n_frames == 2L && f.amp_peak == 1000 && f.zcr == 1L)
+    assert(f.amp_sumsq == 2L * 1000L * 1000L)
+  }
+
   test("decodeAll is decoder-generic: the codec test double plugs in") {
     val media = spark.range(20)
       .select(col("id").as("doc_id"), concat(lit("payload-"), col("id")).cast("binary").as("media"))
