@@ -40,14 +40,16 @@ object ScaleProbe {
       "d9_repeated_spans", "d9b_span_coverage", "d10_segment_dedup",
       "t4_winnow_fingerprint", "t11_dup_rate", "t12_token_shards",
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
-      "t16b_bpe_vocab", "t18_bigram_logprob",
+      "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
+      "t20_global_rank", "m5_ppm_resize", "m6_wav_features",
       "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
       "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",
       "e11_incremental_semantic", "e12_ivfpq_knn")
     val eventRows = Seq("j6_nearest_within_band", "j7_asof_join",
-      "ev_sessionize", "ev_hourly_rollup", "ev_funnel")
+      "ev_sessionize", "ev_hourly_rollup", "ev_funnel",
+      "w3_rolling_window", "ev_retention")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
@@ -118,10 +120,20 @@ object ScaleProbe {
 
     println(s"[scale] corpus at $big: ${synthesized.result().mkString(", ")}" +
       only.map(o => s" (only=${o.mkString(",")})").getOrElse(""))
+    // Consume EVERY output column, not just the row count: count() lets
+    // Catalyst prune unused expressions (a pure-projection operator like
+    // w3's RANGE-frame window would be optimized out entirely and the
+    // probe would time a bare scan). The xxhash64-over-struct aggregate
+    // forces each output value to materialize while still collapsing to
+    // one driver row; its own cost is one codegen'd hash per row —
+    // negligible against any shuffle/decode the operator performs.
     def timed(name: String): Option[Long] = {
       val t0 = System.nanoTime()
       try {
-        val n = SparkEntry.queries(name)(spark, big).count()
+        val df = SparkEntry.queries(name)(spark, big)
+        val row = df.withColumn("__h", xxhash64(df.columns.map(col): _*))
+          .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+        val n = row.getLong(0)
         println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
         Some(n)
       } catch {
