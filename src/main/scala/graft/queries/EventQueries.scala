@@ -12,6 +12,64 @@ import graft.ops.{Multimodal, Relational}
   */
 object EventQueries {
 
+  /** m8's hamming threshold — ≤ bands-1 (8 for the 9-band layout), so the
+    * pigeonhole band join is COMPLETE and the oracle needs no band
+    * predicate: band-join result ≡ brute-force pair scan.
+    */
+  val M8MaxHamming = 8
+
+  /** DuckDB luma at fixture sample index `i` (a channel-triple start) —
+    * the exact integer channel sum of the m7 generative byte formula
+    * `(doc_id*131 + i*m + i²%251) % 256`, with the twin stripe's +128
+    * (`delta`, "0" for base images) applied inside each channel's mod.
+    */
+  private def dLum(i: String, delta: String): String =
+    (0 to 2).map { ch =>
+      val s = s"($i + $ch)"
+      s"(doc_id*131 + $s*m + ($s*$s) % 251 + $delta) % 256"
+    }.mkString("(", " + ", ")")
+
+  /** Shared dHash oracle pipeline over an id relation carrying `doc_id`
+    * (+ optionally `img_id`/`tw` for the twin corpus): dims → 64 grid
+    * bits → sampled luma pair per bit → packed two-word signature. Mirrors
+    * `Multimodal.dHashPpm` bit-for-bit from the generative formula.
+    */
+  private def dHashSql(idsCte: String, idCol: String, twDelta: String): String = {
+    val idSel = if (idCol == "doc_id") "doc_id" else s"$idCol, doc_id"
+    idsCte +
+      s"dims AS (SELECT $idSel, tw, (17 + doc_id % 16)::BIGINT w, " +
+      "(17 + (doc_id // 16) % 16)::BIGINT h, (doc_id % 97 + 3)::BIGINT m FROM ids), " +
+      s"g AS (SELECT $idSel, tw, w, h, m, k, k // 8 AS r, k % 8 AS c " +
+      "FROM dims, unnest(range(0, 64)) u(k)), " +
+      s"p AS (SELECT $idSel, w, h, m, k, " +
+      "(((r * h) // 8) * w + (c * w) // 9) * 3 AS i1, " +
+      "(((r * h) // 8) * w + ((c + 1) * w) // 9) * 3 AS i2, " +
+      s"$twDelta AS dlt FROM g), " +
+      s"l AS (SELECT $idCol, w, h, k, ${dLum("i1", "dlt")} AS lum1, " +
+      s"${dLum("i2", "dlt")} AS lum2 FROM p), " +
+      s"hsh AS (SELECT $idCol, any_value(w) AS w, any_value(h) AS h, " +
+      "coalesce(sum(CASE WHEN k < 32 AND lum2 > lum1 THEN (1::BIGINT << k) ELSE 0 END), 0)::BIGINT AS dhash_lo, " +
+      "coalesce(sum(CASE WHEN k >= 32 AND lum2 > lum1 THEN (1::BIGINT << (k - 32)) ELSE 0 END), 0)::BIGINT AS dhash_hi " +
+      s"FROM l GROUP BY $idCol) "
+  }
+
+  /** Base-corpus dHash CTEs (m7): one signature per document id. */
+  private def dHashCtes(table: String): String =
+    dHashSql(s"WITH ids AS (SELECT doc_id, 0::BIGINT AS tw FROM $table), ",
+      "doc_id", "0")
+
+  /** Twin-corpus dHash CTEs (m8): every base image plus the stripe-
+    * perturbed twin of every 8th, twins at +1000000. The stripe delta
+    * applies iff the bit's grid row samples the perturbed source row
+    * (gy == doc_id % h).
+    */
+  private def dHashTwinCtes: String =
+    dHashSql("WITH ids AS (SELECT doc_id, doc_id AS img_id, 0::BIGINT AS tw " +
+      "FROM documents UNION ALL SELECT doc_id, doc_id + 1000000, 1::BIGINT " +
+      "FROM documents WHERE doc_id % 8 = 0), ",
+      "img_id",
+      "CASE WHEN tw = 1 AND (r * h) // 8 = doc_id % h THEN 128 ELSE 0 END")
+
   val all: Seq[(String, GQ)] = Seq(
 
     // Batch form of the stream-stream interval join (EventStreams.
@@ -375,6 +433,54 @@ object EventQueries {
         "max(abs(v))::INT peak FROM v GROUP BY 1, 2) " +
         "SELECT doc_id, f AS n_frames, sumsq AS amp_sumsq, " +
         "floor(sqrt((sumsq // f)::DOUBLE))::BIGINT AS rms_q, zcr, peak AS amp_peak FROM s"),
+
+    // M7 — perceptual image fingerprint (dHash) through the real decode
+    // seam: each payload is a genuine P6 the decoder parses byte-by-byte;
+    // the signature is the 9×8 nearest-neighbor luminance grid's
+    // horizontal-gradient bits, packed into the e7b two-word layout. The
+    // oracle recomputes every bit analytically from the generative pixel
+    // formula, so a grid-mapping slip, a channel-order error, or a packing
+    // off-by-one hash-mismatches. Map-only: at 100 TB the hash rides the
+    // ingest scan; only 16-byte signatures reach m8's shuffle.
+    "m7_image_dhash" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long].map(Multimodal.dhashFixture _)
+        Multimodal.decodeAll(s, media, Multimodal.dHashPpm)
+      },
+      dHashCtes("documents") +
+        "SELECT doc_id, w::INT AS width, h::INT AS height, dhash_lo, dhash_hi FROM hsh"),
+
+    // M8 — image NEAR-duplicate pairs: the multimodal×dedup crossover. The
+    // corpus is every m7 fixture plus a brightness-flipped-stripe twin for
+    // every 8th image (hamming ≤ 8 from its base by construction); pairs
+    // come from the SAME pigeonhole band join the binary-embedding
+    // near-dup uses (VectorOps.bandedHammingPairs, 9-band layout) — at
+    // maxHamming 8 the band join is COMPLETE, so the oracle is the plain
+    // all-pairs hamming filter. At 100 TB the band key partitions the
+    // shuffle and candidate volume stays occupancy-bounded; image bytes
+    // never leave the map side.
+    "m8_image_neardup" -> GQ(
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long].flatMap { id =>
+            val base = Multimodal.dhashFixture(id)
+            if (id % 8 == 0) Seq(base, Multimodal.dhashTwinFixture(id))
+            else Seq(base)
+          }
+        val sigs = Multimodal.decodeAll(s, media, Multimodal.dHashPpm)
+          .select(col("doc_id").as("img_id"), col("dhash_lo"), col("dhash_hi"))
+        graft.ops.VectorOps.bandedHammingPairs(
+          sigs, "img_id", "dhash_lo", "dhash_hi", M8MaxHamming)
+      },
+      dHashTwinCtes +
+        "SELECT x.img_id AS img_id_1, y.img_id AS img_id_2, " +
+        "(bit_count(xor(x.dhash_lo, y.dhash_lo)) + bit_count(xor(x.dhash_hi, y.dhash_hi)))::BIGINT AS hamming " +
+        "FROM hsh x JOIN hsh y ON x.img_id < y.img_id " +
+        "WHERE bit_count(xor(x.dhash_lo, y.dhash_lo)) + bit_count(xor(x.dhash_hi, y.dhash_hi)) " +
+        s"<= $M8MaxHamming"),
 
     // W3 — time-range rolling window: per event, the count and value-sum of
     // the same user's events in the trailing hour (inclusive), via a RANGE

@@ -203,6 +203,55 @@ class MultimodalSpec extends SparkSpec {
     assert(f.amp_sumsq == 2L * 1000L * 1000L)
   }
 
+  test("dHashPpm is invariant under global brightness shift") {
+    // The perceptual property that distinguishes dHash from a byte digest:
+    // adding a uniform offset to every sample (no wraparound) shifts every
+    // luminance equally, so no left-right comparison flips and the hash is
+    // bit-identical — while the byte payloads differ everywhere.
+    val hdrLen = "P6\n12 10\n255\n".length
+    val base = "P6\n12 10\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(12 * 10 * 3)(i => ((i * 37) % 200).toByte)
+    val brighter = base.clone()
+    for (i <- hdrLen until brighter.length)
+      brighter(i) = ((brighter(i) & 0xff) + 40).toByte // 0..199 -> 40..239
+    val h1 = Multimodal.dHashPpm(MediaRow(1L, base))
+    val h2 = Multimodal.dHashPpm(MediaRow(1L, brighter))
+    assert((h1.dhash_lo, h1.dhash_hi) == (h2.dhash_lo, h2.dhash_hi))
+    assert(!java.util.Arrays.equals(base, brighter))
+  }
+
+  test("dHashPpm matches the generative formula bit-for-bit") {
+    for (id <- Seq(0L, 8L, 95L, 255L, 499L)) {
+      val row = Multimodal.dhashFixture(id)
+      val got = Multimodal.dHashPpm(row)
+      val w = 17 + (id % 16).toInt
+      val h = 17 + ((id / 16) % 16).toInt
+      val m = (id % 97) + 3
+      def luma(x: Int, y: Int): Long = (0 to 2).map { ch =>
+        val i = (y * w + x) * 3 + ch
+        (id * 131 + i * m + (i.toLong * i) % 251) % 256
+      }.sum
+      var lo = 0L; var hi = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (luma((c + 1) * w / 9, r * h / 8) > luma(c * w / 9, r * h / 8)) {
+          val k = r * 8 + c
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      assert(got == Multimodal.DHashRow(id, w, h, lo, hi), s"id=$id")
+    }
+  }
+
+  test("dhashTwinFixture lands within hamming 8 of its base") {
+    for (id <- 0L until 256L by 8L) {
+      val b = Multimodal.dHashPpm(Multimodal.dhashFixture(id))
+      val t = Multimodal.dHashPpm(Multimodal.dhashTwinFixture(id))
+      assert(t.doc_id == id + Multimodal.DHashTwinIdOffset)
+      val ham = java.lang.Long.bitCount(b.dhash_lo ^ t.dhash_lo) +
+        java.lang.Long.bitCount(b.dhash_hi ^ t.dhash_hi)
+      assert(ham <= 8, s"id=$id ham=$ham")
+    }
+  }
+
   test("decodeAll is decoder-generic: the codec test double plugs in") {
     val media = spark.range(20)
       .select(col("id").as("doc_id"), concat(lit("payload-"), col("id")).cast("binary").as("media"))
