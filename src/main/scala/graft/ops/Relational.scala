@@ -516,4 +516,43 @@ object Relational {
       .withColumn("shard_id", floorDivExact(col("shard_off"), budget))
       .drop("pk_bucket", "pk_w", "pk_base")
   }
+
+  /** Exact heavy hitters (keys with count ≥ `minCount`) via a Count-Min
+    * prefilter — the two-phase hot-key detector for 100 TB scans. A naive
+    * `groupBy(key).count()` shuffles every distinct key (at corpus scale,
+    * billions of cold tail keys nobody asked about); instead:
+    *
+    *  1. build a CMS of the whole relation with Spark's built-in
+    *     `count_min_sketch` aggregate — partial sketches merge map-side,
+    *     only depth×width counter grids (a few hundred KB, independent of
+    *     key cardinality) cross the wire;
+    *  2. re-scan with the sketch bound as a scan-side native expression
+    *     (`CmsEstimateF`): CMS never UNDERestimates, so
+    *     `estimate >= minCount` keeps every true heavy hitter — the
+    *     prefilter has no false negatives, and the cold tail (the
+    *     overwhelming majority) never reaches the shuffle;
+    *  3. exact `groupBy` count over the surviving candidates, then the
+    *     exact threshold drops the CMS's false positives.
+    *
+    * Result ≡ the naive exact plan (the gate hash-checks this against the
+    * oracle's plain GROUP BY/HAVING); only the shuffle volume changes.
+    * `eps` trades sketch width for candidate precision: overestimation is
+    * ~eps·N over true count w.h.p., so keep eps ≪ minCount/N.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    val exact = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val sketchRow = df.agg(
+      expr(s"count_min_sketch(`$keyCol`, ${eps}d, ${confidence}d, $seed)")).head()
+    if (sketchRow.isNullAt(0)) exact // empty relation: nothing to prune
+    else {
+      val cms = graft.functions.CmsEstimateF.readFrom(sketchRow.getAs[Array[Byte]](0))
+      df.where(graft.functions.CmsEstimateF(col(keyCol), cms) >= minCount)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+    }
+  }
 }

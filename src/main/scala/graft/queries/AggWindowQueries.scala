@@ -291,6 +291,21 @@ object AggWindowQueries {
         "WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))) " +
         "AS missing_suppliers"),
 
+    // A12 — heavy hitters / hot-key detection: the exact set of join keys
+    // appearing ≥ 40 times in the fact table, found through a Count-Min
+    // prefilter (Relational.heavyHitters). This is the skew-diagnosis pass
+    // a 100 TB pipeline runs BEFORE choosing a salted join (j9): the
+    // sketch (a few hundred KB, cardinality-independent) crosses the wire
+    // instead of billions of cold tail keys; CMS's no-underestimate
+    // property makes the prefilter lossless, and the exact recount over
+    // survivors reproduces the plain GROUP BY/HAVING the oracle runs.
+    "a12_heavy_hitters" -> GQ(
+      (s, d) => Relational.heavyHitters(
+        Tables.load(s, d, "lineitem").select(col("l_partkey")),
+        "l_partkey", 40L),
+      "SELECT l_partkey, count(*) AS cnt FROM lineitem " +
+        "GROUP BY l_partkey HAVING count(*) >= 40"),
+
     // J6 — temporal nearest-within-band join (±12 h), the reference's
     // bucket-replicate band join with corrected floor(epoch/B) bucketing
     // (reference: load_fact.py:225-297; SURVEY §2.4 J6). Timestamps are

@@ -532,5 +532,80 @@ object EventQueries {
       "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
         "f AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) first_day FROM e) " +
         "SELECT first_day AS cohort_day, day - first_day AS day_offset, " +
-        "count(*) AS n_users FROM f GROUP BY 1, 2"))
+        "count(*) AS n_users FROM f GROUP BY 1, 2"),
+
+    // SCD2 — slowly-changing-dimension type-2 history: compress each
+    // user's attribute stream (a tier extracted from the event payload)
+    // into validity intervals — keep only CHANGE rows (attr IS DISTINCT
+    // FROM its predecessor; `<=>` gives the null-safe semantics both
+    // engines agree on), then valid_to = next change's valid_from and the
+    // open interval marks current. The warehouse-native history table
+    // every dimension load maintains. Both windows share the user_id
+    // partitioning, so the whole op is ONE shuffle; at 100 TB the change
+    // filter also collapses the second window's input to change rows only.
+    "scd2_user_history" -> GQ(
+      (s, d) => {
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.select(col("user_id"), col("event_id"),
+          Tables.eventTimeUs(raw).as("tus"),
+          expr("cast(get_json_object(props, '$.k') as bigint) div 25").as("tier"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        ev.withColumn("prev", lag(col("tier"), 1).over(w))
+          .where(!(col("prev") <=> col("tier")))
+          .select(col("user_id"), col("tier"), col("tus").as("valid_from_us"),
+            lead(col("tus"), 1).over(w).as("valid_to_us"),
+            lead(col("tus"), 1).over(w).isNull.cast("int").as("is_current"))
+      },
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus, " +
+        "json_extract_string(props, '$.k')::BIGINT // 25 AS tier FROM events), " +
+        "c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY tus, event_id) prev FROM e), " +
+        "f AS (SELECT user_id, event_id, tier, tus FROM c WHERE prev IS DISTINCT FROM tier) " +
+        "SELECT user_id, tier, tus AS valid_from_us, " +
+        "lead(tus) OVER w2 AS valid_to_us, " +
+        "(lead(tus) OVER w2 IS NULL)::INT AS is_current FROM f " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)"),
+
+    // EV-GAPFILL — time-spine gap fill with forward fill: each user's
+    // daily last-observed value carried across inactive days — the shape
+    // every feature store / metrics backfill computes. Spine days come
+    // from `sequence(min_day, max_day)` PER USER (bounded by each user's
+    // own active span — never a global calendar cross join), the fill is
+    // `last(ignoreNulls)` over the user-partitioned day window, and the
+    // daily last observation is deterministic ((tus, event_id) order, the
+    // w2 top-1 idiom). Values as exact cents so the fill can't drift a
+    // double across engines. Everything after the daily rollup rides the
+    // same user_id partitioning.
+    "ev_gapfill" -> GQ(
+      (s, d) => {
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.select(col("user_id"), col("event_id"),
+          Tables.eventTimeUs(raw).as("tus"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("day", expr("tus div 86400000000"))
+        val wld = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("tus").desc, col("event_id").desc)
+        val daily = ev.withColumn("rn", row_number().over(wld))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("cents"))
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("cents"), ignoreNulls = true).over(wf).as("cents_filled"),
+            col("cents").isNotNull.cast("int").as("observed"))
+      },
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus, " +
+        "round(value * 100)::BIGINT cents, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "daily AS (SELECT user_id, day, cents FROM e QUALIFY " +
+        "row_number() OVER (PARTITION BY user_id, day ORDER BY tus DESC, event_id DESC) = 1), " +
+        "b AS (SELECT user_id, min(day) d0, max(day) d1 FROM daily GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM b), " +
+        "j AS (SELECT s.user_id, s.day, d.cents FROM spine s " +
+        "LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day) " +
+        "SELECT user_id, day, last_value(cents IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cents_filled, (cents IS NOT NULL)::INT AS observed FROM j"))
 }

@@ -26,6 +26,41 @@ class ApproxAggSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
   }
 
+  test("CmsEstimateF never underestimates any key's true count") {
+    // The property Relational.heavyHitters' prefilter correctness rests
+    // on: Count-Min estimates are one-sided (>= true count, always — not
+    // just w.h.p.), for both supported key types.
+    import graft.functions.CmsEstimateF
+    val df = orders.select(col("o_custkey"), col("o_orderpriority"))
+    for (keyCol <- Seq("o_custkey", "o_orderpriority")) {
+      val bytes = df.agg(
+        expr(s"count_min_sketch($keyCol, 0.0001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = CmsEstimateF.readFrom(bytes)
+      val under = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact"))
+        .withColumn("est", CmsEstimateF(col(keyCol), cms))
+        .where(col("est") < col("exact")).count()
+      assert(under == 0L, s"$keyCol: $under keys underestimated")
+    }
+  }
+
+  test("heavyHitters == the naive exact plan, and prunes the shuffle") {
+    val li = Tables.load(spark, Sf0001, "lineitem").select(col("l_partkey"))
+    val got = graft.ops.Relational.heavyHitters(li, "l_partkey", 5L)
+    val want = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 5)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the prefilter must appear scan-side, before the exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("cms_estimate"), "CMS prefilter missing from plan")
+  }
+
+  test("heavyHitters on an empty relation returns empty, not a crash") {
+    val empty = orders.where(lit(false)).select(col("o_orderpriority"))
+    assert(graft.ops.Relational.heavyHitters(empty, "o_orderpriority", 1L).count() == 0L)
+  }
+
   test("HLL sketch merges across partitions like a distributed rollup") {
     // per-partition sketches unioned == whole-table sketch (merge law)
     val whole = orders.agg(approx_count_distinct(col("o_custkey")).as("n")).head().getLong(0)
