@@ -12,7 +12,10 @@ object PlanAudit {
         "t14_quality_classifier", "e8_semantic_prune", "e9_int8_adc_knn",
         "e10_pq_adc_knn", "e11_incremental_semantic",
         "e7b_binary_banded_neardup", "e7b_tier4_banded_neardup",
-        "m1_media_metadata", "j6_nearest_within_band", "j7_asof_join")) {
+        "m1_media_metadata", "j6_nearest_within_band", "j7_asof_join",
+        "m7_image_dhash", "m8_image_neardup", "a12_heavy_hitters",
+        "scd2_user_history", "ev_gapfill", "w3_rolling_window",
+        "ev_retention")) {
       println(s"########## $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>

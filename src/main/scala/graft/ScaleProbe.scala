@@ -42,6 +42,7 @@ object ScaleProbe {
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
       "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
       "t20_global_rank", "m5_ppm_resize", "m6_wav_features",
+      "m7_image_dhash", "m8_image_neardup",
       "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
@@ -49,10 +50,12 @@ object ScaleProbe {
       "e11_incremental_semantic", "e12_ivfpq_knn")
     val eventRows = Seq("j6_nearest_within_band", "j7_asof_join",
       "ev_sessionize", "ev_hourly_rollup", "ev_funnel",
-      "w3_rolling_window", "ev_retention")
+      "w3_rolling_window", "ev_retention", "scd2_user_history", "ev_gapfill")
+    val liRows = Seq("a12_heavy_hitters")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
+    val needLi = liRows.exists(sel)
 
     // Banner reports ONLY what was actually synthesized — an only-mode
     // probe must not log a corpus that does not exist at $big.
@@ -118,6 +121,22 @@ object ScaleProbe {
       synthesized += s"${row.getLong(4) * copies} events"
     }
 
+    // lineitem x copies for the hot-key probe: part keys offset per copy —
+    // "more keys, same skew profile", so the heavy-hitter SET scales
+    // linearly and the CMS prefilter's selectivity stays what production
+    // sees (oversampling the SAME keys would make every key hot at 100x
+    // and the prefilter would trivially prune nothing).
+    if (needLi) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val nLi = li.count()
+      val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
+      li.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      synthesized += s"${nLi * copies} lineitems"
+    }
+
     println(s"[scale] corpus at $big: ${synthesized.result().mkString(", ")}" +
       only.map(o => s" (only=${o.mkString(",")})").getOrElse(""))
     // Consume EVERY output column, not just the row count: count() lets
@@ -170,7 +189,7 @@ object ScaleProbe {
       }
     }
     println(f"[scale] materialize: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val counts = (docRows ++ vecRows ++ eventRows).filter(sel)
+    val counts = (docRows ++ vecRows ++ eventRows ++ liRows).filter(sel)
       .map(n => n -> timed(n)).toMap
     // The gates read the materialized CC label table (built in the
     // materialize phase); the ITERATIVE pass itself keeps its own tracked

@@ -362,9 +362,12 @@ object Multimodal {
     * mod 256. Only grid rows that sample the perturbed stripe can change,
     * so the twin lands within hamming 8 of its base (0 when the stripe
     * falls between grid samples) — the guaranteed-detectable pairs the m8
-    * gate asserts on. Twin ids live at +`DHashTwinIdOffset`.
+    * gate asserts on. Twin ids live at +`DHashTwinIdOffset` — 2^40, far
+    * above any synthesized probe corpus's id space (the scale probe
+    * offsets copies by max(doc_id)+1 per copy; a small offset like 10^6
+    * would collide with copy ids past ~200x).
     */
-  val DHashTwinIdOffset = 1000000L
+  val DHashTwinIdOffset = 1L << 40
 
   def dhashTwinFixture(docId: Long): MediaRow = {
     val base = dhashFixture(docId)

@@ -59,13 +59,13 @@ object EventQueries {
       "doc_id", "0")
 
   /** Twin-corpus dHash CTEs (m8): every base image plus the stripe-
-    * perturbed twin of every 8th, twins at +1000000. The stripe delta
+    * perturbed twin of every 8th, twins at +2^40. The stripe delta
     * applies iff the bit's grid row samples the perturbed source row
     * (gy == doc_id % h).
     */
   private def dHashTwinCtes: String =
     dHashSql("WITH ids AS (SELECT doc_id, doc_id AS img_id, 0::BIGINT AS tw " +
-      "FROM documents UNION ALL SELECT doc_id, doc_id + 1000000, 1::BIGINT " +
+      s"FROM documents UNION ALL SELECT doc_id, doc_id + ${Multimodal.DHashTwinIdOffset}, 1::BIGINT " +
       "FROM documents WHERE doc_id % 8 = 0), ",
       "img_id",
       "CASE WHEN tw = 1 AND (r * h) // 8 = doc_id % h THEN 128 ELSE 0 END")
@@ -456,16 +456,20 @@ object EventQueries {
     // corpus is every m7 fixture plus a brightness-flipped-stripe twin for
     // every 8th image (hamming ≤ 8 from its base by construction); pairs
     // come from the SAME pigeonhole band join the binary-embedding
-    // near-dup uses (VectorOps.bandedHammingPairs, 9-band layout) — at
-    // maxHamming 8 the band join is COMPLETE, so the oracle is the plain
-    // all-pairs hamming filter. At 100 TB the band key partitions the
-    // shuffle and candidate volume stays occupancy-bounded; image bytes
-    // never leave the map side.
+    // near-dup uses (VectorOps.bandedHammingPairs) with the SAME
+    // occupancy-adaptive band ladder as e7b: at gate scale (≤65k images)
+    // the ladder selects the 9-band layout, where maxHamming 8 is
+    // COMPLETE — so the oracle is the plain all-pairs hamming filter —
+    // and past 65k/262k images the wider 6-/4-band layouts keep candidate
+    // volume near-linear (the approximate regime, e7b's documented
+    // contract). At 100 TB the band key partitions the shuffle; image
+    // bytes never leave the map side.
     "m8_image_neardup" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long].flatMap { id =>
+        val ids = Tables.load(s, d, "documents").select(col("doc_id"))
+        val nImgs = ids.count() + ids.where(col("doc_id") % 8 === 0).count()
+        val media = ids.as[Long].flatMap { id =>
             val base = Multimodal.dhashFixture(id)
             if (id % 8 == 0) Seq(base, Multimodal.dhashTwinFixture(id))
             else Seq(base)
@@ -473,7 +477,8 @@ object EventQueries {
         val sigs = Multimodal.decodeAll(s, media, Multimodal.dHashPpm)
           .select(col("doc_id").as("img_id"), col("dhash_lo"), col("dhash_hi"))
         graft.ops.VectorOps.bandedHammingPairs(
-          sigs, "img_id", "dhash_lo", "dhash_hi", M8MaxHamming)
+          sigs, "img_id", "dhash_lo", "dhash_hi", M8MaxHamming,
+          graft.ops.VectorOps.adaptiveSignBands(nImgs))
       },
       dHashTwinCtes +
         "SELECT x.img_id AS img_id_1, y.img_id AS img_id_2, " +
