@@ -41,17 +41,18 @@ object ScaleProbe {
       "t4_winnow_fingerprint", "t11_dup_rate", "t12_token_shards",
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
       "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
-      "t20_global_rank", "m5_ppm_resize", "m6_wav_features",
-      "m7_image_dhash", "m8_image_neardup",
-      "x1_decontaminate", "x1b_bloom_decontaminate")
+      "t20_global_rank", "t21_source_quota", "m5_ppm_resize",
+      "m6_wav_features", "m7_image_dhash", "m8_image_neardup",
+      "x1_decontaminate", "x1b_bloom_decontaminate", "s8_hash_split")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
       "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",
       "e11_incremental_semantic", "e12_ivfpq_knn")
     val eventRows = Seq("j6_nearest_within_band", "j7_asof_join",
       "ev_sessionize", "ev_hourly_rollup", "ev_funnel",
-      "w3_rolling_window", "ev_retention", "scd2_user_history", "ev_gapfill")
-    val liRows = Seq("a12_heavy_hitters")
+      "w3_rolling_window", "ev_retention", "scd2_user_history", "ev_gapfill",
+      "c9_psi_drift")
+    val liRows = Seq("a12_heavy_hitters", "a13_bucketed_quantiles")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
@@ -61,6 +62,18 @@ object ScaleProbe {
     // probe must not log a corpus that does not exist at $big.
     val synthesized = Seq.newBuilder[String]
 
+    // Every synthesized table lands as MULTI-file parquet. The explode
+    // inherits the source scan's partitioning — sf0.1 tables are one
+    // file — so without this the whole corpus is a single split and every
+    // consumer's pre-shuffle stage (JSON extract, media decode, CMS scan)
+    // runs on ONE core: scd2 measured 29.5 s single-split vs 3.4 s
+    // multi-split at 10× on identical data. A production table at these
+    // row counts is never one split, so the one-file corpus would make
+    // the probe measure an artifact, not the plan.
+    def writeSpread(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
+
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
     // Copy ids offset by max(id)+1 (not count) so sparse or offset id
@@ -69,12 +82,12 @@ object ScaleProbe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val nDocs = docs.count()
       val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      docs
+      writeSpread(docs
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
           concat(col("text"), lit(" copytag"), col("copy")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+          col("lang"), col("source"), col("n_chars")),
+        s"$big/documents.parquet")
       synthesized += s"${nDocs * copies} docs"
     }
 
@@ -83,14 +96,14 @@ object ScaleProbe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nVec = emb.count()
       val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      emb
+      writeSpread(emb
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
               .otherwise(x).cast("float")).as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+          col("label")),
+        s"$big/embeddings.parquet")
       synthesized += s"${nVec * copies} vecs"
     }
 
@@ -110,14 +123,14 @@ object ScaleProbe {
         max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
         count(lit(1)).as("n")).head()
       val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
-      ev.withColumn("tus", tus)
+      writeSpread(ev.withColumn("tus", tus)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
           timestamp_micros(col("tus") + col("copy") * spanUs).as("ts"),
           (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .write.mode("overwrite").parquet(s"$big/events.parquet")
+          col("event_type"), col("value"), col("props")),
+        s"$big/events.parquet")
       synthesized += s"${row.getLong(4) * copies} events"
     }
 
@@ -130,10 +143,11 @@ object ScaleProbe {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val nLi = li.count()
       val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
-      li.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      writeSpread(li
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+        .drop("copy"),
+        s"$big/lineitem.parquet")
       synthesized += s"${nLi * copies} lineitems"
     }
 

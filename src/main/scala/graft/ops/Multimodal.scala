@@ -412,6 +412,20 @@ object Multimodal {
       .otherwise("bin")
   }
 
+  /** Spread a small id/manifest dataset across the cluster BEFORE
+    * per-payload work fans out from it. A media manifest is bytes-tiny
+    * while its decode cost is proportional to the payloads it names: read
+    * from a handful of manifest files, every downstream map/join inherits
+    * the scan's partition count — often 1 — which serializes not just the
+    * decode but everything derived from it (measured: m8's 157M-candidate
+    * band join ran single-threaded off a one-file id scan, 82 s at the
+    * 10× probe; the spread restores all-cores parallelism for a shuffle
+    * of ids alone). The same seam at 100 TB: repartition the manifest,
+    * never the decoded payloads.
+    */
+  def spreadManifest[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+
   /** Decode a corpus of media rows partition-by-partition with the given
     * decoder. `mapPartitions` keeps per-partition batching (amortizes
     * decoder init — exactly where a real codec loads its native context

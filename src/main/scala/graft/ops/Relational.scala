@@ -209,6 +209,22 @@ object Relational {
     q - when(cl % d < 0, lit(1L)).otherwise(lit(0L))
   }
 
+  /** Column-divisor floor division, same exact-integer contract as the
+    * Long overload; the divisor must be positive (all call sites pass
+    * counts/denominators ≥ 1), so the floor correction fires exactly when
+    * the remainder is negative.
+    */
+  private def floorDivExactC(c: Column, d: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cl = c.cast(LongType)
+    val dl = d.cast(LongType)
+    val q = ColumnBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.toExpr(cl),
+        ColumnBridge.toExpr(dl))).cast(LongType)
+    q - when(cl % dl < 0, lit(1L)).otherwise(lit(0L))
+  }
+
   private def isIntegral(df: DataFrame, c: String): Boolean = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
@@ -554,5 +570,52 @@ object Relational {
         .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= minCount)
     }
+  }
+
+  /** Exact order statistics of a Long column WITHOUT a global sort — the
+    * scale path for p50/p99/p999 over a corpus-sized (or single-huge-
+    * group) relation where `percentile`/a full-sort window would funnel
+    * every row through one partition's sort (a11's accepted cost for
+    * many-small-groups; fatal for one 100 TB group). Two-level selection:
+    *
+    *  1. histogram: `groupBy(value div bucketWidth).count` — partial
+    *     aggregation map-side, output rows = value range / bucketWidth
+    *     (thousands, independent of corpus size);
+    *  2. exclusive prefix sum over the TINY histogram (driver-scale
+    *     window) locates, for each requested quantile, the one bucket
+    *     containing its 0-based target rank `(n-1)·num div den` and the
+    *     rank's offset within it;
+    *  3. one broadcast semi-join pulls ONLY the target buckets' rows back
+    *     from the scan — n/buckets rows per quantile, not n — and a
+    *     within-bucket sort of that sliver selects the value.
+    *
+    * Equal values may straddle the selection arbitrarily: the rank's
+    * VALUE is order-independent under ties, so the result is exact and
+    * deterministic. Quantile ranks are pure integer math (`num`/`den`),
+    * never a double multiply that could round across a rank boundary.
+    * Returns one row per requested quantile: (q, rank, value).
+    */
+  def bucketedQuantiles(df: DataFrame, valueCol: String, bucketWidth: Long,
+                        qs: Seq[(String, Long, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.select(col(valueCol).as("__v"),
+      floorDivExact(col(valueCol), bucketWidth).as("__bkt"))
+    val hist = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc"))
+    val offs = hist.withColumn("__off", coalesce(
+        sum(col("__bc")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val targets = offs.crossJoin(
+        qs.toDF("q", "__num", "__den").hint("broadcast"))
+      .withColumn("rank", floorDivExactC((col("__n") - 1) * col("__num"), col("__den")))
+      .where(col("rank") >= col("__off") && col("rank") < col("__off") + col("__bc"))
+      .select(col("q"), col("rank"), col("__bkt"), col("__off"))
+    val wb = Window.partitionBy(col("q")).orderBy(col("__v"))
+    b.join(broadcast(targets), "__bkt")
+      .withColumn("__rn", row_number().over(wb) - 1 + col("__off"))
+      .where(col("__rn") === col("rank"))
+      .select(col("q"), col("rank"), col("__v").as("value"))
   }
 }

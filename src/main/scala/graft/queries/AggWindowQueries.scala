@@ -306,6 +306,82 @@ object AggWindowQueries {
       "SELECT l_partkey, count(*) AS cnt FROM lineitem " +
         "GROUP BY l_partkey HAVING count(*) >= 40"),
 
+    // A13 — exact corpus-wide order statistics WITHOUT a global sort
+    // (Relational.bucketedQuantiles): p50/p90/p99/p999 of the price
+    // column as exact integer cents. a11's `percentile` sorts each group
+    // inside one partition — fine for many small groups, fatal for ONE
+    // corpus-sized group; here a $100-bucket histogram (map-side partial
+    // agg, ~1k rows at any corpus size) locates each quantile's target
+    // bucket, and only those buckets' slivers are pulled and sorted. The
+    // oracle computes the same 0-based rank `(n-1)·num div den` by brute
+    // force over a full sort — equality IS the claim that two-level
+    // selection finds the exact order statistic. Ranks are integer math;
+    // ties can't disturb the result (the rank's VALUE is tie-invariant).
+    "a13_bucketed_quantiles" -> GQ(
+      (s, d) => Relational.bucketedQuantiles(
+        Tables.load(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "cents", 10000L,
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L),
+          ("p999", 999L, 1000L))),
+      "WITH c AS (SELECT round(l_extendedprice * 100)::BIGINT v FROM lineitem), " +
+        "n AS (SELECT count(*) cnt FROM c), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 rn FROM c), " +
+        "t AS (SELECT 'p50' q, 1::BIGINT num, 2::BIGINT den " +
+        "UNION ALL SELECT 'p90', 9, 10 UNION ALL SELECT 'p99', 99, 100 " +
+        "UNION ALL SELECT 'p999', 999, 1000) " +
+        "SELECT t.q, ((n.cnt - 1) * t.num) // t.den AS rank, r.v AS value " +
+        "FROM t, n, r WHERE r.rn = ((n.cnt - 1) * t.num) // t.den"),
+
+    // C9 — distribution-drift check between two snapshots (PSI, the
+    // population-stability index every production feature/data pipeline
+    // alarms on): events split into early/late halves of the time span,
+    // per event_type the value histogram (fixed $50 buckets capped at 10)
+    // is compared via Σ (p−q)·ln(p/q) with add-0.5 smoothing so a bucket
+    // empty on one side stays finite. Shape at 100 TB: ONE pass groups
+    // (type, bucket, side) — partial agg map-side, output is
+    // types×buckets rows — then all remaining arithmetic happens on that
+    // tiny table; nothing corpus-sized crosses a second shuffle. The
+    // mid-span split point rides the same plan as a broadcast scalar
+    // (no driver round-trip). Both engines do the identical IEEE double
+    // ops on identical inputs; round(6) absorbs summation order.
+    "c9_psi_drift" -> GQ(
+      (s, d) => {
+        val raw = Tables.load(s, d, "events")
+        val ev = raw.select(col("event_type"), col("value"),
+          Tables.eventTimeUs(raw).as("tus"))
+        val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+        val h = ev.crossJoin(broadcast(mid))
+          .select(col("event_type"),
+            least(floor(col("value") / 50.0), lit(9.0)).cast("long").as("bkt"),
+            when(col("tus") <= col("mid"), 1L).otherwise(0L).as("isa"))
+          .groupBy(col("event_type"), col("bkt"))
+          .agg(sum(col("isa")).as("ca"),
+            sum(lit(1L) - col("isa")).as("cb"))
+        val tot = h.groupBy(col("event_type"))
+          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+            count(lit(1)).as("k"))
+        h.join(broadcast(tot), "event_type")
+          .select(col("event_type"),
+            ((col("ca") + 0.5) / (col("na") + col("k") * 0.5)).as("p"),
+            ((col("cb") + 0.5) / (col("nb") + col("k") * 0.5)).as("q"))
+          .groupBy(col("event_type"))
+          .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+            .as("psi"))
+      },
+      "WITH e AS (SELECT event_type, value, epoch_us(ts) tus FROM events), " +
+        "m AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM e), " +
+        "h AS (SELECT event_type, least(floor(value / 50.0), 9.0)::BIGINT bkt, " +
+        "sum(CASE WHEN tus <= mid THEN 1 ELSE 0 END) ca, " +
+        "sum(CASE WHEN tus <= mid THEN 0 ELSE 1 END) cb " +
+        "FROM e, m GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, sum(ca) na, sum(cb) nb, count(*) k " +
+        "FROM h GROUP BY 1), " +
+        "pq AS (SELECT h.event_type, (ca + 0.5) / (na + k * 0.5) p, " +
+        "(cb + 0.5) / (nb + k * 0.5) q FROM h JOIN t ON h.event_type = t.event_type) " +
+        "SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi " +
+        "FROM pq GROUP BY event_type"),
+
     // J6 — temporal nearest-within-band join (±12 h), the reference's
     // bucket-replicate band join with corrected floor(epoch/B) bucketing
     // (reference: load_fact.py:225-297; SURVEY §2.4 J6). Timestamps are

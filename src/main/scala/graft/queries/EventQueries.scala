@@ -271,8 +271,8 @@ object EventQueries {
     "m1_media_metadata" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)])
           .map { case (id, text) =>
             (id, text, Multimodal.mixedFixture(id, text).media) }
           .toDF("doc_id", "text", "payload")
@@ -337,8 +337,8 @@ object EventQueries {
     "m3_ppm_decode" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long].map(Multimodal.ppmFixture _)
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long]).map(Multimodal.ppmFixture _)
         Multimodal.decodeAll(s, media, Multimodal.decodePpm)
           .withColumn("px_mean", round(col("px_mean"), 6))
       },
@@ -361,8 +361,8 @@ object EventQueries {
     "m4_wav_decode" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long].map(Multimodal.wavFixture _)
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long]).map(Multimodal.wavFixture _)
         Multimodal.decodeAll(s, media, Multimodal.decodeWav)
           .withColumn("duration_s", round(col("duration_s"), 6))
       },
@@ -389,8 +389,8 @@ object EventQueries {
     "m5_ppm_resize" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long]
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long])
           .map(id => Multimodal.resizePpmHalf(Multimodal.ppmFixture(id)))
         Multimodal.decodeAll(s, media, Multimodal.decodePpm)
           .withColumn("px_mean", round(col("px_mean"), 6))
@@ -418,8 +418,8 @@ object EventQueries {
     "m6_wav_features" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long].map(Multimodal.wavFixture _)
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long]).map(Multimodal.wavFixture _)
         Multimodal.decodeAll(s, media, Multimodal.wavFeatures)
       },
       "WITH p AS (SELECT doc_id, ((doc_id % 2) + 1)::BIGINT c, " +
@@ -445,8 +445,8 @@ object EventQueries {
     "m7_image_dhash" -> GQ(
       (s, d) => {
         import s.implicits._
-        val media = Tables.load(s, d, "documents")
-          .select(col("doc_id")).as[Long].map(Multimodal.dhashFixture _)
+        val media = Multimodal.spreadManifest(Tables.load(s, d, "documents")
+          .select(col("doc_id")).as[Long]).map(Multimodal.dhashFixture _)
         Multimodal.decodeAll(s, media, Multimodal.dHashPpm)
       },
       dHashCtes("documents") +
@@ -469,7 +469,7 @@ object EventQueries {
         import s.implicits._
         val ids = Tables.load(s, d, "documents").select(col("doc_id"))
         val nImgs = ids.count() + ids.where(col("doc_id") % 8 === 0).count()
-        val media = ids.as[Long].flatMap { id =>
+        val media = Multimodal.spreadManifest(ids.as[Long]).flatMap { id =>
             val base = Multimodal.dhashFixture(id)
             if (id % 8 == 0) Seq(base, Multimodal.dhashTwinFixture(id))
             else Seq(base)

@@ -1426,5 +1426,28 @@ object TextQueries {
         "r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank, " +
         "count(*) OVER () n FROM sc) " +
         "SELECT doc_id, round(score, 6) AS score, rank::BIGINT AS rank, " +
-        "(((rank - 1) * 10) // n)::BIGINT AS decile FROM r"))
+        "(((rank - 1) * 10) // n)::BIGINT AS decile FROM r"),
+
+    // T21 — per-source quota cap (domain balancing): keep at most K
+    // documents per source, best-first — the mixture-control pass that
+    // stops one crawl domain from dominating a training corpus, run
+    // upstream of t15's temperature resampling. Deterministic priority
+    // (n_chars desc, doc_id): an incremental re-run keeps the SAME
+    // survivors, so downstream shards are stable. Shape at 100 TB: one
+    // shuffle on source, per-group sort bounded by that source's rows;
+    // src_total rides the same window partition, so the quota report
+    // (how much was cut from each domain) costs nothing extra.
+    "t21_source_quota" -> GQ(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("src_total",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+        Relational.topKPerGroup(docs, Seq(col("source")),
+          Seq(col("n_chars").desc, col("doc_id")), 15)
+      },
+      "SELECT doc_id, source, n_chars, " +
+        "count(*) OVER (PARTITION BY source) AS src_total FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY source " +
+        "ORDER BY n_chars DESC, doc_id) <= 15"))
 }

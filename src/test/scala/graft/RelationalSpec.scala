@@ -244,4 +244,34 @@ class RelationalSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(run(Some(ckpt.toString)) == run(None))
   }
+
+  test("bucketedQuantiles matches sorted-array selection incl. negatives and ties") {
+    val rng = new scala.util.Random(7)
+    // Heavy ties (values mod 40), negatives, and a spread crossing many
+    // buckets at width 25 — the selection must equal a plain sort at the
+    // same integer rank (n-1)*num div den for every requested quantile.
+    val vals = Seq.fill(3000)((rng.nextInt(2000) - 700).toLong % 40 * 37L)
+    val qs = Seq(("p0", 0L, 1L), ("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p90", 9L, 10L), ("p99", 99L, 100L), ("p100", 1L, 1L))
+    val got = Relational.bucketedQuantiles(
+        vals.toDF("v").repartition(7), "v", 25L, qs)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val sorted = vals.sorted
+    val n = sorted.length.toLong
+    for ((q, num, den) <- qs) {
+      val r = Math.floorDiv((n - 1) * num, den)
+      assert(got(q) == ((r, sorted(r.toInt))), s"$q: got ${got(q)}")
+    }
+  }
+
+  test("bucketedQuantiles on a single-bucket and single-row frame") {
+    val one = Relational.bucketedQuantiles(Seq(42L).toDF("v"), "v", 1000L,
+      Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()
+    assert(one.toSeq == Seq(("p50", 0L, 42L)))
+    // all values inside one bucket: within-bucket sort must still select
+    val vs = Seq(5L, 3L, 9L, 9L, 1L)
+    val got = Relational.bucketedQuantiles(vs.toDF("v"), "v", 1000L,
+      Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("p50", 2L, vs.sorted.apply(2))))
+  }
 }
