@@ -43,7 +43,7 @@ object ScaleProbe {
       "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
       "t20_global_rank", "t21_source_quota", "m5_ppm_resize",
       "m6_wav_features", "m7_image_dhash", "m8_image_neardup",
-      "x1_decontaminate", "x1b_bloom_decontaminate", "s8_hash_split")
+      "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",
       "e6b_ivf_adaptive", "e7_binary_sign_ann", "e7b_binary_banded_neardup",
       "e8_semantic_prune", "e9_int8_adc_knn", "e10_pq_adc_knn",

@@ -145,31 +145,6 @@ object RelationalQueries {
       },
       "SELECT r_regionkey, r_name FROM region UNION ALL SELECT -1, 'Unknown'"),
 
-    // S8 — deterministic hash split: the reproducible train/val/test
-    // assignment every training pipeline keys on. The split is a pure
-    // function of the stable id — md5 of its decimal string, first byte
-    // as a 0-255 bucket, thresholds 240/248 → 93.75 / 3.125 / 3.125 % —
-    // NEVER rand(): re-running, re-partitioning, or re-ordering the
-    // corpus cannot move a document across splits, and a later
-    // incremental batch lands consistently. Shape at 100 TB: map-only,
-    // codegen'd md5 on the scan, no shuffle, no state. The oracle
-    // reproduces the bucket from the same digest via hex-char arithmetic
-    // (both engines emit lowercase-hex md5 of the identical string).
-    "s8_hash_split" -> GQ(
-      (s, d) => Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("long").as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 240, "train")
-            .when(col("bucket") < 248, "val").otherwise("test")),
-      "WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) hh FROM documents), " +
-        "b AS (SELECT doc_id, " +
-        "((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 + " +
-        "strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)::BIGINT bucket FROM h) " +
-        "SELECT doc_id, bucket, CASE WHEN bucket < 240 THEN 'train' " +
-        "WHEN bucket < 248 THEN 'val' ELSE 'test' END AS split FROM b"),
-
     // U1 — positional union of two disjoint slices (reference:
     // etl/load/load_fact.py:244-256 bucket replication, aq-cleanse.py:283).
     "u1_union_positional" -> GQ(
