@@ -25,6 +25,17 @@ import java.nio.file.{Files, Paths}
   * query whose MIN exceeds 2× its reference re-runs once after the whole
   * suite has finished and both numbers are recorded — a real regression
   * reproduces in the re-run; contention doesn't.
+  *
+  * Two consumers, two totals. The primary metric (`value`, per-query
+  * medians) uses `count()` — comparable across every prior round, but
+  * Catalyst prunes expressions no downstream consumes, so pure-projection
+  * plans (scd2's JSON extract + windows, w3's RANGE frame) bench their
+  * scan, not their work. A second one-shot pass per query therefore runs
+  * `queryExecution.toRdd.count()` — executing the UNOPTIMIZED-away output
+  * projection, every column materialized, no type restrictions — and is
+  * reported as `fullTotal` (compact line) and per-query `full`
+  * (bench_full.json). Regressions adjudicate against the primary metric;
+  * capacity planning reads the full one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,6 +84,20 @@ object Bench {
       (name, times(Runs / 2), times.head, times.last, runs.forall(_._2))
     }
 
+    // Full-materialization pass (see scaladoc): one shot per query.
+    def timeFull(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name full-pass FAILED: ${e.getMessage}"); false
+        }
+        finally spark.sharedState.cacheManager.clearCache()
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val fulls = SparkEntry.registry.map { case (name, q) => name -> timeFull(name, q.fn) }
+    val fullFailed = fulls.collect { case (k, (_, false)) => k + ":full" }
+
     // Contention sentinel (see scaladoc): reference seconds per query from
     // the committed last-clean-round file; absent file = sentinel off.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
@@ -101,7 +126,7 @@ object Bench {
     }.toMap
 
     val failed = results.collect { case (k, _, _, _, false) => k } ++
-      (if (matOk) Nil else Seq("materialize"))
+      fullFailed ++ (if (matOk) Nil else Seq("materialize"))
     // A failed query poisons the run: total = -1 (a broken query must never
     // *improve* the reported number) and the exit code is nonzero. The
     // one-time materialization cost counts toward the total — it is real
@@ -111,15 +136,19 @@ object Bench {
     // substituted — the artifact reports both and the reader adjudicates).
     val total =
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum + materializeSec
+    val fullTotal =
+      if (failed.nonEmpty) -1.0 else fulls.map(_._2._1).sum
 
     def j(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // Full artifact, full names, full precision.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val fullsMap = fulls.toMap
     val fullQ = results.map { case (k, med, mn, mx, ok) =>
       val rr = reruns.get(k).map(v => s""","rerun":$v""").getOrElse("")
-      s""""$k":{"median":$med,"min":$mn,"max":$mx,"ok":$ok$rr}"""
+      val fl = fullsMap.get(k).map(f => s""","full":${f._1}""").getOrElse("")
+      s""""$k":{"median":$med,"min":$mn,"max":$mx,"ok":$ok$rr$fl}"""
     }.mkString("{", ",", "}")
     // The full artifact is best-effort: an unwritable CWD must not turn a
     // healthy benchmark run into a failed one (stdout still carries every
@@ -130,6 +159,7 @@ object Bench {
       try {
         Files.writeString(Paths.get(fullPath),
           s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+            s""""fullTotal":$fullTotal,""" +
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
@@ -151,6 +181,7 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","runs":$Runs,""" +
+        s""""fullTotal":${j(fullTotal)},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""

@@ -358,13 +358,17 @@ object AggWindowQueries {
           .groupBy(col("event_type"), col("bkt"))
           .agg(sum(col("isa")).as("ca"),
             sum(lit(1L) - col("isa")).as("cb"))
-        val tot = h.groupBy(col("event_type"))
-          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-            count(lit(1)).as("k"))
-        h.join(broadcast(tot), "event_type")
-          .select(col("event_type"),
-            ((col("ca") + 0.5) / (col("na") + col("k") * 0.5)).as("p"),
-            ((col("cb") + 0.5) / (col("nb") + col("k") * 0.5)).as("q"))
+        // Per-type totals as a WINDOW over the types×buckets table — a
+        // groupBy-then-join-back would re-scan and re-shuffle the corpus
+        // for the same numbers (the ScalePlanSpec pin caught exactly
+        // that); the window's repartition moves ≤ types×buckets rows.
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        h.select(col("event_type"),
+            ((col("ca") + 0.5) /
+              (sum(col("ca")).over(wT) + count(lit(1)).over(wT) * 0.5)).as("p"),
+            ((col("cb") + 0.5) /
+              (sum(col("cb")).over(wT) + count(lit(1)).over(wT) * 0.5)).as("q"))
           .groupBy(col("event_type"))
           .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
             .as("psi"))

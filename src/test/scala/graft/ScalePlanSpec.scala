@@ -291,4 +291,55 @@ class ScalePlanSpec extends SparkSpec {
           s"SinglePartition exchange not over the per-lang aggregate:\n${plan.take(2000)}")
       }
   }
+
+  test("a13 quantiles: no global sort; slivers pulled via a bucket join") {
+    // The whole point of bucketedQuantiles is selecting order statistics
+    // WITHOUT sorting the corpus: the only SinglePartition funnels carry
+    // the bucket histogram (value-range/width rows, corpus-size-invariant)
+    // for its prefix sum, and the data-side sliver pull is a broadcast
+    // equi-join on the bucket id. A global Sort over the value column
+    // means the op degenerated into the full-sort plan it exists to avoid.
+    val q = SparkEntry.queries("a13_bucketed_quantiles")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 8).exists(l =>
+          l.contains("HashAggregate(keys=[__bkt")),
+          s"SinglePartition exchange not over the bucket histogram (line $i):\n${plan.take(2500)}")
+      }
+    // Sorts may only appear under a window partitioned by q (the per-
+    // quantile sliver selection), never as a global Sort of the corpus.
+    lines.filter(_.trim.startsWith("+- Sort ")).foreach { l =>
+      assert(l.contains("__bkt") || l.contains("q#"), s"unexpected sort: $l")
+    }
+  }
+
+  test("c9 PSI drift: one data-sized shuffle, scalar aggregates elsewhere") {
+    // The (type, bucket, side) grouped pass is the only corpus-sized
+    // shuffle; every SinglePartition funnel must sit over an aggregate
+    // (the span min/max scalar or the per-type totals), never raw events.
+    val q = SparkEntry.queries("c9_psi_drift")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.slice(i + 1, i + 6).exists(_.contains("HashAggregate")),
+          s"SinglePartition exchange not over an aggregate (line $i):\n${plan.take(2500)}")
+      }
+    val dataShuffles = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bkt"))
+    assert(dataShuffles <= 1, s"expected one (type,bucket) shuffle:\n${plan.take(2500)}")
+  }
+
+  test("t21 source quota plans one source-keyed shuffle and no funnel") {
+    val plan = executedPlan(SparkEntry.queries("t21_source_quota")(spark, Sf0001))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      plan.take(2000))
+  }
 }
