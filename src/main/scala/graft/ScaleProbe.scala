@@ -52,7 +52,8 @@ object ScaleProbe {
       "ev_sessionize", "ev_hourly_rollup", "ev_funnel",
       "w3_rolling_window", "ev_retention", "scd2_user_history", "ev_gapfill",
       "c9_psi_drift")
-    val liRows = Seq("a12_heavy_hitters", "a13_bucketed_quantiles")
+    val liRows = Seq("a12_heavy_hitters", "a13_bucketed_quantiles",
+      "j10_skew_split_join")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)
@@ -142,13 +143,27 @@ object ScaleProbe {
     if (needLi) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val nLi = li.count()
-      val pkOff = li.agg(max(col("l_partkey"))).head.getLong(0) + 1
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      // Offset from the larger of the two key spaces: an unreferenced
+      // part key above max(l_partkey) would otherwise collide with the
+      // next copy's low keys and duplicate dimension rows.
+      val pkOff = math.max(
+        li.agg(max(col("l_partkey"))).head.getLong(0),
+        part0.agg(max(col("p_partkey"))).head.getLong(0)) + 1
       writeSpread(li
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)
         .drop("copy"),
         s"$big/lineitem.parquet")
-      synthesized += s"${nLi * copies} lineitems"
+      // part replicates with the SAME per-copy key offset so every
+      // synthesized l_partkey keeps exactly one dimension match (j10's
+      // plain-join semantics need the build side to cover the fact keys).
+      writeSpread(part0
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("p_partkey", col("p_partkey") + col("copy") * pkOff)
+        .drop("copy"),
+        s"$big/part.parquet")
+      synthesized += s"${nLi * copies} lineitems (+part dim)"
     }
 
     println(s"[scale] corpus at $big: ${synthesized.result().mkString(", ")}" +

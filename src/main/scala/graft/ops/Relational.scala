@@ -572,6 +572,40 @@ object Relational {
     }
   }
 
+  /** Differential skew join: route HOT keys around the shuffle entirely,
+    * cold keys through the normal shuffle join — the composition of a12's
+    * hot-key detection with the broadcast/shuffle split (the mitigation
+    * for the key so hot that one reducer gets a meaningful fraction of a
+    * 100 TB fact table, where j9-style salting only divides the pile by a
+    * constant):
+    *
+    *  1. detect hot keys exactly via the CMS-prefiltered `heavyHitters`
+    *     (sketch-sized traffic, no cold-tail shuffle);
+    *  2. the big side splits on broadcast membership of that (small) hot
+    *     set — a map-side test, no extra shuffle of the big side;
+    *  3. hot big rows join the hot slice of the build side BROADCAST
+    *     (hot keys are few by construction; their build rows fit), so the
+    *     hottest key's rows never colocate anywhere;
+    *  4. cold rows take the ordinary equi join, per-key volume bounded by
+    *     `hotMin` on the probe side.
+    *
+    * Result ≡ `big.join(small, keys, "inner")` row-for-row (the gate
+    * hash-checks this against the plain-join oracle); only the routing
+    * differs. AQE's skew-join splits oversized PARTITIONS at runtime;
+    * this splits a KEY whose single-key volume is itself the problem, a
+    * layout AQE cannot fix because equal keys must still meet somewhere.
+    */
+  def skewSplitJoin(big: DataFrame, small: DataFrame, key: String,
+                    hotMin: Long): DataFrame = {
+    val hotKeys = heavyHitters(big.select(col(key)), key, hotMin)
+      .select(col(key))
+    val bigHot = big.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val smallHot = small.join(broadcast(hotKeys), Seq(key), "left_semi")
+    bigHot.join(broadcast(smallHot), Seq(key), "inner")
+      .unionByName(bigCold.join(small, Seq(key), "inner"))
+  }
+
   /** Exact order statistics of a Long column WITHOUT a global sort — the
     * scale path for p50/p99/p999 over a corpus-sized (or single-huge-
     * group) relation where `percentile`/a full-sort window would funnel

@@ -203,6 +203,26 @@ object RelationalQueries {
         "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
         "WHERE l.l_quantity > 45"),
 
+    // J10 — differential skew join (Relational.skewSplitJoin): a12's
+    // CMS-prefiltered hot-key detection composed with broadcast/shuffle
+    // routing — rows of keys appearing ≥ 40× never enter the shuffle (hot
+    // slice of the build side broadcasts; membership tested map-side),
+    // cold rows take the ordinary equi join with per-key volume bounded
+    // by the threshold. j9's salting divides a hot pile by a constant;
+    // this removes it from the shuffle entirely — the remaining tool when
+    // ONE key is a meaningful fraction of a 100 TB fact table. The oracle
+    // is the plain inner join: routing must be invisible row-for-row.
+    "j10_skew_split_join" -> GQ(
+      (s, d) => Relational.skewSplitJoin(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")),
+        Tables.load(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_name")),
+        "l_partkey", 40L),
+      "SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity, " +
+        "p.p_name FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"),
+
     // J1 + K2 — the incremental-load primitive: append only rows whose key
     // is absent from the existing sink, with overwrite fallback on first
     // run (reference: etl/extract/lfb-extract.py:30-52).

@@ -112,6 +112,31 @@ class RelationalSpec extends SparkSpec {
     assert(salted.count() == 901) // 900 hot + k950
   }
 
+  test("skewSplitJoin equals the plain join and routes hot keys off the shuffle") {
+    // 900 rows of one hot key + a cold tail; dim has hot, one cold match,
+    // and a key absent from the facts (must not resurface via the split).
+    val facts = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val dim = (Seq(("hot", "H"), ("missing", "Z")) ++
+      (901 to 1000 by 2).map(i => (s"k$i", s"L$i"))).toDF("k", "label")
+    val plain = facts.join(dim, Seq("k"), "inner").orderBy("v").collect().toSeq
+    val split = Relational.skewSplitJoin(facts, dim, "k", 100L)
+    assert(split.orderBy("v").collect().toSeq == plain)
+    // Routing: with auto-broadcast off, the cold path must still shuffle
+    // while the hot path stays broadcast (hints survive the conf).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Relational.skewSplitJoin(facts, dim, "k", 100L)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asOfJoin takes the latest at-or-before reading within horizon, per key") {
     val probes = Seq((1L, 100L, "u"), (2L, 250L, "u"), (3L, 100L, "v"),
       (4L, 500L, "u")).toDF("pid", "pts", "k")
