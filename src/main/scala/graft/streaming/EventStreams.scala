@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 import org.apache.spark.sql.types._
@@ -56,6 +56,59 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Fixed value-bucket column shared by the drift reference and monitor
+    * (c9's $50 buckets capped at 10) — ONE definition so the streaming
+    * and reference histograms cannot disagree on binning.
+    */
+  private def driftBucket: Column =
+    least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+
+  val DriftBuckets = 10
+
+  /** Offline-trained reference histogram for the drift monitor: per
+    * event_type, the value distribution as `DriftBuckets` wide columns
+    * (r0..r9) plus the total — the statistic a production pipeline
+    * refreshes on a schedule from a trusted snapshot while the monitor
+    * compares live windows against it per micro-batch.
+    */
+  def driftReference(events: DataFrame): DataFrame = {
+    val aggs = (0 until DriftBuckets).map(b =>
+      sum(when(driftBucket === b, 1L).otherwise(0L)).as(s"r$b")) :+
+      count(lit(1)).as("rn")
+    events.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming distribution-drift monitor — c9's PSI against the offline
+    * reference, evaluated per 6-hour tumbling window and event type. The
+    * live histogram is ONE aggregation (each bucket a conditional count
+    * — a second chained aggregation would be illegal in append-mode
+    * streaming), the reference joins stream-static broadcast, and the
+    * PSI fold is per-row arithmetic over the 2×10 count columns with the
+    * same add-0.5 smoothing as the batch gate. State is bounded by the
+    * watermark; output is one row per (window, type) — the alarm feed a
+    * 100 TB ingest pipeline pages on when a source's value distribution
+    * shifts mid-crawl. Batch-legal unchanged (window() works on static
+    * frames), which is how the equivalence spec checks it.
+    */
+  def driftMonitor(events: DataFrame, ref: DataFrame): DataFrame = {
+    val aggs = (0 until DriftBuckets).map(b =>
+      sum(when(driftBucket === b, 1L).otherwise(0L)).as(s"c$b")) :+
+      count(lit(1)).as("n")
+    val live = withEventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    val k = lit(DriftBuckets * 0.5)
+    val psi = (0 until DriftBuckets).map { b =>
+      val p = (col(s"c$b") + 0.5) / (col("n") + k)
+      val q = (col(s"r$b") + 0.5) / (col("rn") + k)
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    live.join(broadcast(ref), "event_type")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n").as("n_events"), round(psi, 6).as("psi"))
+  }
 
   /** Native session windows: 30-minute inactivity gap per user — the
     * streaming twin of the batch `ev_sessionize` query.

@@ -58,6 +58,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("drift monitor: streaming PSI equals batch PSI against the same reference") {
+    // Reference trained offline on the full corpus; the monitor compares
+    // each live window against it. Streaming and batch must agree on
+    // every (window, type) PSI — binning, smoothing, and window edges
+    // all come from the one shared definition.
+    val ref = EventStreams.driftReference(batchEvents)
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.driftMonitor(stream, ref), "drift", "complete")
+    val streamed = spark.table("drift")
+    val batch = EventStreams.driftMonitor(batchEvents, ref)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // Self-comparison sanity: a window whose distribution matches the
+    // reference exactly would read psi == 0; drifted windows read > 0.
+    assert(streamed.agg(min(abs(col("psi")))).head.getDouble(0) >= 0.0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, eventsDir)
