@@ -71,9 +71,13 @@ object ScaleProbe {
     // multi-split at 10× on identical data. A production table at these
     // row counts is never one split, so the one-file corpus would make
     // the probe measure an artifact, not the plan.
+    // Callers repartition the 1x BASE rows before the copy explode: the
+    // exploded frame inherits the base partitioning, so the output is the
+    // same even multi-split layout while the spread shuffle moves only
+    // nRows full-width base rows instead of copies x that.
+    val spreadN = spark.sparkContext.defaultParallelism
     def writeSpread(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(path)
+      df.write.mode("overwrite").parquet(path)
 
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
@@ -83,7 +87,7 @@ object ScaleProbe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val nDocs = docs.count()
       val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      writeSpread(docs
+      writeSpread(docs.repartition(spreadN)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
           concat(col("text"), lit(" copytag"), col("copy")).as("text"),
@@ -97,7 +101,7 @@ object ScaleProbe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nVec = emb.count()
       val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      writeSpread(emb
+      writeSpread(emb.repartition(spreadN)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
           transform(col("embedding"),
@@ -124,7 +128,7 @@ object ScaleProbe {
         max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
         count(lit(1)).as("n")).head()
       val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
-      writeSpread(ev.withColumn("tus", tus)
+      writeSpread(ev.withColumn("tus", tus).repartition(spreadN)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
@@ -150,7 +154,7 @@ object ScaleProbe {
       val pkOff = math.max(
         li.agg(max(col("l_partkey"))).head.getLong(0),
         part0.agg(max(col("p_partkey"))).head.getLong(0)) + 1
-      writeSpread(li
+      writeSpread(li.repartition(spreadN)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)
         .drop("copy"),
@@ -158,7 +162,7 @@ object ScaleProbe {
       // part replicates with the SAME per-copy key offset so every
       // synthesized l_partkey keeps exactly one dimension match (j10's
       // plain-join semantics need the build side to cover the fact keys).
-      writeSpread(part0
+      writeSpread(part0.repartition(spreadN)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("p_partkey", col("p_partkey") + col("copy") * pkOff)
         .drop("copy"),

@@ -198,15 +198,9 @@ object Relational {
     * while |c| < 2^53 and d < 2^53/|c| half-ULP-wise — fine for any
     * second/milli/microsecond epoch, wrong for nanos (hence the split).
     */
-  private def floorDivExact(c: Column, d: Long): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
+  def floorDivExact(c: Column, d: Long): Column = {
     require(d > 0, s"floorDivExact expects a positive divisor, got $d")
-    val cl = c.cast(LongType)
-    val q = ColumnBridge.toColumn(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        ColumnBridge.toExpr(cl),
-        ColumnBridge.toExpr(lit(d)))).cast(LongType)
-    q - when(cl % d < 0, lit(1L)).otherwise(lit(0L))
+    floorDivExactC(c, lit(d))
   }
 
   /** Column-divisor floor division, same exact-integer contract as the
@@ -566,7 +560,12 @@ object Relational {
     if (sketchRow.isNullAt(0)) exact // empty relation: nothing to prune
     else {
       val cms = graft.functions.CmsEstimateF.readFrom(sketchRow.getAs[Array[Byte]](0))
-      df.where(graft.functions.CmsEstimateF(col(keyCol), cms) >= minCount)
+      // `count_min_sketch` skips nulls and CmsEstimateF is null-intolerant,
+      // so the null-key group (which the naive plan DOES return when heavy)
+      // bypasses the prefilter straight to the exact recount — it is one
+      // group, so letting it through costs nothing and keeps the ≡ contract.
+      df.where(col(keyCol).isNull ||
+          graft.functions.CmsEstimateF(col(keyCol), cms) >= minCount)
         .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= minCount)
     }

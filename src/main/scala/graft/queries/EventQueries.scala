@@ -468,7 +468,12 @@ object EventQueries {
       (s, d) => {
         import s.implicits._
         val ids = Tables.load(s, d, "documents").select(col("doc_id"))
-        val nImgs = ids.count() + ids.where(col("doc_id") % 8 === 0).count()
+        // One aggregate pass for both counts — Bench constructs this query
+        // several times per run, so a second full-table count job here is
+        // pure waste.
+        val cRow = ids.agg(count(lit(1)).as("nd"),
+          count(when(col("doc_id") % 8 === 0, lit(1))).as("nt")).head()
+        val nImgs = cRow.getLong(0) + cRow.getLong(1)
         val media = Multimodal.spreadManifest(ids.as[Long]).flatMap { id =>
             val base = Multimodal.dhashFixture(id)
             if (id % 8 == 0) Seq(base, Multimodal.dhashTwinFixture(id))
@@ -551,9 +556,14 @@ object EventQueries {
     "scd2_user_history" -> GQ(
       (s, d) => {
         val raw = Tables.load(s, d, "events")
+        // FLOOR division (Relational.floorDivExact), not Spark's
+        // truncating `div`: the oracle's DuckDB `//` floors, and the two
+        // differ on negative operands — the tier contract must not depend
+        // on the generator happening to emit non-negative k values.
         val ev = raw.select(col("user_id"), col("event_id"),
           Tables.eventTimeUs(raw).as("tus"),
-          expr("cast(get_json_object(props, '$.k') as bigint) div 25").as("tier"))
+          Relational.floorDivExact(
+            expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         ev.withColumn("prev", lag(col("tier"), 1).over(w))
           .where(!(col("prev") <=> col("tier")))

@@ -58,11 +58,12 @@ object EventStreams {
         col("n_events"), col("total_value"))
 
   /** Fixed value-bucket column shared by the drift reference and monitor
-    * (c9's $50 buckets capped at 10) — ONE definition so the streaming
-    * and reference histograms cannot disagree on binning.
+    * (c9's $50 buckets, clamped to [0, 9] so a negative value cannot fall
+    * outside the wide layout) — ONE definition so the streaming and
+    * reference histograms cannot disagree on binning.
     */
   private def driftBucket: Column =
-    least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+    greatest(least(floor(col("value") / 50.0), lit(9.0)), lit(0.0)).cast("long")
 
   val DriftBuckets = 10
 
@@ -83,9 +84,11 @@ object EventStreams {
     * reference, evaluated per 6-hour tumbling window and event type. The
     * live histogram is ONE aggregation (each bucket a conditional count
     * — a second chained aggregation would be illegal in append-mode
-    * streaming), the reference joins stream-static broadcast, and the
-    * PSI fold is per-row arithmetic over the 2×10 count columns with the
-    * same add-0.5 smoothing as the batch gate. State is bounded by the
+    * streaming), the reference joins stream-static broadcast LEFT (a
+    * type the reference never saw must alarm, not vanish), and the PSI
+    * fold is per-row arithmetic over the 2×10 count columns with the
+    * same add-0.5 observed-bucket smoothing as the batch gate. State is
+    * bounded by the
     * watermark; output is one row per (window, type) — the alarm feed a
     * 100 TB ingest pipeline pages on when a source's value distribution
     * shifts mid-crawl. Batch-legal unchanged (window() works on static
@@ -99,15 +102,34 @@ object EventStreams {
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
       .agg(aggs.head, aggs.tail: _*)
-    val k = lit(DriftBuckets * 0.5)
+    // LEFT join: an event_type absent from the reference is MAXIMAL drift
+    // — an inner join would silence exactly those windows (the alarm the
+    // monitor exists to raise). Missing reference counts coalesce to 0,
+    // so q falls back to pure smoothing mass and PSI reads large.
+    val joined = live.join(broadcast(ref), Seq("event_type"), "left")
+    val cb = (0 until DriftBuckets).map(b => col(s"c$b"))
+    val rb = (0 until DriftBuckets).map(b => coalesce(col(s"r$b"), lit(0L)))
+    val rn = coalesce(col("rn"), lit(0L))
+    // Smoothing matches the batch c9 gate: k counts OBSERVED buckets
+    // (nonzero on either side) and the PSI sum runs over observed buckets
+    // only — per-row arithmetic over the wide columns, so it stays legal
+    // after the one streaming aggregation. Each term (p−q)·ln(p/q) is
+    // ≥ 0 by construction, so PSI ≥ 0 exactly (the spec pins this).
+    val obs = (0 until DriftBuckets).map(b =>
+      when(cb(b) > 0 || rb(b) > 0, 1.0).otherwise(0.0))
+    val kObs = obs.reduce(_ + _)
     val psi = (0 until DriftBuckets).map { b =>
-      val p = (col(s"c$b") + 0.5) / (col("n") + k)
-      val q = (col(s"r$b") + 0.5) / (col("rn") + k)
-      (p - q) * log(p / q)
+      val p = (cb(b) + 0.5) / (col("n") + kObs * 0.5)
+      val q = (rb(b) + 0.5) / (rn + kObs * 0.5)
+      obs(b) * (p - q) * log(p / q)
     }.reduce(_ + _)
-    live.join(broadcast(ref), "event_type")
+    // ref_n rides along because PSI alone cannot flag an UNSEEN type:
+    // over observed-bucket support, a single-bucket live histogram reads
+    // psi = 0 even against zero reference mass (both "distributions" are
+    // 100%-in-that-bucket). Absence of reference is its own alarm bit.
+    joined
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n").as("n_events"), round(psi, 6).as("psi"))
+        col("n").as("n_events"), rn.as("ref_n"), round(psi, 6).as("psi"))
   }
 
   /** Native session windows: 30-minute inactivity gap per user — the

@@ -12,7 +12,7 @@ import graft.ops.TextOps
 class RankSpec extends SparkSpec {
 
   test("t20 bucketed rank == naive single-partition rank, ties included") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = Sf0001
     val got = SparkEntry.queries("t20_global_rank")(spark, sf)
       .select("doc_id", "rank", "decile")
 
@@ -40,7 +40,6 @@ class RankSpec extends SparkSpec {
     // constant score: every row lands in one bucket; rank must fall back
     // to pure doc_id order without duplicates or gaps
     val docs = (1L to 97L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("rank_docs")
     val t = TextOps.tokens(col("text"))
     val scored = docs.select(col("doc_id"),
       (size(array_distinct(t)).cast("double") / size(t)).as("score"))

@@ -137,6 +137,26 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("heavyHitters keeps a heavy NULL-key group, matching the naive plan") {
+    // count_min_sketch skips nulls, so the null group must bypass the
+    // CMS prefilter — the ≡-naive-plan contract includes it.
+    val df = ((1 to 50).map(_ => Option.empty[String]) ++
+      (1 to 60).map(_ => Option("hot")) ++
+      (1 to 5).map(i => Option(s"cold$i"))).toDF("k")
+    val got = Relational.heavyHitters(df, "k", 40L).orderBy("k").collect().toSeq
+    val naive = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 40).orderBy("k").collect().toSeq
+    assert(got == naive)
+    assert(got.exists(_.isNullAt(0)))
+  }
+
+  test("floorDivExact floors (DuckDB // semantics) on negatives, not truncates") {
+    val out = Seq(-7L, -25L, -26L, 0L, 7L, 25L).toDF("x")
+      .select(Relational.floorDivExact(col("x"), 25L).as("q"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(-1L, -1L, -2L, 0L, 0L, 1L))
+  }
+
   test("asOfJoin takes the latest at-or-before reading within horizon, per key") {
     val probes = Seq((1L, 100L, "u"), (2L, 250L, "u"), (3L, 100L, "v"),
       (4L, 500L, "u")).toDF("pid", "pts", "k")

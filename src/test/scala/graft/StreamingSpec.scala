@@ -71,9 +71,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
-    // Self-comparison sanity: a window whose distribution matches the
-    // reference exactly would read psi == 0; drifted windows read > 0.
-    assert(streamed.agg(min(abs(col("psi")))).head.getDouble(0) >= 0.0)
+    // PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 — a negative value
+    // can only come from a broken fold (no abs() here: abs >= 0 would be
+    // a tautology that passes on garbage).
+    assert(streamed.agg(min(col("psi"))).head.getDouble(0) >= 0.0)
+  }
+
+  test("drift monitor alarms on an event_type the reference never saw") {
+    // A type absent from the reference is maximal drift — the stream-
+    // static join must be LEFT so those windows surface (inner join
+    // returned zero rows, silencing the alarm precisely when it matters).
+    val ref = EventStreams.driftReference(
+      batchEvents.where(col("event_type") =!= "error"))
+    val unseen = EventStreams.driftMonitor(batchEvents, ref)
+      .where(col("event_type") === "error")
+    assert(unseen.count() > 0)
+    // The alarm bit for an unseen type is ref_n == 0, not PSI: over
+    // observed-bucket support a single-bucket live histogram reads
+    // psi = 0 even against zero reference mass.
+    assert(unseen.where(col("ref_n") =!= 0).count() == 0)
+    assert(unseen.agg(min(col("psi"))).head.getDouble(0) >= 0.0)
   }
 
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
