@@ -41,7 +41,8 @@ object ScaleProbe {
       "t4_winnow_fingerprint", "t11_dup_rate", "t12_token_shards",
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
       "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
-      "t20_global_rank", "t21_source_quota", "m5_ppm_resize",
+      "t20_global_rank", "t21_source_quota", "t22_fuzzy_edit_join",
+      "m5_ppm_resize",
       "m6_wav_features", "m7_image_dhash", "m8_image_neardup",
       "x1_decontaminate", "x1b_bloom_decontaminate")
     val vecRows = Seq("e2_knn_lsh", "e3_cosine_neardup_pairs", "e6_ivf_knn",

@@ -392,4 +392,88 @@ object TextOps {
       .where(pmod(h60(concat_ws("|", lit("mix42"), col(idCol))),
         lit(1048576L)) < col("thr"))
       .select(col(idCol), col(langCol), col("n_tokens"))
+
+  /** Bounded edit-distance self-join via PassJoin-style segment blocking
+    * (Li/Deng/Feng's partition scheme): every pair within Levenshtein
+    * distance ≤ `tau` — the entity-resolution / fuzzy-record-linkage join,
+    * done WITHOUT the all-pairs scan (t5's brute-force shape, fine for 30
+    * rows, fatal for a corpus).
+    *
+    * Pigeonhole: partition an indexed string into `tau+1` contiguous
+    * segments; ≤ tau edits touch ≤ tau of them, so for any matching pair
+    * at least one segment of the indexed string survives VERBATIM in the
+    * probe string, shifted by at most tau positions (net indels before
+    * it). So candidates come from an EQUI-join on (segment#, indexed
+    * length, substring): the index emits its tau+1 segments; the probe
+    * emits, for each plausible indexed length lb ∈ [L−tau, L+tau], each
+    * segment's substring at each shift in [−tau, +tau]. That is
+    * (2tau+1)²·(tau+1) short keys per row (75 at tau=2) — segment keys
+    * shuffle, documents never do. (The multi-match-aware position windows
+    * of the published algorithm would shrink that constant; the loose
+    * window keeps the completeness argument one sentence long.)
+    *
+    * Survivors verify with the real `levenshtein` (codegen'd in Spark,
+    * recomputed by the DuckDB oracle), so blocking affects cost only —
+    * never the result. Strings shorter than tau+1 chars can't host tau+1
+    * nonempty segments, but any two of them are within tau by construction
+    * (ed ≤ max length), so that sliver broadcast-pairs directly; mixed
+    * short-long pairs ride the main path (only the INDEX side needs
+    * tau+1 chars, and the probe enumerates index lengths ≥ tau+1).
+    *
+    * Hazard at scale, same family as d2's hot shingles: a segment shared
+    * by many strings (templated prefixes) fans out quadratically in the
+    * candidate join. Natural-text keys keep segments rare; for templated
+    * corpora, block on the variable field instead.
+    *
+    * @return (id1, id2, dist) with id1 < id2, dist ≤ tau, exactly the
+    *         brute-force pair set (the gate hash-checks this).
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       tau: Int): DataFrame = {
+    require(tau >= 1, s"editDistanceJoin needs tau >= 1, got $tau")
+    val seg = tau + 1
+    val t = df.select(col(idCol).cast(LongType).as("__id"),
+      col(strCol).as("__s"), length(col(strCol)).as("__L"))
+    val long = t.where(col("__L") >= seg)
+    val short = t.where(col("__L") < seg)
+
+    val idx = long
+      .withColumn("j", explode(sequence(lit(0), lit(tau))))
+      .select(col("__id").as("b_id"), col("__L").as("lb"), col("j"),
+        expr(s"substring(__s, (j * __L) div $seg + 1, " +
+          s"((j + 1) * __L) div $seg - (j * __L) div $seg)").as("sub"))
+
+    val probe = t
+      .withColumn("dl", explode(sequence(lit(-tau), lit(tau))))
+      .withColumn("lb", col("__L") + col("dl"))
+      .where(col("lb") >= seg)
+      .withColumn("j", explode(sequence(lit(0), lit(tau))))
+      .withColumn("d", explode(sequence(lit(-tau), lit(tau))))
+      .withColumn("st", expr(s"(j * lb) div $seg") + col("d"))
+      .withColumn("ln",
+        expr(s"((j + 1) * lb) div $seg - (j * lb) div $seg"))
+      .where(col("st") >= 0 && col("st") + col("ln") <= col("__L"))
+      .select(col("__id").as("a_id"), col("lb"), col("j"),
+        expr("substring(__s, st + 1, ln)").as("sub"))
+
+    val cands = probe.join(idx, Seq("j", "lb", "sub"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("id1"),
+        greatest(col("a_id"), col("b_id")).as("id2"))
+      .distinct()
+
+    val longPairs = cands
+      .join(t.select(col("__id").as("id1"), col("__s").as("s1")), "id1")
+      .join(t.select(col("__id").as("id2"), col("__s").as("s2")), "id2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
+      .where(col("dist") <= tau)
+
+    val shortPairs = short.select(col("__id").as("id1"), col("__s").as("s1"))
+      .join(broadcast(short.select(col("__id").as("id2"), col("__s").as("s2"))),
+        col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
+
+    longPairs.select(col("id1"), col("id2"), col("dist"))
+      .union(shortPairs.select(col("id1"), col("id2"), col("dist")))
+  }
 }

@@ -1449,5 +1449,27 @@ object TextQueries {
       "SELECT doc_id, source, n_chars, " +
         "count(*) OVER (PARTITION BY source) AS src_total FROM documents " +
         "QUALIFY row_number() OVER (PARTITION BY source " +
-        "ORDER BY n_chars DESC, doc_id) <= 15"))
+        "ORDER BY n_chars DESC, doc_id) <= 15"),
+
+    // T22 — bounded edit-distance self-join at corpus scale
+    // (TextOps.editDistanceJoin, PassJoin-style segment blocking): every
+    // document pair whose 30-char leading text is within Levenshtein
+    // distance 2 — the entity-resolution / fuzzy-record-linkage join. t5
+    // is this operator's brute-force shape capped at 30 rows; here the
+    // ORACLE is that brute force over the whole table (DuckDB evaluates
+    // the length-filtered cross join in well under a second at gate
+    // scale) while the Spark plan is the segment equi-join + levenshtein
+    // verify that survives a corpus — equality IS the claim that the
+    // pigeonhole blocking loses no pair.
+    "t22_fuzzy_edit_join" -> GQ(
+      (s, d) => TextOps.editDistanceJoin(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 30).as("p")),
+          "doc_id", "p", 2)
+        .select(col("id1").as("doc_id_1"), col("id2").as("doc_id_2"),
+          col("dist").as("edit_dist")),
+      "WITH t AS (SELECT doc_id, substr(text, 1, 30) p FROM documents) " +
+        "SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2, " +
+        "levenshtein(x.p, y.p) AS edit_dist FROM t x JOIN t y " +
+        "ON x.doc_id < y.doc_id WHERE levenshtein(x.p, y.p) <= 2"))
 }

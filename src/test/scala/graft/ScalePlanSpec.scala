@@ -342,4 +342,23 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       plan.take(2000))
   }
+
+  test("t22 fuzzy join: candidates via equi-join; nested loop only on the short sliver") {
+    // The candidate generator must be the (segment, length, substring)
+    // equi-join — a CartesianProduct would mean the blocking degenerated
+    // to all-pairs. The one allowed nested-loop node is the broadcast
+    // short-short sliver (strings shorter than tau+1 chars; empty for
+    // 30-char prefixes but present in the plan), and it must sit over a
+    // broadcast, never a shuffle.
+    val q = SparkEntry.queries("t22_fuzzy_edit_join")(spark, Sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // equi-join on the segment key, in whatever hash flavor fits the
+    // corpus (broadcast at spec scale, shuffled/sort-merge beyond)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the short-sliver pair join may nest:\n${plan.take(2000)}")
+  }
 }
