@@ -651,4 +651,44 @@ object Relational {
       .where(col("__rn") === col("rank"))
       .select(col("q"), col("rank"), col("__v").as("value"))
   }
+
+  // ---------------------------------------------------------------------
+  // Incremental rollup maintenance (algebraic aggregate states)
+  // ---------------------------------------------------------------------
+
+  /** Per-group algebraic aggregate STATE — (n, sum_v, min_v, max_v) per
+    * value column — the mergeable representation behind incremental
+    * materialized-view maintenance: each ingest batch reduces to a
+    * keys-sized state table (map-side partial agg, one shuffle on the
+    * group keys), and `mergeAggStates` folds any number of batch states
+    * into the rollup a full recompute would produce. At 100 TB the
+    * maintained view never re-reads history: per-batch cost is
+    * O(batch) + a keys-sized merge, and every component is algebraic
+    * (count/sum re-sum, min/max re-min/max), so the merge is exact —
+    * derived measures (avg = sum/n) come out of the final state.
+    * Integer-valued inputs keep the identity bit-exact; float sums merge
+    * associatively only up to rounding, same as any re-aggregation.
+    */
+  def aggState(df: DataFrame, keys: Seq[String],
+               valCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty, "aggState needs at least one value column")
+    val aggs = count(lit(1)).as("n") +: valCols.flatMap(v => Seq(
+      sum(col(v)).as(s"sum_$v"), min(col(v)).as(s"min_$v"),
+      max(col(v)).as(s"max_$v")))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold batch states from `aggState` (same keys + value columns) into
+    * the state a single pass over the concatenated batches would emit.
+    * Associative and commutative, so maintenance order never matters.
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    val st = states.reduce(_.unionByName(_))
+    val valNames = st.columns.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).toSeq
+    val aggs = sum(col("n")).as("n") +: valNames.flatMap(v => Seq(
+      sum(col(s"sum_$v")).as(s"sum_$v"), min(col(s"min_$v")).as(s"min_$v"),
+      max(col(s"max_$v")).as(s"max_$v")))
+    st.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -333,6 +333,41 @@ object AggWindowQueries {
         "SELECT t.q, ((n.cnt - 1) * t.num) // t.den AS rank, r.v AS value " +
         "FROM t, n, r WHERE r.rn = ((n.cnt - 1) * t.num) // t.den"),
 
+    // A14 — incremental rollup maintenance (Relational.aggState /
+    // mergeAggStates): the pricing rollup maintained as three ingest
+    // batches' algebraic states (n / sum / min / max per measure, exact
+    // integer units) folded together — the materialized-view delta
+    // pattern that never re-reads history at 100 TB. The oracle is the
+    // single-pass GROUP BY over the whole table: equality IS the claim
+    // that batch states merge losslessly. Measures are pre-quantized
+    // (qty rounded to long, price to cents) so the identity is bit-exact
+    // rather than fp-summation-order-lucky.
+    "a14_incremental_rollup" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity"), 0).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_orderkey"))
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val batches = (0 to 2).map(b =>
+          Relational.aggState(li.where(col("l_orderkey") % 3 === b)
+            .drop("l_orderkey"), keys, Seq("qty", "cents")))
+        Relational.mergeAggStates(batches, keys)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("n").as("n_rows"), col("sum_qty"), col("min_qty"),
+            col("max_qty"), col("sum_cents"), col("min_cents"),
+            col("max_cents"))
+      },
+      "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+        "sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty, " +
+        "min(round(l_quantity)::BIGINT) AS min_qty, " +
+        "max(round(l_quantity)::BIGINT) AS max_qty, " +
+        "sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents, " +
+        "min(round(l_extendedprice * 100)::BIGINT) AS min_cents, " +
+        "max(round(l_extendedprice * 100)::BIGINT) AS max_cents " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
     // C9 — distribution-drift check between two snapshots (PSI, the
     // population-stability index every production feature/data pipeline
     // alarms on): events split into early/late halves of the time span,

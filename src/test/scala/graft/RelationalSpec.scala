@@ -150,6 +150,26 @@ class RelationalSpec extends SparkSpec {
     assert(got.exists(_.isNullAt(0)))
   }
 
+  test("aggState batches merge to the single-pass rollup, any batch shape") {
+    val rows = Seq(
+      ("a", 5L, -3L), ("a", 7L, 10L), ("a", -2L, 0L),
+      ("b", 1L, 1L), ("c", 100L, -50L)).toDF("k", "x", "y")
+    val full = Relational.aggState(rows, Seq("k"), Seq("x", "y"))
+    // uneven batches incl. an empty one and a batch with a disjoint key
+    val batches = Seq(
+      rows.where(col("x") > 4), rows.where(col("x") <= 4),
+      rows.where(lit(false)))
+      .map(Relational.aggState(_, Seq("k"), Seq("x", "y")))
+    val merged = Relational.mergeAggStates(batches, Seq("k"))
+    assert(merged.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+    // associativity: fold order never matters
+    val nested = Relational.mergeAggStates(Seq(
+      Relational.mergeAggStates(batches.take(2), Seq("k")), batches(2)), Seq("k"))
+    assert(nested.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+  }
+
   test("floorDivExact floors (DuckDB // semantics) on negatives, not truncates") {
     val out = Seq(-7L, -25L, -26L, 0L, 7L, 25L).toDF("x")
       .select(Relational.floorDivExact(col("x"), 25L).as("q"))
