@@ -665,7 +665,9 @@ object Relational {
     * maintained view never re-reads history: per-batch cost is
     * O(batch) + a keys-sized merge, and every component is algebraic
     * (count/sum re-sum, min/max re-min/max), so the merge is exact —
-    * derived measures (avg = sum/n) come out of the final state.
+    * derived measures come out of the final state (avg(v) = sum_v/nn_v;
+    * nn_v counts NON-NULL values, n counts rows — the distinction that
+    * makes the avg derivation correct for nullable measures).
     * Integer-valued inputs keep the identity bit-exact; float sums merge
     * associatively only up to rounding, same as any re-aggregation.
     */
@@ -673,6 +675,7 @@ object Relational {
                valCols: Seq[String]): DataFrame = {
     require(valCols.nonEmpty, "aggState needs at least one value column")
     val aggs = count(lit(1)).as("n") +: valCols.flatMap(v => Seq(
+      count(col(v)).as(s"nn_$v"),
       sum(col(v)).as(s"sum_$v"), min(col(v)).as(s"min_$v"),
       max(col(v)).as(s"max_$v")))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -681,12 +684,17 @@ object Relational {
   /** Fold batch states from `aggState` (same keys + value columns) into
     * the state a single pass over the concatenated batches would emit.
     * Associative and commutative, so maintenance order never matters.
+    * `valCols` is explicit, same as `aggState` — inferring measures from
+    * column-name prefixes would misclassify a key that happens to start
+    * with `sum_`.
     */
-  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String],
+                     valCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeAggStates needs at least one state")
+    require(valCols.nonEmpty, "mergeAggStates needs at least one value column")
     val st = states.reduce(_.unionByName(_))
-    val valNames = st.columns.filter(_.startsWith("sum_")).map(_.stripPrefix("sum_")).toSeq
-    val aggs = sum(col("n")).as("n") +: valNames.flatMap(v => Seq(
+    val aggs = sum(col("n")).as("n") +: valCols.flatMap(v => Seq(
+      sum(col(s"nn_$v")).as(s"nn_$v"),
       sum(col(s"sum_$v")).as(s"sum_$v"), min(col(s"min_$v")).as(s"min_$v"),
       max(col(s"max_$v")).as(s"max_$v")))
     st.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)

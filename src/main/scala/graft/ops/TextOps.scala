@@ -432,7 +432,10 @@ object TextOps {
                        tau: Int): DataFrame = {
     require(tau >= 1, s"editDistanceJoin needs tau >= 1, got $tau")
     val seg = tau + 1
-    val t = df.select(col(idCol).cast(LongType).as("__id"),
+    // ids pass through untyped (least/greatest/joins work on any orderable
+    // type) — a silent cast would null out non-numeric ids and return an
+    // empty join instead of failing
+    val t = df.select(col(idCol).as("__id"),
       col(strCol).as("__s"), length(col(strCol)).as("__L"))
     val long = t.where(col("__L") >= seg)
     val short = t.where(col("__L") < seg)

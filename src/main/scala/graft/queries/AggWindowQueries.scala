@@ -353,7 +353,7 @@ object AggWindowQueries {
         val batches = (0 to 2).map(b =>
           Relational.aggState(li.where(col("l_orderkey") % 3 === b)
             .drop("l_orderkey"), keys, Seq("qty", "cents")))
-        Relational.mergeAggStates(batches, keys)
+        Relational.mergeAggStates(batches, keys, Seq("qty", "cents"))
           .select(col("l_returnflag"), col("l_linestatus"),
             col("n").as("n_rows"), col("sum_qty"), col("min_qty"),
             col("max_qty"), col("sum_cents"), col("min_cents"),

@@ -1457,7 +1457,7 @@ object TextQueries {
     // distance 2 — the entity-resolution / fuzzy-record-linkage join. t5
     // is this operator's brute-force shape capped at 30 rows; here the
     // ORACLE is that brute force over the whole table (DuckDB evaluates
-    // the length-filtered cross join in well under a second at gate
+    // the plain levenshtein self-join in well under a second at gate
     // scale) while the Spark plan is the segment equi-join + levenshtein
     // verify that survives a corpus — equality IS the claim that the
     // pigeonhole blocking loses no pair.

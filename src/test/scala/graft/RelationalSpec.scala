@@ -160,12 +160,13 @@ class RelationalSpec extends SparkSpec {
       rows.where(col("x") > 4), rows.where(col("x") <= 4),
       rows.where(lit(false)))
       .map(Relational.aggState(_, Seq("k"), Seq("x", "y")))
-    val merged = Relational.mergeAggStates(batches, Seq("k"))
+    val merged = Relational.mergeAggStates(batches, Seq("k"), Seq("x", "y"))
     assert(merged.orderBy("k").collect().toSeq ==
       full.orderBy("k").collect().toSeq)
     // associativity: fold order never matters
     val nested = Relational.mergeAggStates(Seq(
-      Relational.mergeAggStates(batches.take(2), Seq("k")), batches(2)), Seq("k"))
+      Relational.mergeAggStates(batches.take(2), Seq("k"), Seq("x", "y")),
+      batches(2)), Seq("k"), Seq("x", "y"))
     assert(nested.orderBy("k").collect().toSeq ==
       full.orderBy("k").collect().toSeq)
   }

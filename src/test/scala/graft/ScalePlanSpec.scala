@@ -354,10 +354,14 @@ class ScalePlanSpec extends SparkSpec {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // equi-join on the segment key, in whatever hash flavor fits the
-    // corpus (broadcast at spec scale, shuffled/sort-merge beyond)
-    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
-      plan.take(2000))
+    // the CANDIDATE join specifically must stay an equi-join keyed on the
+    // segment substring (anchor on `sub#` in the join keys — the id
+    // join-backs would satisfy a bare HashJoin assertion and let a
+    // degraded candidate generator slip past), in whatever hash flavor
+    // fits the corpus (broadcast at spec scale, shuffled beyond)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("sub#")), plan.take(2000))
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"only the short-sliver pair join may nest:\n${plan.take(2000)}")
   }
