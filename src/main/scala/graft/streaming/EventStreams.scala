@@ -267,6 +267,67 @@ object EventStreams {
     }
   }
 
+  /** Streaming twin of the a14 incremental rollup: each micro-batch
+    * reduces to its algebraic aggregate state (`Relational.aggState` on
+    * the per-type value-cents measure) and merges with the prior
+    * maintained state (`mergeAggStates`) — the keys-sized materialized
+    * view updated at ingest, history never re-read. Exactly-once as in
+    * the other ingest twins: the merged FULL state lands under
+    * `batch=<id>` in overwrite mode (a re-executed batch rebuilds from
+    * `batch < id` and replaces its own partial write), so per-batch cost
+    * is O(batch) + a keys-sized merge regardless of history length, and
+    * the state directory's latest entry IS the current rollup
+    * (`readRollup`). At 100 TB this is the view-maintenance shape: the
+    * corpus streams through once; only types×measures rows persist.
+    */
+  def rollupIngest(spark: SparkSession, srcDir: String, stateDir: String,
+                   checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = graft.ops.Relational.aggState(
+          batch.select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+          Seq("event_type"), Seq("cents"))
+        val merged = latestStateBefore(spark, stateDir, batchId) match {
+          case Some(prev) => graft.ops.Relational.mergeAggStates(
+            Seq(prev, st), Seq("event_type"), Seq("cents"))
+          case None => st
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current maintained rollup: the newest `batch=<id>` state table.
+    * Fails if the ingest has never run (no state exists to read).
+    */
+  def readRollup(spark: SparkSession, stateDir: String): DataFrame =
+    latestStateBefore(spark, stateDir, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(
+        s"readRollup: no rollup state under $stateDir — run rollupIngest first"))
+
+  /** Newest `batch=<id>` state with id < `beforeId` — id-bounded so a
+    * re-executed batch can never merge against its own partial output.
+    */
+  private def latestStateBefore(spark: SparkSession, stateDir: String,
+                                beforeId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .filter(_ < beforeId)
+      .maxOption
+      .map(id => spark.read.parquet(s"$stateDir/batch=$id"))
+  }
+
   /** Streaming exact deduplication — the streaming twin of the batch d1
     * pass: digest the dedup key columns to one sha-256 key, then
     * `dropDuplicatesWithinWatermark` keeps the first arrival per key. The

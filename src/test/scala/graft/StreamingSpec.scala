@@ -214,6 +214,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2 * perFile)
   }
 
+  test("streaming rollup maintenance equals the single-pass aggState and survives restart") {
+    import graft.ops.Relational
+    val src = java.nio.file.Files.createTempDirectory("graft_roll_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_roll_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_roll_ckpt_").toString
+    def cents = round(col("value") * 100, 0).cast("long").as("cents")
+    def expect(df: org.apache.spark.sql.DataFrame) = Relational.aggState(
+      df.select(col("event_type"), cents), Seq("event_type"), Seq("cents"))
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    // first half lands; the maintained state must equal its single pass
+    val ev = batchEvents
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.rollupIngest(spark, src, state, ckpt)
+    assert(same(EventStreams.readRollup(spark, state),
+      expect(ev.where(col("event_id") % 2 === 0))))
+
+    // restart with no new files: nothing reprocessed, state unchanged
+    EventStreams.rollupIngest(spark, src, state, ckpt)
+    assert(same(EventStreams.readRollup(spark, state),
+      expect(ev.where(col("event_id") % 2 === 0))))
+
+    // second half lands after a full stop/start: the keys-sized merge
+    // against the recovered state must equal one pass over everything
+    ev.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.rollupIngest(spark, src, state, ckpt)
+    assert(same(EventStreams.readRollup(spark, state), expect(ev)))
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
