@@ -114,6 +114,19 @@ object Bench {
         Map.empty[String, Double]
       }
     val registryMap = SparkEntry.registry.toMap
+    // Sentinel coverage must be TOTAL: a registered gate with no reference
+    // entry is one the contention sentinel silently cannot protect (round
+    // 11 shipped exactly that — j10 landed without a reference and its 3.8 s
+    // contention number stood unchallenged). BenchRefSpec fails the build
+    // when this list is nonempty; at run time the hole is recorded in both
+    // artifacts so a stale reference file can't hide behind a green run.
+    val unguarded: Seq[String] =
+      if (refs.isEmpty) Seq.empty
+      else SparkEntry.registry.map(_._1).filterNot(refs.contains)
+    if (unguarded.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${unguarded.size} gate(s) have no " +
+        s"entry in $refPath — the contention sentinel cannot protect them: " +
+        unguarded.mkString(", "))
     // A crashed re-run must not masquerade as a fast clean one (the
     // adjudication rule reads a low rerun as "contention"): record -1 for
     // a re-run that failed, so the artifact says "re-run crashed", not
@@ -162,7 +175,9 @@ object Bench {
             s""""fullTotal":$fullTotal,""" +
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
-            s""""reference":"${if (refs.isEmpty) "" else refPath}","failed":$failedJson,""" +
+            s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
+            s""""unguarded":${unguarded.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""failed":$failedJson,""" +
             s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
         true
       } catch { case e: Throwable =>
@@ -184,7 +199,8 @@ object Bench {
         s""""fullTotal":${j(fullTotal)},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
-        s""""sentinel":${reruns.size},"failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
+        s""""sentinel":${reruns.size},"unguarded":${unguarded.size},""" +
+        s""""failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")
     println(line)

@@ -72,13 +72,18 @@ object ScaleProbe {
     // multi-split at 10× on identical data. A production table at these
     // row counts is never one split, so the one-file corpus would make
     // the probe measure an artifact, not the plan.
-    // Callers repartition the 1x BASE rows before the copy explode: the
-    // exploded frame inherits the base partitioning, so the output is the
-    // same even multi-split layout while the spread shuffle moves only
-    // nRows full-width base rows instead of copies x that.
+    // The spread hashes the post-explode COPY-DEPENDENT key, so the
+    // near-duplicate copies of one base row land in different splits. A
+    // base-row pre-explode spread would be a cheaper shuffle (n rows, not
+    // copies×n), but it colocates all copies of a row adjacently in one
+    // file — parquet encodes adjacent near-identical rows far better than
+    // a realistically interleaved corpus, flattering every consumer's
+    // scan-side cost at 10×/100×. Probe fidelity wins over the one-time
+    // synthesis cost.
     val spreadN = spark.sparkContext.defaultParallelism
-    def writeSpread(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-      df.write.mode("overwrite").parquet(path)
+    def writeSpread(df: org.apache.spark.sql.DataFrame,
+                    key: org.apache.spark.sql.Column, path: String): Unit =
+      df.repartition(spreadN, key).write.mode("overwrite").parquet(path)
 
     // documents x copies: copy i appends a distinguishing token, so copies
     // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
@@ -88,12 +93,12 @@ object ScaleProbe {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val nDocs = docs.count()
       val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      writeSpread(docs.repartition(spreadN)
+      writeSpread(docs
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
           concat(col("text"), lit(" copytag"), col("copy")).as("text"),
           col("lang"), col("source"), col("n_chars")),
-        s"$big/documents.parquet")
+        col("doc_id"), s"$big/documents.parquet")
       synthesized += s"${nDocs * copies} docs"
     }
 
@@ -102,14 +107,14 @@ object ScaleProbe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nVec = emb.count()
       val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      writeSpread(emb.repartition(spreadN)
+      writeSpread(emb
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
           transform(col("embedding"),
             (x, i) => when(i === 0, x + col("copy").cast("float") * lit(1e-4f))
               .otherwise(x).cast("float")).as("embedding"),
           col("label")),
-        s"$big/embeddings.parquet")
+        col("vec_id"), s"$big/embeddings.parquet")
       synthesized += s"${nVec * copies} vecs"
     }
 
@@ -129,14 +134,14 @@ object ScaleProbe {
         max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
         count(lit(1)).as("n")).head()
       val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
-      writeSpread(ev.withColumn("tus", tus).repartition(spreadN)
+      writeSpread(ev.withColumn("tus", tus)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
           timestamp_micros(col("tus") + col("copy") * spanUs).as("ts"),
           (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
           col("event_type"), col("value"), col("props")),
-        s"$big/events.parquet")
+        col("event_id"), s"$big/events.parquet")
       synthesized += s"${row.getLong(4) * copies} events"
     }
 
@@ -155,19 +160,24 @@ object ScaleProbe {
       val pkOff = math.max(
         li.agg(max(col("l_partkey"))).head.getLong(0),
         part0.agg(max(col("p_partkey"))).head.getLong(0)) + 1
-      writeSpread(li.repartition(spreadN)
+      writeSpread(li
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)
         .drop("copy"),
+        // NOT l_partkey alone: the probe's join key is deliberately skewed,
+        // and hashing the spread on it would pile every hot key's rows into
+        // one split — the skew probe would then measure that layout
+        // artifact. The full row identity is copy-dependent and uniform.
+        xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
         s"$big/lineitem.parquet")
       // part replicates with the SAME per-copy key offset so every
       // synthesized l_partkey keeps exactly one dimension match (j10's
       // plain-join semantics need the build side to cover the fact keys).
-      writeSpread(part0.repartition(spreadN)
+      writeSpread(part0
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("p_partkey", col("p_partkey") + col("copy") * pkOff)
         .drop("copy"),
-        s"$big/part.parquet")
+        col("p_partkey"), s"$big/part.parquet")
       synthesized += s"${nLi * copies} lineitems (+part dim)"
     }
 

@@ -595,9 +595,22 @@ object Relational {
     * layout AQE cannot fix because equal keys must still meet somewhere.
     */
   def skewSplitJoin(big: DataFrame, small: DataFrame, key: String,
-                    hotMin: Long): DataFrame = {
-    val hotKeys = heavyHitters(big.select(col(key)), key, hotMin)
-      .select(col(key))
+                    hotMin: Long): DataFrame =
+    skewSplitJoin(big, small, key,
+      heavyHitters(big.select(col(key)), key, hotMin).select(col(key)))
+
+  /** Routing form with a caller-supplied hot-key table — for sessions that
+    * already ran the detection pass (a12's gate builds exactly this table):
+    * the CMS sketch + candidate recount over the big side is the expensive
+    * third of the operator, and a pipeline that detects-then-joins should
+    * pay it once, not once per consumer (the queries layer shares it via
+    * `InterStage`). `hotKeys` must be one column named `key`, and for the
+    * ≡-plain-join contract must be exactly the keys meeting the caller's
+    * threshold on `big` (a superset is still correct — just broadcasts
+    * more; a subset under-routes hot volume into the shuffle).
+    */
+  def skewSplitJoin(big: DataFrame, small: DataFrame, key: String,
+                    hotKeys: DataFrame): DataFrame = {
     val bigHot = big.join(broadcast(hotKeys), Seq(key), "left_semi")
     val bigCold = big.join(broadcast(hotKeys), Seq(key), "left_anti")
     val smallHot = small.join(broadcast(hotKeys), Seq(key), "left_semi")

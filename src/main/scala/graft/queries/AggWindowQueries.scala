@@ -11,6 +11,21 @@ import graft.ops.Relational
   */
 object AggWindowQueries {
 
+  /** Hot-key table for lineitem.l_partkey at the ≥40 threshold — the one
+    * detection pass (CMS sketch + exact candidate recount, the expensive
+    * scans of a12/j10) shared between the a12 gate and j10's routing via
+    * `InterStage`: whichever consumer runs first pays it, the other reads
+    * the materialized (l_partkey, cnt) parquet. Same shape as the
+    * shingle/simhash chains — detection is a stage output, not a per-query
+    * recomputation.
+    */
+  def hotPartKeys(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.InterStage.materialize(s,
+      graft.ops.InterStage.tableKey(d, "lineitem") + "|hh_l_partkey_40",
+      Relational.heavyHitters(
+        Tables.load(s, d, "lineitem").select(col("l_partkey")),
+        "l_partkey", 40L))
+
   val all: Seq[(String, GQ)] = Seq(
 
     // A1 — group-by multi-agg, TPC-H-Q1-shaped (reference:
@@ -300,9 +315,7 @@ object AggWindowQueries {
     // property makes the prefilter lossless, and the exact recount over
     // survivors reproduces the plain GROUP BY/HAVING the oracle runs.
     "a12_heavy_hitters" -> GQ(
-      (s, d) => Relational.heavyHitters(
-        Tables.load(s, d, "lineitem").select(col("l_partkey")),
-        "l_partkey", 40L),
+      (s, d) => hotPartKeys(s, d),
       "SELECT l_partkey, count(*) AS cnt FROM lineitem " +
         "GROUP BY l_partkey HAVING count(*) >= 40"),
 
@@ -371,7 +384,8 @@ object AggWindowQueries {
     // C9 — distribution-drift check between two snapshots (PSI, the
     // population-stability index every production feature/data pipeline
     // alarms on): events split into early/late halves of the time span,
-    // per event_type the value histogram (fixed $50 buckets capped at 10)
+    // per event_type the value histogram (fixed $50 buckets clamped to
+    // [0, 9] on both ends — identical to EventStreams.driftBucket)
     // is compared via Σ (p−q)·ln(p/q) with add-0.5 smoothing so a bucket
     // empty on one side stays finite. Shape at 100 TB: ONE pass groups
     // (type, bucket, side) — partial agg map-side, output is
@@ -388,7 +402,11 @@ object AggWindowQueries {
         val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
         val h = ev.crossJoin(broadcast(mid))
           .select(col("event_type"),
-            least(floor(col("value") / 50.0), lit(9.0)).cast("long").as("bkt"),
+            // [0, 9] clamp on BOTH ends — the exact binning the streaming
+            // driftMonitor uses, so batch gate and live monitor cannot
+            // diverge on a corpus with negative values.
+            greatest(least(floor(col("value") / 50.0), lit(9.0)), lit(0.0))
+              .cast("long").as("bkt"),
             when(col("tus") <= col("mid"), 1L).otherwise(0L).as("isa"))
           .groupBy(col("event_type"), col("bkt"))
           .agg(sum(col("isa")).as("ca"),
@@ -410,7 +428,7 @@ object AggWindowQueries {
       },
       "WITH e AS (SELECT event_type, value, epoch_us(ts) tus FROM events), " +
         "m AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM e), " +
-        "h AS (SELECT event_type, least(floor(value / 50.0), 9.0)::BIGINT bkt, " +
+        "h AS (SELECT event_type, greatest(least(floor(value / 50.0), 9.0), 0.0)::BIGINT bkt, " +
         "sum(CASE WHEN tus <= mid THEN 1 ELSE 0 END) ca, " +
         "sum(CASE WHEN tus <= mid THEN 0 ELSE 1 END) cb " +
         "FROM e, m GROUP BY 1, 2), " +

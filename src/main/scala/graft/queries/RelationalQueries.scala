@@ -212,6 +212,8 @@ object RelationalQueries {
     // this removes it from the shuffle entirely — the remaining tool when
     // ONE key is a meaningful fraction of a 100 TB fact table. The oracle
     // is the plain inner join: routing must be invisible row-for-row.
+    // Detection rides the SHARED a12 hot-key table (hotPartKeys): one CMS
+    // sketch + recount pass per session serves both gates.
     "j10_skew_split_join" -> GQ(
       (s, d) => Relational.skewSplitJoin(
         Tables.load(s, d, "lineitem")
@@ -219,7 +221,8 @@ object RelationalQueries {
             col("l_quantity")),
         Tables.load(s, d, "part")
           .select(col("p_partkey").as("l_partkey"), col("p_name")),
-        "l_partkey", 40L),
+        "l_partkey",
+        AggWindowQueries.hotPartKeys(s, d).select(col("l_partkey"))),
       "SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity, " +
         "p.p_name FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"),
 

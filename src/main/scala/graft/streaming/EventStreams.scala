@@ -74,9 +74,12 @@ object EventStreams {
     * compares live windows against it per micro-batch.
     */
   def driftReference(events: DataFrame): DataFrame = {
+    // count(value), not count(*): a null value lands in no bucket (null
+    // driftBucket increments no r*), so counting it into rn would make the
+    // histogram mass sum to less than the total and skew every smoothed q.
     val aggs = (0 until DriftBuckets).map(b =>
       sum(when(driftBucket === b, 1L).otherwise(0L)).as(s"r$b")) :+
-      count(lit(1)).as("rn")
+      count(col("value")).as("rn")
     events.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -95,9 +98,12 @@ object EventStreams {
     * frames), which is how the equivalence spec checks it.
     */
   def driftMonitor(events: DataFrame, ref: DataFrame): DataFrame = {
+    // count(value) for the same reason as driftReference's rn: n must
+    // equal the histogram mass (Σ c*), or smoothed p stops summing to 1
+    // over observed buckets whenever a window carries null-valued events.
     val aggs = (0 until DriftBuckets).map(b =>
       sum(when(driftBucket === b, 1L).otherwise(0L)).as(s"c$b")) :+
-      count(lit(1)).as("n")
+      count(col("value")).as("n")
     val live = withEventTime(events)
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
@@ -285,16 +291,39 @@ object EventStreams {
     val q = spark.readStream.schema(eventSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Stale-state guard: a state id AHEAD of the incoming batch means
+        // the checkpoint was reset (ids restart at 0) while stateDir
+        // survived — latestStateBefore would exclude the high-id state from
+        // the merge while readRollup keeps returning it, a silently wrong
+        // rollup. That split-brain has no safe automatic resolution; fail
+        // loudly and make the operator reset or keep the pair together.
+        val ahead = stateIds(spark, stateDir).filter(_ > batchId)
+        if (ahead.nonEmpty) throw new IllegalStateException(
+          s"rollupIngest: state batch=${ahead.max} under $stateDir is ahead " +
+            s"of incoming batch $batchId — checkpoint $checkpointDir was " +
+            "reset while state survived; delete both or restore the checkpoint")
         val st = graft.ops.Relational.aggState(
           batch.select(col("event_type"),
             round(col("value") * 100, 0).cast("long").as("cents")),
           Seq("event_type"), Seq("cents"))
-        val merged = latestStateBefore(spark, stateDir, batchId) match {
+        val prevId = stateIds(spark, stateDir).filter(_ < batchId).maxOption
+        val merged = prevId.map(id => spark.read.parquet(s"$stateDir/batch=$id")) match {
           case Some(prev) => graft.ops.Relational.mergeAggStates(
             Seq(prev, st), Seq("event_type"), Seq("cents"))
           case None => st
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        // Prune superseded snapshots AFTER the new state commits: keep the
+        // just-written state plus the one it merged from (the fallback a
+        // re-executed batch rebuilds against); everything older is
+        // unreachable — without pruning the state dir grows one full
+        // snapshot per micro-batch forever.
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        stateIds(spark, stateDir)
+          .filter(id => id < batchId && !prevId.contains(id))
+          .foreach(id => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -315,17 +344,19 @@ object EventStreams {
     * re-executed batch can never merge against its own partial output.
     */
   private def latestStateBefore(spark: SparkSession, stateDir: String,
-                                beforeId: Long): Option[DataFrame] = {
+                                beforeId: Long): Option[DataFrame] =
+    stateIds(spark, stateDir).filter(_ < beforeId).maxOption
+      .map(id => spark.read.parquet(s"$stateDir/batch=$id"))
+
+  private def stateIds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("batch=") =>
         n.stripPrefix("batch=").toLong }
-      .filter(_ < beforeId)
-      .maxOption
-      .map(id => spark.read.parquet(s"$stateDir/batch=$id"))
+      .toSeq
   }
 
   /** Streaming exact deduplication — the streaming twin of the batch d1

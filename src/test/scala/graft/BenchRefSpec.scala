@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contention sentinel's coverage contract, as an assertion instead of
+  * a convention: EVERY registered gate must have a per-query reference in
+  * `bench_reference.json`, or the sentinel silently cannot re-check it
+  * when a shared-machine run inflates its number (round 11 shipped j10
+  * without an entry and its 3.8 s contention reading stood unchallenged
+  * while all 11 guarded outliers were re-run and cleared). Adding a gate
+  * now REQUIRES adding its reference second in the same commit.
+  */
+class BenchRefSpec extends AnyFunSuite {
+
+  test("bench_reference.json covers every registered gate") {
+    val path = java.nio.file.Paths.get("bench_reference.json")
+    assert(java.nio.file.Files.exists(path),
+      s"bench_reference.json missing from ${path.toAbsolutePath}")
+    val refs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(java.nio.file.Files.readString(path),
+        classOf[java.util.Map[String, Object]])
+    val missing = SparkEntry.registry.map(_._1)
+      .filterNot(refs.containsKey)
+    assert(missing.isEmpty,
+      s"gates with no sentinel reference (add them to bench_reference.json): " +
+        missing.mkString(", "))
+    // And the reverse: a reference for a gate that no longer exists is a
+    // stale row that can only mislead (renames leave the old key behind).
+    import scala.jdk.CollectionConverters._
+    val registered = SparkEntry.registry.map(_._1).toSet
+    val stale = refs.keySet.asScala.filterNot(registered)
+    assert(stale.isEmpty,
+      s"stale sentinel references for unregistered gates: ${stale.mkString(", ")}")
+  }
+}

@@ -137,6 +137,22 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("skewSplitJoin with a precomputed hot-key table equals the detect-inline form") {
+    // The shared-detection seam (a12's materialized table feeding j10):
+    // supplying the hot-key set must be routing-equivalent to detecting it
+    // inline — same rows, no detection scan in the supplied-keys plan.
+    val facts = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val dim = (Seq(("hot", "H"), ("missing", "Z")) ++
+      (901 to 1000 by 2).map(i => (s"k$i", s"L$i"))).toDF("k", "label")
+    val inline = Relational.skewSplitJoin(facts, dim, "k", 100L)
+      .orderBy("v").collect().toSeq
+    val hot = Relational.heavyHitters(facts.select(col("k")), "k", 100L)
+      .select(col("k"))
+    val supplied = Relational.skewSplitJoin(facts, dim, "k", hot)
+    assert(supplied.orderBy("v").collect().toSeq == inline)
+  }
+
   test("heavyHitters keeps a heavy NULL-key group, matching the naive plan") {
     // count_min_sketch skips nulls, so the null group must bypass the
     // CMS prefilter — the ≡-naive-plan contract includes it.
