@@ -665,6 +665,34 @@ object Relational {
       .select(col("q"), col("rank"), col("__v").as("value"))
   }
 
+  /** SCD type-2 change compression — the ONE definition behind both the
+    * batch `scd2_user_history` gate and the streaming history maintenance
+    * (`EventStreams.scd2Ingest`), so the two cannot diverge. Input columns:
+    * `(user_id, event_id, tus, tier)`; per user, ordered by `(tus,
+    * event_id)`, rows whose `tier` differs (null-safe `<=>`) from their
+    * predecessor open a validity interval; `valid_to_us` is the next
+    * change's start and the open interval is `is_current`. Both windows
+    * share the user_id partitioning — one shuffle.
+    *
+    * `carry` marks rows that are EXISTING segment anchors being re-fed
+    * through compression (the incremental merge): they are kept
+    * unconditionally, because an anchor has no predecessor in the re-fed
+    * frame — the plain change test would drop a carried null-tier anchor
+    * (`null <=> null`) and silently erase a live segment.
+    * `anchor_eid` (the change event's id) rides along so a kept segment
+    * can be re-fed deterministically; batch consumers drop it.
+    */
+  def scd2Compress(ev: DataFrame, carry: Option[Column] = None): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val change = !(lag(col("tier"), 1).over(w) <=> col("tier"))
+    ev.withColumn("__keep", carry.map(_ || change).getOrElse(change))
+      .where(col("__keep"))
+      .select(col("user_id"), col("tier"), col("tus").as("valid_from_us"),
+        col("event_id").as("anchor_eid"),
+        lead(col("tus"), 1).over(w).as("valid_to_us"),
+        lead(col("tus"), 1).over(w).isNull.cast("int").as("is_current"))
+  }
+
   // ---------------------------------------------------------------------
   // Incremental rollup maintenance (algebraic aggregate states)
   // ---------------------------------------------------------------------

@@ -560,16 +560,15 @@ object EventQueries {
         // truncating `div`: the oracle's DuckDB `//` floors, and the two
         // differ on negative operands — the tier contract must not depend
         // on the generator happening to emit non-negative k values.
-        val ev = raw.select(col("user_id"), col("event_id"),
-          Tables.eventTimeUs(raw).as("tus"),
-          Relational.floorDivExact(
-            expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-        ev.withColumn("prev", lag(col("tier"), 1).over(w))
-          .where(!(col("prev") <=> col("tier")))
-          .select(col("user_id"), col("tier"), col("tus").as("valid_from_us"),
-            lead(col("tus"), 1).over(w).as("valid_to_us"),
-            lead(col("tus"), 1).over(w).isNull.cast("int").as("is_current"))
+        // Compression itself is the shared Relational.scd2Compress — the
+        // same definition the streaming maintenance twin merges with, so
+        // gate and maintained table cannot diverge. anchor_eid is the
+        // maintenance handle; the gate's contract has no use for it.
+        Relational.scd2Compress(raw.select(col("user_id"), col("event_id"),
+            Tables.eventTimeUs(raw).as("tus"),
+            Relational.floorDivExact(
+              expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier")))
+          .drop("anchor_eid")
       },
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) tus, " +
         "json_extract_string(props, '$.k')::BIGINT // 25 AS tier FROM events), " +

@@ -359,6 +359,109 @@ object EventStreams {
       .toSeq
   }
 
+  /** Streaming twin of the scd2 gate: the user-tier HISTORY DIMENSION as a
+    * maintained table instead of a per-query recompute. Each micro-batch
+    * re-feeds the prior OPEN segments (as their anchor events, carried
+    * unconditionally) together with the batch's events through the shared
+    * `Relational.scd2Compress`; closed segments are immutable and pass
+    * through untouched. Per-batch cost is O(batch + open-segments) — at
+    * 100 TB the history is maintained at the ingest seam, never re-read.
+    *
+    * Correctness contract: batches must arrive in per-user event order
+    * (the append-mostly landing-zone shape; compression absorbs non-change
+    * events, so an event older than a user's last seen one cannot be
+    * merged retroactively). The contract is ENFORCED, not assumed: a tiny
+    * per-user `seen` watermark table (last (tus, event_id) per user) rides
+    * with the state, and a batch containing an out-of-order event fails
+    * loudly instead of writing a silently wrong history. Given in-order
+    * arrival, the maintained table is invariant to WHERE the stream is cut
+    * into batches (StreamingSpec proves cut-independence + restart).
+    * Exactly-once as in rollupIngest: full state snapshot under
+    * `batch=<id>`, overwrite-on-reexecute, superseded snapshots pruned.
+    */
+  def scd2Ingest(spark: SparkSession, srcDir: String, stateDir: String,
+                 checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ahead = stateIds(spark, stateDir).filter(_ > batchId)
+        if (ahead.nonEmpty) throw new IllegalStateException(
+          s"scd2Ingest: state batch=${ahead.max} under $stateDir is ahead " +
+            s"of incoming batch $batchId — checkpoint $checkpointDir was " +
+            "reset while state survived; delete both or restore the checkpoint")
+        // Same event→(user, tier) extraction as the batch gate.
+        val ev = batch.select(col("user_id"), col("event_id"),
+          graft.Tables.eventTimeUs(batch).as("tus"),
+          graft.ops.Relational.floorDivExact(
+            expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
+        val prevId = stateIds(spark, stateDir).filter(_ < batchId).maxOption
+        val evSeen = ev.groupBy(col("user_id"))
+          .agg(max(struct(col("tus"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("m.tus").as("last_us"),
+            col("m.event_id").as("last_eid"))
+        val (segs, seen) = prevId match {
+          case None =>
+            (graft.ops.Relational.scd2Compress(ev), evSeen)
+          case Some(id) =>
+            val prevSegs = spark.read.parquet(s"$stateDir/batch=$id/segments")
+            val prevSeen = spark.read.parquet(s"$stateDir/batch=$id/seen")
+            val late = ev.join(prevSeen, Seq("user_id"))
+              .where(struct(col("tus"), col("event_id")) <=
+                struct(col("last_us"), col("last_eid")))
+            val lateRows = late.select(col("user_id"), col("tus"), col("event_id"))
+              .limit(3).collect()
+            if (lateRows.nonEmpty) throw new IllegalStateException(
+              s"scd2Ingest: batch $batchId contains out-of-order events " +
+                "(older than a user's maintained watermark) — history cannot " +
+                "be merged retroactively; reprocess from scratch or fix the " +
+                s"source ordering. Examples: ${lateRows.mkString(", ")}")
+            // Prior open segments re-enter compression as their anchor
+            // events, carried unconditionally (see scd2Compress scaladoc).
+            val open = prevSegs.where(col("is_current") === 1)
+              .select(col("user_id"), col("anchor_eid").as("event_id"),
+                col("valid_from_us").as("tus"), col("tier"),
+                lit(true).as("__carry"))
+            val merged = graft.ops.Relational.scd2Compress(
+              open.unionByName(ev.withColumn("__carry", lit(false))),
+              Some(col("__carry")))
+            val newSegs = prevSegs.where(col("is_current") === 0)
+              .unionByName(merged)
+            val newSeen = prevSeen.unionByName(evSeen)
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("last_us"), col("last_eid"))).as("m"))
+              .select(col("user_id"), col("m.last_us").as("last_us"),
+                col("m.last_eid").as("last_eid"))
+            (newSegs, newSeen)
+        }
+        segs.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/segments")
+        seen.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/seen")
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        stateIds(spark, stateDir)
+          .filter(id => id < batchId && !prevId.contains(id))
+          .foreach(id => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current maintained SCD2 history — same columns as the batch gate
+    * (`anchor_eid` is internal maintenance state). Fails if the ingest has
+    * never run.
+    */
+  def readScd2(spark: SparkSession, stateDir: String): DataFrame =
+    stateIds(spark, stateDir).maxOption match {
+      case Some(id) => spark.read.parquet(s"$stateDir/batch=$id/segments")
+        .select(col("user_id"), col("tier"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"))
+      case None => throw new IllegalStateException(
+        s"readScd2: no history state under $stateDir — run scd2Ingest first")
+    }
+
   /** Streaming exact deduplication — the streaming twin of the batch d1
     * pass: digest the dedup key columns to one sha-256 key, then
     * `dropDuplicatesWithinWatermark` keeps the first arrival per key. The

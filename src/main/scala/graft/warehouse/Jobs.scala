@@ -378,4 +378,33 @@ object Jobs {
       }.foreach(Await.result(_, Duration.Inf))
     } finally { parsed.unpersist(); () }
   }
+
+  /** Batch extract for the events table, with the SAME value-level epoch
+    * gate the streaming ingest applies per file
+    * (`EventStreams.incrementalIngest`): schema dispatch
+    * (`Tables.eventTimeUs`) accepts any credible `ts` encoding but cannot
+    * tell a producer that wrote ms-as-µs VALUES — every decoded instant
+    * lands 1000× off, deep in 1970, and silently poisons every downstream
+    * window/sessionize/as-of join. One min/max aggregate over the landing
+    * turns that into a loud extract failure BEFORE the rows reach the
+    * lake. Incremental on event_id like the other extract jobs; only the
+    * new slice is gated (already-landed rows passed their own run's gate).
+    */
+  def eventsExtract(spark: SparkSession, inPath: String, outPath: String): Unit = {
+    val raw = spark.read.parquet(inPath)
+    val existing =
+      try Some(spark.read.parquet(outPath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val fresh = existing match {
+      case Some(ex) => raw.join(
+        ex.select(col("event_id")).distinct(), Seq("event_id"), "left_anti")
+      case None => raw
+    }
+    val gated = fresh.withColumn("__tus", graft.Tables.eventTimeUs(fresh))
+    graft.ops.Checks.epochRangeUs(gated, "__tus").left.foreach(v =>
+      throw new IllegalStateException(
+        s"eventsExtract gate failed for $inPath: ${v.check}: ${v.detail}"))
+    fresh.write.mode(if (existing.isDefined) "append" else "overwrite")
+      .parquet(outPath)
+  }
 }

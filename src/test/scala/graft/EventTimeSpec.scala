@@ -145,6 +145,36 @@ class EventTimeSpec extends SparkSpec {
       spark, s"$base/src", s"$base/sink", s"$base/ckpt")
   }
 
+  test("batch eventsExtract gates ms-as-µs values loudly and passes + appends good landings") {
+    // The BATCH twin of the streaming ingest gate: the extract path must
+    // not trust its inputs either (the round-11 gap — only the stream
+    // quarantined). Same slip: physically valid TIMESTAMP(µs), values 1000× off.
+    def evDf(rows: Seq[(Long, Long)]) =
+      rows.map { case (id, us) => (id, us, 7L, "click", 1.0, "{}") }
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("graft_evx_").toString
+    evDf(Seq((1L, us2026 / 1000L), (2L, us2026 / 1000L + 60000000L)))
+      .write.parquet(s"$base/bad")
+    val e = intercept[IllegalStateException] {
+      graft.warehouse.Jobs.eventsExtract(spark, s"$base/bad", s"$base/out")
+    }
+    assert(e.getMessage.contains("epochRangeUs"))
+    // the gate fires BEFORE the write: nothing landed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/out")))
+
+    // good landing passes; re-extract is incrementally idempotent; a new
+    // slice appends and only the fresh rows are gated
+    evDf(Seq((1L, us2026), (2L, us2026 + 60L * 1000000L))).write.parquet(s"$base/good")
+    graft.warehouse.Jobs.eventsExtract(spark, s"$base/good", s"$base/out")
+    graft.warehouse.Jobs.eventsExtract(spark, s"$base/good", s"$base/out")
+    assert(spark.read.parquet(s"$base/out").count() == 2)
+    evDf(Seq((3L, us2026 + 120L * 1000000L))).write.mode("append").parquet(s"$base/good")
+    graft.warehouse.Jobs.eventsExtract(spark, s"$base/good", s"$base/out")
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+  }
+
   test("incrementalIngest over an empty landing zone completes without a sink to read") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest0_").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))

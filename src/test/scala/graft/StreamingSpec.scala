@@ -247,6 +247,51 @@ class StreamingSpec extends SparkSpec {
     assert(same(EventStreams.readRollup(spark, state), expect(ev)))
   }
 
+  test("scd2 ingest maintains the batch gate's history for any batch cut, and rejects out-of-order arrivals") {
+    val expected = SparkEntry.queries("scd2_user_history")(spark, Sf0001)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    val ev = batchEvents
+    val tus = Tables.eventTimeUs(ev)
+    val Array(lo, hi) = ev.agg(min(tus), max(tus)).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // Two DIFFERENT cut points into the same time-ordered stream: the
+    // maintained history must be invariant to where the stream is cut
+    // (and equal to the single-pass batch gate) — the property that makes
+    // "maintained at the ingest seam" a correctness claim, not a hope.
+    for (cut <- Seq(lo + (hi - lo) / 2, lo + (hi - lo) / 4)) {
+      val src = java.nio.file.Files.createTempDirectory("graft_scd2_src_").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_scd2_state_").toString + "/s"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt_").toString
+      ev.where(tus <= cut).coalesce(1).write.mode("append").parquet(src)
+      EventStreams.scd2Ingest(spark, src, state, ckpt)
+      ev.where(tus > cut).coalesce(1).write.mode("append").parquet(src)
+      EventStreams.scd2Ingest(spark, src, state, ckpt)
+      assert(same(EventStreams.readScd2(spark, state), expected),
+        s"maintained history diverged from the batch gate at cut=$cut")
+      // restart with nothing new: state unchanged
+      EventStreams.scd2Ingest(spark, src, state, ckpt)
+      assert(same(EventStreams.readScd2(spark, state), expected))
+    }
+
+    // Out-of-order landing (newer half first) must fail the guard loudly,
+    // not write a silently wrong history.
+    val src2 = java.nio.file.Files.createTempDirectory("graft_scd2_src2_").toString
+    val state2 = java.nio.file.Files.createTempDirectory("graft_scd2_state2_").toString + "/s"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt2_").toString
+    val mid = lo + (hi - lo) / 2
+    ev.where(tus > mid).coalesce(1).write.mode("append").parquet(src2)
+    EventStreams.scd2Ingest(spark, src2, state2, ckpt2)
+    ev.where(tus <= mid).coalesce(1).write.mode("append").parquet(src2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Ingest(spark, src2, state2, ckpt2)
+    }
+    assert(e.getMessage.contains("out-of-order") ||
+      Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
