@@ -430,6 +430,40 @@ object TextOps {
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
                        tau: Int): DataFrame = {
+    val (t, short, cands) = edJoinParts(df, idCol, strCol, tau)
+    val longPairs = cands
+      .join(t.select(col("__id").as("id1"), col("__s").as("s1")), "id1")
+      .join(t.select(col("__id").as("id2"), col("__s").as("s2")), "id2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
+      .where(col("dist") <= tau)
+
+    val shortPairs = short.select(col("__id").as("id1"), col("__s").as("s1"))
+      .join(broadcast(short.select(col("__id").as("id2"), col("__s").as("s2"))),
+        col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
+
+    longPairs.select(col("id1"), col("id2"), col("dist"))
+      .union(shortPairs.select(col("id1"), col("id2"), col("dist")))
+  }
+
+  /** Candidate pairs BEFORE verification — the blocking-selectivity
+    * probe surface (`EditJoinProbe`): candidates-per-row is the number
+    * that decides whether a (prefix length, τ) configuration survives a
+    * corpus scale-up, the same adjudication handle as e7b's band-occupancy
+    * ladder. Not part of the operator contract (verification makes
+    * blocking invisible to results); exposed so scale rows can record the
+    * candidate volume instead of inferring it from wall time.
+    */
+  def editDistanceCandidates(df: DataFrame, idCol: String, strCol: String,
+                             tau: Int): DataFrame =
+    edJoinParts(df, idCol, strCol, tau)._3
+
+  /** Shared construction for `editDistanceJoin`/`editDistanceCandidates`:
+    * returns (typed input `t`, the short-string sliver, the deduped
+    * candidate id pairs from the pigeonhole equi-join).
+    */
+  private def edJoinParts(df: DataFrame, idCol: String, strCol: String,
+                          tau: Int): (DataFrame, DataFrame, DataFrame) = {
     require(tau >= 1, s"editDistanceJoin needs tau >= 1, got $tau")
     val seg = tau + 1
     // ids pass through untyped (least/greatest/joins work on any orderable
@@ -464,19 +498,6 @@ object TextOps {
       .select(least(col("a_id"), col("b_id")).as("id1"),
         greatest(col("a_id"), col("b_id")).as("id2"))
       .distinct()
-
-    val longPairs = cands
-      .join(t.select(col("__id").as("id1"), col("__s").as("s1")), "id1")
-      .join(t.select(col("__id").as("id2"), col("__s").as("s2")), "id2")
-      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
-      .where(col("dist") <= tau)
-
-    val shortPairs = short.select(col("__id").as("id1"), col("__s").as("s1"))
-      .join(broadcast(short.select(col("__id").as("id2"), col("__s").as("s2"))),
-        col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast(LongType))
-
-    longPairs.select(col("id1"), col("id2"), col("dist"))
-      .union(shortPairs.select(col("id1"), col("id2"), col("dist")))
+    (t, short, cands)
   }
 }
