@@ -120,8 +120,12 @@ object Bench {
     // contention number stood unchallenged). BenchRefSpec fails the build
     // when this list is nonempty; at run time the hole is recorded in both
     // artifacts so a stale reference file can't hide behind a green run.
+    // With no reference at all, NOTHING is guarded — report that state as
+    // -1/null, never as "unguarded: 0" (which reads as total coverage in
+    // exactly the situation where the sentinel is off).
+    val sentinelOn = refs.nonEmpty
     val unguarded: Seq[String] =
-      if (refs.isEmpty) Seq.empty
+      if (!sentinelOn) Seq.empty
       else SparkEntry.registry.map(_._1).filterNot(refs.contains)
     if (unguarded.nonEmpty)
       System.err.println(s"[bench] WARNING: ${unguarded.size} gate(s) have no " +
@@ -176,7 +180,7 @@ object Bench {
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
-            s""""unguarded":${unguarded.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""unguarded":${if (sentinelOn) unguarded.map("\"" + _ + "\"").mkString("[", ",", "]") else "null"},""" +
             s""""failed":$failedJson,""" +
             s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
         true
@@ -199,7 +203,7 @@ object Bench {
         s""""fullTotal":${j(fullTotal)},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
-        s""""sentinel":${reruns.size},"unguarded":${unguarded.size},""" +
+        s""""sentinel":${reruns.size},"unguarded":${if (sentinelOn) unguarded.size else -1},""" +
         s""""failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")

@@ -23,17 +23,14 @@ object EditJoinProbe {
       .getOrElse(Seq(2, 3))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
-    // Same copy recipe as ScaleProbe's documents table (copytag appended,
-    // so copies share their PREFIX verbatim — adversarial: each base doc's
+    // Shared copy recipe (ProbeCorpus.docsCopies: copytag appended, so
+    // copies share their PREFIX verbatim — adversarial: each base doc's
     // copies are pairwise prefix-distance 0), written multi-split with the
     // post-explode spread so the scan isn't flattered by adjacency.
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val nDocs = docs.count()
-    val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val big = java.nio.file.Files.createTempDirectory("graft_edprobe_").toString
-    docs.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-      .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
-        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+    ProbeCorpus.docsCopies(spark, sfDir, copies)
+      .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
     println(s"[edprobe] corpus: ${nDocs * copies} docs (${copies}x) at $big")

@@ -85,19 +85,10 @@ object ScaleProbe {
                     key: org.apache.spark.sql.Column, path: String): Unit =
       df.repartition(spreadN, key).write.mode("overwrite").parquet(path)
 
-    // documents x copies: copy i appends a distinguishing token, so copies
-    // are near-duplicates (SimHash hamming stays tiny) but not byte-equal.
-    // Copy ids offset by max(id)+1 (not count) so sparse or offset id
-    // spaces can't collide between copies.
+    // documents x copies (ProbeCorpus.docsCopies — the shared recipe).
     if (needDocs) {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val nDocs = docs.count()
-      val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      writeSpread(docs
-        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-        .select((col("doc_id") + col("copy") * docIdOff).as("doc_id"),
-          concat(col("text"), lit(" copytag"), col("copy")).as("text"),
-          col("lang"), col("source"), col("n_chars")),
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      writeSpread(ProbeCorpus.docsCopies(spark, sfDir, copies),
         col("doc_id"), s"$big/documents.parquet")
       synthesized += s"${nDocs * copies} docs"
     }
@@ -118,31 +109,19 @@ object ScaleProbe {
       synthesized += s"${nVec * copies} vecs"
     }
 
-    // events x copies: each copy shifts by the full time span (plus an
-    // hour) and offsets user/event ids — the "longer history, more users"
-    // scale-up a 100 TB event table actually has. Per-band/per-user
+    // events x copies (ProbeCorpus.eventsCopies): per-band/per-user
     // density stays what the 1x table has, so the banded/as-of join rows
     // measure plan scaling, not a synthetic everything-in-one-band pile-up
     // (oversampling TIME would make every ±12 h window quadratically
-    // dense, a different corpus, not a bigger one). ts round-trips through
-    // eventTimeUs and lands as TimestampType (instant µs) — exercising the
-    // seam's second branch at probe scale.
+    // dense, a different corpus, not a bigger one). ts lands as
+    // TimestampType (instant µs) — exercising the decode seam's second
+    // branch at probe scale.
     if (needEvents) {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      val tus = graft.Tables.eventTimeUs(ev)
-      val row = ev.agg(min(tus).as("lo"), max(tus).as("hi"),
-        max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
-        count(lit(1)).as("n")).head()
-      val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
-      writeSpread(ev.withColumn("tus", tus)
-        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-        .select(
-          (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
-          timestamp_micros(col("tus") + col("copy") * spanUs).as("ts"),
-          (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
-          col("event_type"), col("value"), col("props")),
+      val span = ProbeCorpus.eventSpan(spark, sfDir)
+      writeSpread(
+        ProbeCorpus.eventsCopies(spark, sfDir, span, 0, copies, ntz = false),
         col("event_id"), s"$big/events.parquet")
-      synthesized += s"${row.getLong(4) * copies} events"
+      synthesized += s"${span.n * copies} events"
     }
 
     // lineitem x copies for the hot-key probe: part keys offset per copy —

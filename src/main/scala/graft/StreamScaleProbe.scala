@@ -32,34 +32,26 @@ object StreamScaleProbe {
     val root = java.nio.file.Files.createTempDirectory("graft_sprobe_").toString
     val src = s"$root/src"
 
-    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-    val tus0 = Tables.eventTimeUs(ev0)
-    val row = ev0.agg(min(tus0).as("lo"), max(tus0).as("hi"),
-      max(col("event_id")).as("eid"), max(col("user_id")).as("uid"),
-      count(lit(1)).as("n")).head()
-    val spanUs = row.getLong(1) - row.getLong(0) + 3600L * 1000000L
-    val base = ev0.withColumn("tus", tus0)
+    val span = ProbeCorpus.eventSpan(spark, sfDir)
 
     // One landing = `copies/landings` consecutive copies, written in copy
     // (= event-time) order so the file source's mod-time ordering delivers
     // them in-order — the contract scd2Ingest enforces and watermarks
     // assume. ts lands as canonical TIMESTAMP NTZ (cast from the µs
     // instant in a UTC session) to match the stream's declared schema.
-    val perLanding = math.max(1, copies / landings)
-    def landingDf(l: Int) = base
-      .withColumn("copy", explode(sequence(
-        lit(l * perLanding), lit((l + 1) * perLanding - 1))))
-      .select(
-        (col("event_id") + col("copy") * (row.getLong(2) + 1)).as("event_id"),
-        timestamp_micros(col("tus") + col("copy") * spanUs)
-          .cast("timestamp_ntz").as("ts"),
-        (col("user_id") + col("copy") * (row.getLong(3) + 1)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+    // Exact division, enforced: a remainder would silently land fewer
+    // copies than the banner (and any SCALE.md row transcribed from it)
+    // claims — the probe must never overstate its own corpus.
+    require(copies % landings == 0,
+      s"copies ($copies) must be a multiple of landings ($landings)")
+    val perLanding = copies / landings
+    def landingDf(l: Int) = ProbeCorpus.eventsCopies(spark, sfDir, span,
+      l * perLanding, (l + 1) * perLanding, ntz = true)
 
     // --- per-landing ingest twins: rollup + scd2 state maintenance ---
     val rollState = s"$root/roll_state"; val rollCkpt = s"$root/roll_ckpt"
     val scdState = s"$root/scd_state"; val scdCkpt = s"$root/scd_ckpt"
-    val nLandings = math.min(landings, copies)
+    val nLandings = landings
     for (l <- 0 until nLandings) {
       landingDf(l).repartition(8).write.mode("append").parquet(src)
       val t0 = System.nanoTime()
@@ -79,10 +71,9 @@ object StreamScaleProbe {
     // noop sink, NOT memory: the dedup probe's output is corpus-sized and
     // a memory sink would collect it into the driver (the 100× run died
     // exactly there). Output volume comes from the progress reports.
-    def stateRun(name: String, df: org.apache.spark.sql.DataFrame,
-                 mode: String): Unit = {
+    def stateRun(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val q = df.writeStream.format("noop")
-        .outputMode(mode)
+        .outputMode("append")
         .option("checkpointLocation", s"$root/${name}_ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -103,10 +94,10 @@ object StreamScaleProbe {
       .option("maxFilesPerTrigger", "8").parquet(src)
     stateRun("sprobe_drift",
       EventStreams.driftMonitor(stream(), EventStreams.driftReference(
-        spark.read.schema(EventStreams.eventSchema).parquet(src))), "append")
-    stateRun("sprobe_dedup", EventStreams.dedupStream(stream()), "append")
-    stateRun("sprobe_rollup", EventStreams.hourlyRollup(stream()), "append")
-    println(s"[sprobe] corpus: ${row.getLong(4) * copies} events in $nLandings landings under $root")
+        spark.read.schema(EventStreams.eventSchema).parquet(src))))
+    stateRun("sprobe_dedup", EventStreams.dedupStream(stream()))
+    stateRun("sprobe_rollup", EventStreams.hourlyRollup(stream()))
+    println(s"[sprobe] corpus: ${span.n * copies} events in $nLandings landings under $root")
     spark.stop()
   }
 }

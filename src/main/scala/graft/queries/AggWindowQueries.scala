@@ -397,8 +397,14 @@ object AggWindowQueries {
     "c9_psi_drift" -> GQ(
       (s, d) => {
         val raw = Tables.load(s, d, "events")
-        val ev = raw.select(col("event_type"), col("value"),
-          Tables.eventTimeUs(raw).as("tus"))
+        // Null-valued events are excluded up front — EXACTLY the streaming
+        // driftMonitor's treatment (null rate is c4's signal, not a value
+        // distribution's), and necessary for correctness: Spark's and
+        // DuckDB's least/greatest SKIP nulls, so an unguarded clamp would
+        // silently bin nulls into the top bucket on both engines.
+        val ev = raw.where(col("value").isNotNull)
+          .select(col("event_type"), col("value"),
+            Tables.eventTimeUs(raw).as("tus"))
         val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
         val h = ev.crossJoin(broadcast(mid))
           .select(col("event_type"),
@@ -426,7 +432,8 @@ object AggWindowQueries {
           .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
             .as("psi"))
       },
-      "WITH e AS (SELECT event_type, value, epoch_us(ts) tus FROM events), " +
+      "WITH e AS (SELECT event_type, value, epoch_us(ts) tus FROM events " +
+        "WHERE value IS NOT NULL), " +
         "m AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM e), " +
         "h AS (SELECT event_type, greatest(least(floor(value / 50.0), 9.0), 0.0)::BIGINT bkt, " +
         "sum(CASE WHEN tus <= mid THEN 1 ELSE 0 END) ca, " +

@@ -60,10 +60,18 @@ object EventStreams {
   /** Fixed value-bucket column shared by the drift reference and monitor
     * (c9's $50 buckets, clamped to [0, 9] so a negative value cannot fall
     * outside the wide layout) — ONE definition so the streaming and
-    * reference histograms cannot disagree on binning.
+    * reference histograms cannot disagree on binning. NULL-propagating by
+    * an EXPLICIT guard: Spark's `least`/`greatest` SKIP nulls (verified:
+    * `greatest(least(floor(NULL/50), 9), 0)` = 9, DuckDB agrees), so
+    * without the guard a null value would silently land in the top bucket
+    * and corrupt the distribution. A null value bins nowhere — null RATE
+    * is a completeness signal (c4), not a value-distribution one — which
+    * is also why n/rn count `value`, not rows: n must equal Σ buckets.
     */
   private def driftBucket: Column =
-    greatest(least(floor(col("value") / 50.0), lit(9.0)), lit(0.0)).cast("long")
+    when(col("value").isNotNull,
+      greatest(least(floor(col("value") / 50.0), lit(9.0)), lit(0.0))
+        .cast("long"))
 
   val DriftBuckets = 10
 
@@ -291,40 +299,19 @@ object EventStreams {
     val q = spark.readStream.schema(eventSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Stale-state guard: a state id AHEAD of the incoming batch means
-        // the checkpoint was reset (ids restart at 0) while stateDir
-        // survived — latestStateBefore would exclude the high-id state from
-        // the merge while readRollup keeps returning it, a silently wrong
-        // rollup. That split-brain has no safe automatic resolution; fail
-        // loudly and make the operator reset or keep the pair together.
-        val ahead = stateIds(spark, stateDir).filter(_ > batchId)
-        if (ahead.nonEmpty) throw new IllegalStateException(
-          s"rollupIngest: state batch=${ahead.max} under $stateDir is ahead " +
-            s"of incoming batch $batchId — checkpoint $checkpointDir was " +
-            "reset while state survived; delete both or restore the checkpoint")
+        val prevId = guardedPrevId("rollupIngest", spark, stateDir,
+          batchId, checkpointDir)
         val st = graft.ops.Relational.aggState(
           batch.select(col("event_type"),
             round(col("value") * 100, 0).cast("long").as("cents")),
           Seq("event_type"), Seq("cents"))
-        val prevId = stateIds(spark, stateDir).filter(_ < batchId).maxOption
         val merged = prevId.map(id => spark.read.parquet(s"$stateDir/batch=$id")) match {
           case Some(prev) => graft.ops.Relational.mergeAggStates(
             Seq(prev, st), Seq("event_type"), Seq("cents"))
           case None => st
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-        // Prune superseded snapshots AFTER the new state commits: keep the
-        // just-written state plus the one it merged from (the fallback a
-        // re-executed batch rebuilds against); everything older is
-        // unreachable — without pruning the state dir grows one full
-        // snapshot per micro-batch forever.
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        stateIds(spark, stateDir)
-          .filter(id => id < batchId && !prevId.contains(id))
-          .foreach(id => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
-        ()
+        pruneSuperseded(spark, stateDir, batchId, prevId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -347,6 +334,42 @@ object EventStreams {
                                 beforeId: Long): Option[DataFrame] =
     stateIds(spark, stateDir).filter(_ < beforeId).maxOption
       .map(id => spark.read.parquet(s"$stateDir/batch=$id"))
+
+  /** Shared exactly-once plumbing for the snapshot-per-batch ingest twins
+    * (rollupIngest/scd2Ingest). Stale-state guard: a state id AHEAD of the
+    * incoming batch means the checkpoint was reset (ids restart at 0)
+    * while stateDir survived — the merge would silently exclude the
+    * high-id state while readers keep returning it. That split-brain has
+    * no safe automatic resolution; fail loudly. Returns the newest id
+    * strictly below `batchId` (a re-executed batch never merges against
+    * its own partial output).
+    */
+  private def guardedPrevId(op: String, spark: SparkSession, stateDir: String,
+                            batchId: Long, checkpointDir: String): Option[Long] = {
+    val ids = stateIds(spark, stateDir)
+    val ahead = ids.filter(_ > batchId)
+    if (ahead.nonEmpty) throw new IllegalStateException(
+      s"$op: state batch=${ahead.max} under $stateDir is ahead " +
+        s"of incoming batch $batchId — checkpoint $checkpointDir was " +
+        "reset while state survived; delete both or restore the checkpoint")
+    ids.filter(_ < batchId).maxOption
+  }
+
+  /** Prune superseded snapshots AFTER the new state commits: keep the
+    * just-written `batchId` plus the `prevId` it merged from (the fallback
+    * a re-executed batch rebuilds against); everything older is
+    * unreachable — without pruning the state dir grows one full snapshot
+    * per micro-batch forever.
+    */
+  private def pruneSuperseded(spark: SparkSession, stateDir: String,
+                              batchId: Long, prevId: Option[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stateIds(spark, stateDir)
+      .filter(id => id < batchId && !prevId.contains(id))
+      .foreach(id => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
+  }
 
   private def stateIds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
@@ -384,17 +407,13 @@ object EventStreams {
     val q = spark.readStream.schema(eventSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ahead = stateIds(spark, stateDir).filter(_ > batchId)
-        if (ahead.nonEmpty) throw new IllegalStateException(
-          s"scd2Ingest: state batch=${ahead.max} under $stateDir is ahead " +
-            s"of incoming batch $batchId — checkpoint $checkpointDir was " +
-            "reset while state survived; delete both or restore the checkpoint")
+        val prevId = guardedPrevId("scd2Ingest", spark, stateDir,
+          batchId, checkpointDir)
         // Same event→(user, tier) extraction as the batch gate.
         val ev = batch.select(col("user_id"), col("event_id"),
           graft.Tables.eventTimeUs(batch).as("tus"),
           graft.ops.Relational.floorDivExact(
             expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
-        val prevId = stateIds(spark, stateDir).filter(_ < batchId).maxOption
         val evSeen = ev.groupBy(col("user_id"))
           .agg(max(struct(col("tus"), col("event_id"))).as("m"))
           .select(col("user_id"), col("m.tus").as("last_us"),
@@ -435,13 +454,7 @@ object EventStreams {
         }
         segs.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/segments")
         seen.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/seen")
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        stateIds(spark, stateDir)
-          .filter(id => id < batchId && !prevId.contains(id))
-          .foreach(id => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true))
-        ()
+        pruneSuperseded(spark, stateDir, batchId, prevId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

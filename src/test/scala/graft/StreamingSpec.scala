@@ -93,6 +93,34 @@ class StreamingSpec extends SparkSpec {
     assert(unseen.agg(min(col("psi"))).head.getDouble(0) >= 0.0)
   }
 
+  test("drift monitor bins null values nowhere: n equals histogram mass, PSI stays sane") {
+    // Spark's least/greatest SKIP nulls, so an unguarded clamp would put
+    // a null value in bucket 9 while count(value) excluded it — smoothed p
+    // would exceed 1 and PSI would explode. The guarded driftBucket must
+    // instead drop nulls from mass and buckets symmetrically: a window of
+    // 1 valued + many null events reads exactly like the 1-event window.
+    import spark.implicits._
+    val t0 = 1767225600L * 1000000L // 2026-01-01T00:00Z µs
+    def ev(rows: Seq[(Long, Option[Double])]) = rows.zipWithIndex.map {
+      case ((tus, v), i) => (i.toLong, tus, 7L, "click", v, "{}")
+    }.toDF("event_id", "tus", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("tus"))
+        .cast("timestamp_ntz").as("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val withNulls = ev(Seq((t0, Some(75.0))) ++
+      (1 to 50).map(i => (t0 + i * 1000000L, Option.empty[Double])))
+    val clean = ev(Seq((t0, Some(75.0))))
+    val ref = EventStreams.driftReference(
+      ev(Seq((t0, Some(75.0)), (t0 + 1000000L, Some(80.0)))))
+    val a = EventStreams.driftMonitor(withNulls, ref)
+      .select("n_events", "ref_n", "psi").collect().toSeq
+    val b = EventStreams.driftMonitor(clean, ref)
+      .select("n_events", "ref_n", "psi").collect().toSeq
+    assert(a == b, s"null-valued rows leaked into the histogram: $a vs $b")
+    assert(a.head.getLong(0) == 1L) // n = histogram mass, not row count
+    assert(a.head.getLong(1) == 2L) // reference mass likewise excludes nothing here
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
     import spark.implicits._
     val stream = EventStreams.readEventStream(spark, eventsDir)
