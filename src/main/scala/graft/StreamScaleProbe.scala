@@ -97,6 +97,10 @@ object StreamScaleProbe {
         spark.read.schema(EventStreams.eventSchema).parquet(src))))
     stateRun("sprobe_dedup", EventStreams.dedupStream(stream()))
     stateRun("sprobe_rollup", EventStreams.hourlyRollup(stream()))
+    // stream-stream interval join: both sides watermarked, join state
+    // expires past watermark + interval — the row that shows join state
+    // is horizon-bounded too, not corpus-bounded.
+    stateRun("sprobe_attr", EventStreams.clickAttribution(stream(), stream()))
     println(s"[sprobe] corpus: ${span.n * copies} events in $nLandings landings under $root")
     spark.stop()
   }

@@ -665,6 +665,61 @@ object Relational {
       .select(col("q"), col("rank"), col("__v").as("value"))
   }
 
+  /** Z-order (Morton) clustering — the real multi-column data-skipping
+    * layout behind OPTIMIZE ... ZORDER BY (K5's single-dimension
+    * `repartitionByRange` + `sortWithinPartitions` emulation upgraded):
+    * each column is linearly bucketed into `2^bitsPerCol` ranks
+    * (`width_bucket` over a one-scan global min/max), the rank bits are
+    * interleaved into one Morton key, and the frame is range-partitioned +
+    * sorted on that key — so EVERY clustered column's per-file min/max
+    * span shrinks to ~files^(-1/dims) of its range, and a predicate on ANY
+    * of them skips most files via parquet footer stats (single-column sort
+    * narrows only its own dimension; the second column spans the full
+    * range in every file). Pure Column composition: `width_bucket` +
+    * shift/mask chains, all codegen'd; the only driver action is the
+    * min/max scalar scan (the documented two-pass idiom).
+    *
+    * Contract: numeric columns (linear bucketing needs an order-preserving
+    * numeric map; z-order a string via a numeric surrogate first). Nulls
+    * rank 0 — they cluster together at the curve's origin, explicitly, not
+    * by accident of null-skipping `greatest`. Linear bucketing assumes
+    * roughly uniform dimensions (TPC-H keys are); heavily skewed columns
+    * want quantile boundaries in place of min/max — same interleave.
+    * `bitsPerCol · cols.size ≤ 62` keeps the key in one Long.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
+               bitsPerCol: Int = 8): DataFrame = {
+    require(cols.size >= 2, "zorderBy needs >= 2 columns (one column: just sort)")
+    require(bitsPerCol * cols.size <= 62,
+      s"bitsPerCol ($bitsPerCol) x ${cols.size} cols exceeds one Long")
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = 1 << bitsPerCol
+    val zkey = cols.zipWithIndex.map { case (c, ci) =>
+      val lo = mm.getAs[Double](s"lo_$c"); val hi = mm.getAs[Double](s"hi_$c")
+      // degenerate range (constant column / empty frame): rank 0 for all
+      val rank =
+        if (mm.isNullAt(mm.fieldIndex(s"lo_$c")) || hi <= lo) lit(0L)
+        else {
+          // width_bucket: [1, n] in-range, n+1 at v == hi; −1 then clamp
+          // to [0, n−1]. when(), NOT greatest/least: those skip nulls and
+          // would rank a null row by accident — nulls rank 0 by decree.
+          val wb = width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1
+          when(col(c).isNull, 0L)
+            .otherwise(when(wb < 0, 0L).otherwise(when(wb > n - 1, (n - 1).toLong)
+              .otherwise(wb.cast("long"))))
+        }
+      (0 until bitsPerCol).map(i =>
+        shiftleft(shiftright(rank, i).bitwiseAND(lit(1L)), i * cols.size + ci))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numPartitions, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
   /** SCD type-2 change compression — the ONE definition behind both the
     * batch `scd2_user_history` gate and the streaming history maintenance
     * (`EventStreams.scd2Ingest`), so the two cannot diverge. Input columns:

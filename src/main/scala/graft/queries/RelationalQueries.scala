@@ -226,6 +226,25 @@ object RelationalQueries {
       "SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity, " +
         "p.p_name FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"),
 
+    // K8 — real Z-order clustering (Relational.zorderBy), upgrading K5's
+    // single-dimension range+sort OPTIMIZE/ZORDER emulation: Morton
+    // bit-interleave of per-column ranks, so BOTH cluster columns' per-file
+    // min/max spans shrink and parquet footer stats skip files for a
+    // predicate on either (ZorderSpec measures the spans; this gate pins
+    // the content contract — clustering is layout only, rows unchanged).
+    "k8_zorder_cluster" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))
+        val out = tmpDir("graft_zorder_") + "/li"
+        Relational.zorderBy(li, Seq("l_partkey", "l_suppkey"), 16)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      },
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity " +
+        "FROM lineitem"),
+
     // J1 + K2 — the incremental-load primitive: append only rows whose key
     // is absent from the existing sink, with overwrite fallback on first
     // run (reference: etl/extract/lfb-extract.py:30-52).
