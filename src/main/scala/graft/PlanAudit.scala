@@ -17,7 +17,8 @@ object PlanAudit {
         "scd2_user_history", "ev_gapfill", "w3_rolling_window",
         "ev_retention", "a13_bucketed_quantiles", "c9_psi_drift",
         "t21_source_quota", "j10_skew_split_join", "t22_fuzzy_edit_join",
-        "a14_incremental_rollup")) {
+        "a14_incremental_rollup",
+        "k8_zorder_cluster")) {
       println(s"########## $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>

@@ -54,7 +54,7 @@ object ScaleProbe {
       "w3_rolling_window", "ev_retention", "scd2_user_history", "ev_gapfill",
       "c9_psi_drift")
     val liRows = Seq("a12_heavy_hitters", "a13_bucketed_quantiles",
-      "j10_skew_split_join")
+      "j10_skew_split_join", "k8_zorder_cluster")
     val needDocs = (docRows :+ "cc_live").exists(sel)
     val needVecs = (vecRows :+ "cos_pairs_live").exists(sel)
     val needEvents = eventRows.exists(sel)

@@ -748,6 +748,31 @@ object Relational {
         lead(col("tus"), 1).over(w).isNull.cast("int").as("is_current"))
   }
 
+  /** Incremental SCD2 merge: prior history + a newer batch of events →
+    * the history a full recompute over all underlying events would
+    * produce, PROVIDED the batch is in per-user event order relative to
+    * the history (enforced by the ingest seam's `seen` watermark — see
+    * `EventStreams.scd2Ingest`). Prior OPEN segments re-enter compression
+    * as their anchor events, carried unconditionally (a carried anchor
+    * has no predecessor in the re-fed frame; the plain change test would
+    * drop a null-tier one); closed segments are immutable and pass
+    * through. The algebra: under in-order arrival, every event absorbed
+    * into a segment was a non-change, so the anchor events + new batch
+    * reproduce exactly the change structure of the full stream —
+    * `Scd2MergeSpec` proves merge ∘ split ≡ single-pass compression on
+    * randomized streams for any cut count.
+    */
+  def scd2Merge(prevSegs: DataFrame, ev: DataFrame): DataFrame = {
+    val open = prevSegs.where(col("is_current") === 1)
+      .select(col("user_id"), col("anchor_eid").as("event_id"),
+        col("valid_from_us").as("tus"), col("tier"),
+        lit(true).as("__carry"))
+    val merged = scd2Compress(
+      open.unionByName(ev.withColumn("__carry", lit(false))),
+      Some(col("__carry")))
+    prevSegs.where(col("is_current") === 0).unionByName(merged)
+  }
+
   // ---------------------------------------------------------------------
   // Incremental rollup maintenance (algebraic aggregate states)
   // ---------------------------------------------------------------------

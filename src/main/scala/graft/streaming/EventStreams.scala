@@ -434,17 +434,7 @@ object EventStreams {
                 "(older than a user's maintained watermark) — history cannot " +
                 "be merged retroactively; reprocess from scratch or fix the " +
                 s"source ordering. Examples: ${lateRows.mkString(", ")}")
-            // Prior open segments re-enter compression as their anchor
-            // events, carried unconditionally (see scd2Compress scaladoc).
-            val open = prevSegs.where(col("is_current") === 1)
-              .select(col("user_id"), col("anchor_eid").as("event_id"),
-                col("valid_from_us").as("tus"), col("tier"),
-                lit(true).as("__carry"))
-            val merged = graft.ops.Relational.scd2Compress(
-              open.unionByName(ev.withColumn("__carry", lit(false))),
-              Some(col("__carry")))
-            val newSegs = prevSegs.where(col("is_current") === 0)
-              .unionByName(merged)
+            val newSegs = graft.ops.Relational.scd2Merge(prevSegs, ev)
             val newSeen = prevSeen.unionByName(evSeen)
               .groupBy(col("user_id"))
               .agg(max(struct(col("last_us"), col("last_eid"))).as("m"))
