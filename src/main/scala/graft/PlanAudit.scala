@@ -17,8 +17,7 @@ object PlanAudit {
         "scd2_user_history", "ev_gapfill", "w3_rolling_window",
         "ev_retention", "a13_bucketed_quantiles", "c9_psi_drift",
         "t21_source_quota", "j10_skew_split_join", "t22_fuzzy_edit_join",
-        "a14_incremental_rollup",
-        "k8_zorder_cluster")) {
+        "a14_incremental_rollup")) {
       println(s"########## $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       println(plan.linesIterator.filter(l =>
@@ -26,6 +25,19 @@ object PlanAudit {
         l.contains("Broadcast") || l.contains("WholeStageCodegen") || l.contains("Exchange")
       ).take(14).mkString("\n"))
     }
+    // k8's gate fn writes eagerly and returns a bare read-back scan, so
+    // the generic loop would audit a FileScan of the temp dir — print the
+    // CLUSTERING plan itself (width_bucket codegen chain + the ONE
+    // rangepartitioning exchange + SortExec) instead.
+    println("########## k8_zorder_cluster (zorderBy plan, pre-write)")
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val zplan = graft.ops.Relational.zorderBy(li, Seq("l_partkey", "l_suppkey"), 16)
+      .queryExecution.executedPlan.toString
+    println(zplan.linesIterator.filter(l =>
+      l.contains("Scan parquet") || l.contains("Exchange") ||
+      l.contains("Sort") || l.contains("WholeStageCodegen")
+    ).take(10).mkString("\n"))
     spark.stop()
   }
 }

@@ -690,6 +690,10 @@ object Relational {
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
                bitsPerCol: Int = 8): DataFrame = {
     require(cols.size >= 2, "zorderBy needs >= 2 columns (one column: just sort)")
+    // 1..30: `1 << 31` overflows Int and width_bucket with a non-positive
+    // count returns NULL — an all-null key would silently NOT cluster.
+    require(bitsPerCol >= 1 && bitsPerCol <= 30,
+      s"bitsPerCol must be in [1, 30], got $bitsPerCol")
     require(bitsPerCol * cols.size <= 62,
       s"bitsPerCol ($bitsPerCol) x ${cols.size} cols exceeds one Long")
     val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),

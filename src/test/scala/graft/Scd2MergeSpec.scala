@@ -28,23 +28,32 @@ class Scd2MergeSpec extends SparkSpec {
         (rnd.nextInt(6).toLong, i.toLong, (1000 + rnd.nextInt(20)).toLong,
           if (rnd.nextInt(4) == 0) Option.empty[Long] else Some(rnd.nextInt(3).toLong))
       }.sortBy(e => (e._3, e._2)) // in-order delivery: (tus, event_id)
-      val expected = compress(stream).collect().toSet
+      // MULTISET compare: the tiny tus range makes duplicate closed
+      // segments common, and a Set would forgive a merge that drops or
+      // doubles one copy of a twin.
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().toSeq.map(_.toString).sorted
+      val expected = multiset(compress(stream))
 
-      // 2-4 cuts at random order-index positions (empty batches allowed)
+      // 2-4 cuts at random order-index positions, plus one EXPLICITLY
+      // empty batch spliced in (distinct cut points can never produce an
+      // empty slice, and the no-new-events micro-batch is a real path)
       val nCuts = 1 + rnd.nextInt(3)
       val cuts = (Seq(0, nEvents) ++ (1 to nCuts).map(_ => rnd.nextInt(nEvents + 1)))
         .distinct.sorted
-      val batches = cuts.zip(cuts.tail).map { case (a, b) => stream.slice(a, b) }
+      val sliced = cuts.zip(cuts.tail).map { case (a, b) => stream.slice(a, b) }
+      val batches = sliced.patch(1 + rnd.nextInt(sliced.size),
+        Seq(Seq.empty[(Long, Long, Long, Option[Long])]), 0)
       val folded = batches.tail.foldLeft(
         Relational.scd2Compress(batches.head
           .toDF("user_id", "event_id", "tus", "tier"))) { (segs, batch) =>
         Relational.scd2Merge(segs,
           batch.toDF("user_id", "event_id", "tus", "tier"))
       }
-      val got = folded.drop("anchor_eid").collect().toSet
+      val got = multiset(folded.drop("anchor_eid"))
       assert(got == expected,
         s"seed=$seed cuts=$cuts: merged history diverged from single pass\n" +
-          s"missing: ${expected -- got}\nextra: ${got -- expected}")
+          s"missing: ${expected.diff(got)}\nextra: ${got.diff(expected)}")
     }
   }
 }
