@@ -19,7 +19,7 @@ object ProbeCorpus {
     */
   def docsCopies(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val docIdOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val docIdOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val others = docs.columns.filterNot(Seq("doc_id", "text").contains).map(col)
     docs.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .select((col("doc_id") + col("copy") * docIdOff).as("doc_id") +:

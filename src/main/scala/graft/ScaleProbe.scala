@@ -97,7 +97,7 @@ object ScaleProbe {
     if (needVecs) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nVec = emb.count()
-      val vecIdOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val vecIdOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       writeSpread(emb
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select((col("vec_id") + col("copy") * vecIdOff).as("vec_id"),
@@ -137,8 +137,8 @@ object ScaleProbe {
       // part key above max(l_partkey) would otherwise collide with the
       // next copy's low keys and duplicate dimension rows.
       val pkOff = math.max(
-        li.agg(max(col("l_partkey"))).head.getLong(0),
-        part0.agg(max(col("p_partkey"))).head.getLong(0)) + 1
+        li.agg(max(col("l_partkey"))).head().getLong(0),
+        part0.agg(max(col("p_partkey"))).head().getLong(0)) + 1
       writeSpread(li
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .withColumn("l_partkey", col("l_partkey") + col("copy") * pkOff)

@@ -32,7 +32,7 @@ class RankSpec extends SparkSpec {
     // ranks are a permutation of 1..n
     val n = got.count()
     assert(got.agg(min("rank"), max("rank"), countDistinct("rank"))
-      .head.toSeq == Seq(1L, n, n))
+      .head().toSeq == Seq(1L, n, n))
   }
 
   test("bucketed rank survives a degenerate all-one-bucket distribution") {

@@ -68,7 +68,7 @@ class RelationalSpec extends SparkSpec {
     val probe = Seq((1L, 1000L)).toDF("pid", "pts")
     val readings = Seq((20L, 1100L)).toDF("rid", "rts") // next bucket, |dt| == band
     val out = Relational.nearestWithinBand(probe, "pid", "pts", readings, "rts", 100L, "rid")
-    assert(out.head.getAs[Long]("rid") == 20L)
+    assert(out.head().getAs[Long]("rid") == 20L)
   }
 
   test("nearestWithinBand legacyEpochBug reproduces the reference's dead join") {

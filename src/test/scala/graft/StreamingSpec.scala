@@ -74,7 +74,7 @@ class StreamingSpec extends SparkSpec {
     // PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 — a negative value
     // can only come from a broken fold (no abs() here: abs >= 0 would be
     // a tautology that passes on garbage).
-    assert(streamed.agg(min(col("psi"))).head.getDouble(0) >= 0.0)
+    assert(streamed.agg(min(col("psi"))).head().getDouble(0) >= 0.0)
   }
 
   test("drift monitor alarms on an event_type the reference never saw") {
@@ -90,7 +90,7 @@ class StreamingSpec extends SparkSpec {
     // observed-bucket support a single-bucket live histogram reads
     // psi = 0 even against zero reference mass.
     assert(unseen.where(col("ref_n") =!= 0).count() == 0)
-    assert(unseen.agg(min(col("psi"))).head.getDouble(0) >= 0.0)
+    assert(unseen.agg(min(col("psi"))).head().getDouble(0) >= 0.0)
   }
 
   test("drift monitor bins null values nowhere: n equals histogram mass, PSI stays sane") {
