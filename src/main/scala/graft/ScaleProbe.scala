@@ -42,6 +42,7 @@ object ScaleProbe {
       "t13_chunk_windows", "t14_quality_classifier", "t15_mixture_resample",
       "t16b_bpe_vocab", "t18_bigram_logprob", "t19_oov_rate",
       "t20_global_rank", "t21_source_quota", "t22_fuzzy_edit_join",
+      "t23_stratified_split", "t24_token_budget",
       "m5_ppm_resize",
       "m6_wav_features", "m7_image_dhash", "m8_image_neardup",
       "x1_decontaminate", "x1b_bloom_decontaminate")
