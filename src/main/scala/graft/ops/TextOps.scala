@@ -393,6 +393,44 @@ object TextOps {
         lit(1048576L)) < col("thr"))
       .select(col(idCol), col(langCol), col("n_tokens"))
 
+  /** EXACT stratified split: per stratum, exactly ceil(n/10) rows to
+    * 'val', the rest 'train' — the per-stratum-exact counterpart of the
+    * hash split (proportional only in expectation; a small stratum can
+    * land 0 eval rows by chance, and an eval set needs every stratum
+    * represented, down to a single-row one). `ntile(10)` over the salted
+    * deterministic order assigns exactly ceil(n/10) rows to bucket 1
+    * (SQL-standard larger-buckets-first — identical in Spark and DuckDB),
+    * so one window does the whole job. One shuffle on the stratum column.
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                      salt: String): DataFrame = {
+    val ord = Window.partitionBy(col(strataCol)).orderBy(
+      sha2(concat_ws("|", lit(salt), col(idCol).cast("string")), 256), col(idCol))
+    df.withColumn("split",
+      when(ntile(10).over(ord) === 1, "val").otherwise("train"))
+  }
+
+  /** Per-group weight-budget cap ("≤ B tokens per domain"): rows admitted
+    * in the salted deterministic order WHILE budget remains before each
+    * row — `cum − w < budget`, not `cum ≤ budget`, so a group whose first
+    * row alone exceeds the budget still contributes that row (a cum-based
+    * filter would silently exclude whole large-document domains — the
+    * same stratum-starvation failure stratifiedSplit exists to prevent).
+    * The admitted set may overshoot the budget by at most one row's
+    * weight, the standard knapsack-free admission rule. Running sum over
+    * an explicit ROWS frame (unique order, ties impossible); one shuffle
+    * on the group column. Emits `cum_w` (the running weight) for the
+    * quota report.
+    */
+  def weightBudgetCap(df: DataFrame, groupCol: String, idCol: String,
+                      weightCol: String, budget: Long, salt: String): DataFrame = {
+    val ord = Window.partitionBy(col(groupCol)).orderBy(
+        sha2(concat_ws("|", lit(salt), col(idCol).cast("string")), 256), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_w", sum(col(weightCol)).over(ord))
+      .where(col("cum_w") - col(weightCol) < budget)
+  }
+
   /** Bounded edit-distance self-join via PassJoin-style segment blocking
     * (Li/Deng/Feng's partition scheme): every pair within Levenshtein
     * distance ≤ `tau` — the entity-resolution / fuzzy-record-linkage join,

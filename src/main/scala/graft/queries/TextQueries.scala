@@ -1451,57 +1451,41 @@ object TextQueries {
         "QUALIFY row_number() OVER (PARTITION BY source " +
         "ORDER BY n_chars DESC, doc_id) <= 15"),
 
-    // T23 — EXACT stratified split: per language, exactly ceil(n/10) docs
-    // go to 'val', the rest to 'train' — the per-stratum-exact counterpart
-    // of t9's hash split (which is proportional only in expectation; a
+    // T23 — EXACT stratified split (TextOps.stratifiedSplit): per
+    // language, exactly ceil(n/10) docs to 'val' — the per-stratum-exact
+    // counterpart of t9's hash split (proportional only in expectation; a
     // small stratum can land 0 val docs by chance, and eval sets need
-    // every language represented). Deterministic shuffle order inside the
-    // stratum via the salted sha-256 (both engines compute the identical
-    // hex), ties impossible (doc_id tiebreak). Shape at 100 TB: one
-    // shuffle on lang; both windows ride it; per-group sort bounded by
-    // the stratum.
+    // every language represented). ntile(10) == 1 over the salted
+    // deterministic order IS ceil(n/10) (larger-buckets-first in both
+    // engines); one window, one lang shuffle, per-group sort bounded by
+    // the stratum. MixtureSpec pins the tiny-stratum exactness the gate
+    // corpus can't reach.
     "t23_stratified_split" -> GQ(
-      (s, d) => {
-        val wl = Window.partitionBy(col("lang"))
-        val ord = Window.partitionBy(col("lang")).orderBy(
-          sha2(concat_ws("|", lit("strat42"), col("doc_id")), 256), col("doc_id"))
-        Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("lang"))
-          .withColumn("rn", row_number().over(ord))
-          .withColumn("n", count(lit(1)).over(wl))
-          .select(col("doc_id"), col("lang"),
-            when(col("rn") <= expr("(n + 9) div 10"), "val")
-              .otherwise("train").as("split"))
-      },
-      "WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
-        "ORDER BY sha256('strat42|' || doc_id::VARCHAR), doc_id) rn, " +
-        "count(*) OVER (PARTITION BY lang) n FROM documents) " +
-        "SELECT doc_id, lang, CASE WHEN rn <= (n + 9) // 10 THEN 'val' " +
-        "ELSE 'train' END AS split FROM r"),
+      (s, d) => TextOps.stratifiedSplit(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", "strat42"),
+      "SELECT doc_id, lang, CASE WHEN ntile(10) OVER (PARTITION BY lang " +
+        "ORDER BY sha256('strat42|' || doc_id::VARCHAR), doc_id) = 1 " +
+        "THEN 'val' ELSE 'train' END AS split FROM documents"),
 
-    // T24 — per-source TOKEN-budget cap ("sample ≤ B chars per domain"),
-    // the volume-control twin of t21's row quota: docs admitted in a
-    // deterministic salted-hash order until the source's cumulative
-    // character budget is exhausted — so a domain of ten huge docs and a
-    // domain of a million tweets contribute comparable VOLUME, which is
-    // what a token-budgeted mixture actually balances. Running sum over
-    // an explicit ROWS frame (unique order, so RANGE==ROWS, but pinned
-    // explicitly in both engines); one shuffle on source.
+    // T24 — per-source TOKEN-budget cap ("sample ≤ B chars per domain",
+    // TextOps.weightBudgetCap), the volume-control twin of t21's row
+    // quota: docs admitted in deterministic salted-hash order WHILE
+    // budget remains before each doc (`cum − w < B`, so even a domain
+    // whose smallest doc exceeds B contributes its first doc instead of
+    // silently vanishing from the mixture); overshoot ≤ one doc. One
+    // shuffle on source.
     "t24_token_budget" -> GQ(
-      (s, d) => {
-        val ord = Window.partitionBy(col("source")).orderBy(
-            sha2(concat_ws("|", lit("budget42"), col("doc_id")), 256), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.load(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("cum_chars", sum(col("n_chars")).over(ord))
-          .where(col("cum_chars") <= 5000L)
-      },
+      (s, d) => TextOps.weightBudgetCap(
+          Tables.load(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", 5000L, "budget42")
+        .withColumnRenamed("cum_w", "cum_chars"),
       "SELECT doc_id, source, n_chars, cum_chars FROM (" +
         "SELECT doc_id, source, n_chars, (sum(n_chars) OVER (PARTITION BY source " +
         "ORDER BY sha256('budget42|' || doc_id::VARCHAR), doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_chars " +
-        "FROM documents) WHERE cum_chars <= 5000"),
+        "FROM documents) WHERE cum_chars - n_chars < 5000"),
 
     // T22 — bounded edit-distance self-join at corpus scale
     // (TextOps.editDistanceJoin, PassJoin-style segment blocking): every
