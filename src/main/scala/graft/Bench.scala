@@ -24,7 +24,15 @@ import java.nio.file.{Files, Paths}
   * per-query reference seconds from the last clean round) is present, any
   * query whose MIN exceeds 2× its reference re-runs once after the whole
   * suite has finished and both numbers are recorded — a real regression
-  * reproduces in the re-run; contention doesn't.
+  * reproduces in the re-run; contention doesn't. The verdict is written
+  * BACK into the artifacts (round 12's was internally inconsistent —
+  * `queries` kept 17 contention-polluted firsts that `failed: []` said
+  * were cleared): per-query `adj` and the compact line's `queries`/`value`
+  * carry the adjudicated numbers (cleared re-run substituted, flagged
+  * first otherwise); first-run median/min/max + `rerun` stay as evidence;
+  * re-runs still > 2× are named in `sentinelFailed`. Keys starting with
+  * `_` in the reference file are metadata (machine state of the
+  * rebaseline run), not query references.
   *
   * Two consumers, two totals. The primary metric (`value`, per-query
   * medians) uses `count()` — comparable across every prior round, but
@@ -108,7 +116,9 @@ object Bench {
           .readValue(Files.readString(Paths.get(refPath)),
             classOf[java.util.Map[String, Object]])
         import scala.jdk.CollectionConverters._
-        m.asScala.collect { case (k, v: Number) => k -> v.doubleValue() }.toMap
+        m.asScala.collect {
+          case (k, v: Number) if !k.startsWith("_") => k -> v.doubleValue()
+        }.toMap
       } catch { case e: Throwable =>
         System.err.println(s"[bench] reference unreadable ($refPath): ${e.getMessage}")
         Map.empty[String, Double]
@@ -141,6 +151,29 @@ object Bench {
         val (t, ok) = timeOnce(name, registryMap(name).fn)
         name -> (if (ok) t else -1.0)
     }.toMap
+    // The sentinel's VERDICT, written back per query so the artifact is
+    // reproducible from itself (round 12's artifact kept the contention-
+    // polluted first-run numbers in `queries` while `failed: []` said the
+    // re-runs cleared — sum-of-mins from the file gave 51.4 s, not the
+    // adjudicated truth). `adj` = the clean re-measure where the re-run
+    // proved contention (rerun ≤ 2× reference), the first-run min
+    // otherwise; the first-run median/min/max stay recorded as the
+    // contention evidence. A re-run that stayed > 2× (or crashed) is a
+    // REAL regression: it keeps its flagged number and is named in
+    // `sentinelFailed` so a green `failed` list can't absorb it.
+    def cleared(name: String): Option[Double] = reruns.get(name)
+      .filter(t => t >= 0 && refs.get(name).exists(r => t <= 2 * r))
+    val adj: Map[String, Double] = results.map { case (name, _, mn, _, _) =>
+      name -> cleared(name).getOrElse(mn)
+    }.toMap
+    val adjMedians: Map[String, Double] = results.map { case (name, med, _, _, _) =>
+      name -> cleared(name).getOrElse(med)
+    }.toMap
+    val sentinelFailed: Seq[String] =
+      reruns.keys.filter(n => cleared(n).isEmpty).toSeq.sorted
+    if (sentinelFailed.nonEmpty)
+      System.err.println(s"[bench] sentinel: ${sentinelFailed.size} re-run(s) " +
+        s"did NOT clear 2x reference: ${sentinelFailed.mkString(", ")}")
 
     val failed = results.collect { case (k, _, _, _, false) => k } ++
       fullFailed ++ (if (matOk) Nil else Seq("materialize"))
@@ -155,6 +188,13 @@ object Bench {
       if (failed.nonEmpty) -1.0 else results.map(_._2).sum + materializeSec
     val fullTotal =
       if (failed.nonEmpty) -1.0 else fulls.map(_._2._1).sum
+    // Adjudicated totals: Σ adj (mins with cleared re-runs substituted)
+    // and Σ adjudicated medians + materialize — the numbers a reader
+    // recomputing from the artifact should land on.
+    val adjMinTotal =
+      if (failed.nonEmpty) -1.0 else adj.values.sum
+    val adjTotal =
+      if (failed.nonEmpty) -1.0 else adjMedians.values.sum + materializeSec
 
     def j(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -165,7 +205,7 @@ object Bench {
     val fullQ = results.map { case (k, med, mn, mx, ok) =>
       val rr = reruns.get(k).map(v => s""","rerun":$v""").getOrElse("")
       val fl = fullsMap.get(k).map(f => s""","full":${f._1}""").getOrElse("")
-      s""""$k":{"median":$med,"min":$mn,"max":$mx,"ok":$ok$rr$fl}"""
+      s""""$k":{"median":$med,"min":$mn,"max":$mx,"adj":${adj(k)},"ok":$ok$rr$fl}"""
     }.mkString("{", ",", "}")
     // The full artifact is best-effort: an unwritable CWD must not turn a
     // healthy benchmark run into a failed one (stdout still carries every
@@ -177,11 +217,13 @@ object Bench {
         Files.writeString(Paths.get(fullPath),
           s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
             s""""fullTotal":$fullTotal,""" +
+            s""""adjTotal":$adjTotal,"adjMinTotal":$adjMinTotal,""" +
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
             s""""unguarded":${if (sentinelOn) unguarded.map("\"" + _ + "\"").mkString("[", ",", "]") else "null"},""" +
             s""""failed":$failedJson,""" +
+            s""""sentinelFailed":${sentinelFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""sf":"$sfDir","queries":$fullQ}""" + "\n")
         true
       } catch { case e: Throwable =>
@@ -196,14 +238,19 @@ object Bench {
     def shortKey(n: String): String =
       (1 to n.length).iterator.map(n.take)
         .find(p => names.count(_.startsWith(p)) == 1).getOrElse(n)
-    val qs = results.map { case (k, med, _, _, _) => "\"" + shortKey(k) + "\":" + j(med) }
+    // Compact `queries` carries the ADJUDICATED median (cleared re-runs
+    // substituted) — the number the round stands on; first-run evidence
+    // lives in the full artifact.
+    val qs = results.map { case (k, _, _, _, _) =>
+      "\"" + shortKey(k) + "\":" + j(adjMedians(k)) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","runs":$Runs,""" +
-        s""""fullTotal":${j(fullTotal)},""" +
+      s"""{"metric":"total","value":${j(adjTotal)},"unit":"sec","runs":$Runs,""" +
+        s""""rawTotal":${j(total)},"fullTotal":${j(fullTotal)},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
-        s""""sentinel":${reruns.size},"unguarded":${if (sentinelOn) unguarded.size else -1},""" +
+        s""""sentinel":${reruns.size},"sentinelFailed":${sentinelFailed.size},""" +
+        s""""unguarded":${if (sentinelOn) unguarded.size else -1},""" +
         s""""failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")

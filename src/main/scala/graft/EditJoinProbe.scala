@@ -39,12 +39,16 @@ object EditJoinProbe {
       val in = spark.read.parquet(s"$big/documents.parquet")
         .select(col("doc_id"), substring(col("text"), 1, p).as("s"))
       val t0 = System.nanoTime()
+      // The probe exists to MEASURE the quadratic regime the operator's
+      // guard refuses — override it for every cell of the sweep.
       val nCand = graft.ops.TextOps
-        .editDistanceCandidates(in, "doc_id", "s", tau).count()
+        .editDistanceCandidates(in, "doc_id", "s", tau,
+          allowRiskyBlocking = true).count()
       val tCand = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val nPairs = graft.ops.TextOps
-        .editDistanceJoin(in, "doc_id", "s", tau).count()
+        .editDistanceJoin(in, "doc_id", "s", tau,
+          allowRiskyBlocking = true).count()
       val tFull = (System.nanoTime() - t1) / 1e9
       val perRow = nCand.toDouble / (nDocs * copies)
       println(f"[edprobe] prefix=$p tau=$tau: $nCand candidates " +

@@ -421,13 +421,25 @@ object TextOps {
     * an explicit ROWS frame (unique order, ties impossible); one shuffle
     * on the group column. Emits `cum_w` (the running weight) for the
     * quota report.
+    *
+    * Weights must be NON-NEGATIVE — the admitted-set-is-a-prefix property
+    * (and the ≤-one-row overshoot bound) needs a monotone running sum; a
+    * negative weight would let rows past the budget re-admit. Token/char
+    * counts satisfy this by nature but only by convention, so the contract
+    * is enforced in-plan: a codegen'd `raise_error` on the first negative
+    * weight, zero extra passes.
     */
   def weightBudgetCap(df: DataFrame, groupCol: String, idCol: String,
                       weightCol: String, budget: Long, salt: String): DataFrame = {
+    val w = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"weightBudgetCap: negative $weightCol ("), col(weightCol).cast("string"),
+        lit(s") for $idCol="), col(idCol).cast("string"),
+        lit(") — the prefix-admission rule needs non-negative weights"))))
+      .otherwise(col(weightCol))
     val ord = Window.partitionBy(col(groupCol)).orderBy(
         sha2(concat_ws("|", lit(salt), col(idCol).cast("string")), 256), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_w", sum(col(weightCol)).over(ord))
+    df.withColumn("cum_w", sum(w).over(ord))
       .where(col("cum_w") - col(weightCol) < budget)
   }
 
@@ -467,8 +479,8 @@ object TextOps {
     *         brute-force pair set (the gate hash-checks this).
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-                       tau: Int): DataFrame = {
-    val (t, short, cands) = edJoinParts(df, idCol, strCol, tau)
+                       tau: Int, allowRiskyBlocking: Boolean = false): DataFrame = {
+    val (t, short, cands) = edJoinParts(df, idCol, strCol, tau, allowRiskyBlocking)
     val longPairs = cands
       .join(t.select(col("__id").as("id1"), col("__s").as("s1")), "id1")
       .join(t.select(col("__id").as("id2"), col("__s").as("s2")), "id2")
@@ -493,17 +505,56 @@ object TextOps {
     * candidate volume instead of inferring it from wall time.
     */
   def editDistanceCandidates(df: DataFrame, idCol: String, strCol: String,
-                             tau: Int): DataFrame =
-    edJoinParts(df, idCol, strCol, tau)._3
+                             tau: Int,
+                             allowRiskyBlocking: Boolean = false): DataFrame =
+    edJoinParts(df, idCol, strCol, tau, allowRiskyBlocking)._3
+
+  /** Measured floor for PassJoin segment selectivity (EditJoinProbe sweep,
+    * SCALE.md round-12 table): segments of ≥ 10 chars kept candidates/row
+    * ~flat through 100× (t22's prefix-30/τ=2 config is exactly 10); τ=3
+    * over 30-char strings — 7-char segments — went quadratic (736 → 2,209
+    * cand/row at 3× rows, and climbing with n). Below this, blocking keys
+    * are common substrings and the equi-join fans out all-pairs-like.
+    */
+  val MinSafeSegmentChars = 10
 
   /** Shared construction for `editDistanceJoin`/`editDistanceCandidates`:
     * returns (typed input `t`, the short-string sliver, the deduped
     * candidate id pairs from the pigeonhole equi-join).
+    *
+    * Enforces the measured blocking contract unless `allowRiskyBlocking`:
+    * the MEDIAN long-string length must give segments of at least
+    * `MinSafeSegmentChars` chars (`len div (tau+1)`), else the candidate
+    * join is in its probed quadratic regime and the call fails loudly with
+    * the fix (longer blocking prefix, or smaller tau) instead of
+    * "succeeding" into an all-pairs-shaped shuffle at corpus scale. The
+    * check is one extra agg scan over the length column — noise next to
+    * the join it protects; the median (not min) so a sliver of short rows
+    * — which bypass blocking anyway — can't trip it. Probes measuring the
+    * quadratic regime on purpose pass `allowRiskyBlocking = true`.
     */
   private def edJoinParts(df: DataFrame, idCol: String, strCol: String,
-                          tau: Int): (DataFrame, DataFrame, DataFrame) = {
+                          tau: Int, allowRiskyBlocking: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tau >= 1, s"editDistanceJoin needs tau >= 1, got $tau")
     val seg = tau + 1
+    if (!allowRiskyBlocking) {
+      val med = df.where(length(col(strCol)) >= seg)
+        .agg(percentile_approx(length(col(strCol)), lit(0.5), lit(1000)))
+        .head().getAs[Any](0)
+      med match {
+        case l: Number if l.longValue() / seg < MinSafeSegmentChars =>
+          throw new IllegalArgumentException(
+            s"editDistanceJoin: median string length ${l.longValue()} with " +
+              s"tau=$tau gives ${l.longValue() / seg}-char segments — below " +
+              s"the measured $MinSafeSegmentChars-char selectivity floor " +
+              "(EditJoinProbe: this regime's candidate volume grows " +
+              "quadratically with the corpus). Use a longer blocking " +
+              "string or a smaller tau, or pass allowRiskyBlocking=true " +
+              "if the corpus is small enough to eat the all-pairs cost.")
+        case _ => () // no long rows at all: the short sliver handles everything
+      }
+    }
     // ids pass through untyped (least/greatest/joins work on any orderable
     // type) — a silent cast would null out non-numeric ids and return an
     // empty join instead of failing

@@ -26,9 +26,12 @@ class BenchRefSpec extends AnyFunSuite {
         missing.mkString(", "))
     // And the reverse: a reference for a gate that no longer exists is a
     // stale row that can only mislead (renames leave the old key behind).
+    // `_`-prefixed keys are rebaseline metadata (machine state, timestamp
+    // — see Bench scaladoc), not query references; both readers skip them.
     import scala.jdk.CollectionConverters._
     val registered = SparkEntry.registry.map(_._1).toSet
-    val stale = refs.keySet.asScala.filterNot(registered)
+    val stale = refs.keySet.asScala
+      .filterNot(_.startsWith("_")).filterNot(registered)
     assert(stale.isEmpty,
       s"stale sentinel references for unregistered gates: ${stale.mkString(", ")}")
   }

@@ -40,11 +40,37 @@ class FuzzyJoinSpec extends SparkSpec {
       8L -> "abcd", // long side of the short-long pair (7,8)
       9L -> "zzzzzzzzzz")
     val t = rows.toDF("id", "s")
-    val got = TextOps.editDistanceJoin(t, "id", "s", 2)
+    // 10-char fixture strings sit below the selectivity floor by design
+    // (the test is about exactness, not scale) — override documented.
+    val got = TextOps.editDistanceJoin(t, "id", "s", 2, allowRiskyBlocking = true)
     assert(got.except(brute(t, 2)).isEmpty && brute(t, 2).except(got).isEmpty)
     val pairs = got.select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs((1L, 2L)) && pairs((1L, 3L)) && pairs((1L, 5L)))
     assert(pairs((6L, 7L)) && pairs((7L, 8L)))
     assert(!pairs((1L, 4L)))
+  }
+
+  test("blocking guard enforces the measured selectivity floor") {
+    // tau=3 over 30-char prefixes = 7-char segments: EditJoinProbe
+    // measured this regime quadratic (736 -> 2,209 cand/row at 3x rows) —
+    // the operator must refuse it loudly instead of shipping an
+    // all-pairs-shaped shuffle to a cluster.
+    val t30 = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 30).as("s"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.editDistanceJoin(t30, "id", "s", 3).count()
+    }
+    assert(e.getMessage.contains("selectivity floor"))
+    // ...but the override lets a probe measure the regime on purpose,
+    assert(TextOps.editDistanceJoin(t30, "id", "s", 3,
+      allowRiskyBlocking = true).count() > 0)
+    // ...tau=3 over 80-char prefixes (20-char segments, measured 5.6
+    // cand/row at 100x) passes the guard,
+    val t80 = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 80).as("s"))
+    TextOps.editDistanceJoin(t80, "id", "s", 3).count()
+    // ...and the gate's own prefix-30/tau=2 config (exactly 10-char
+    // segments) sits ON the floor and must keep passing.
+    TextOps.editDistanceJoin(t30, "id", "s", 2).count()
   }
 }

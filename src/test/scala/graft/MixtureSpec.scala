@@ -53,6 +53,20 @@ class MixtureSpec extends SparkSpec {
     assert(out.where(col("cum_w") - col("w") >= 100L).count() == 0)
   }
 
+  test("weightBudgetCap refuses negative weights (prefix property breaks)") {
+    // A negative weight makes cum_w non-monotone: rows past the budget
+    // could re-admit. The contract is enforced in-plan (raise_error), so
+    // the failure is loud at execution, not a silently wrong mixture.
+    val rows = Seq(("a1", "g1", 60L), ("a2", "g1", -30L), ("a3", "g1", 60L))
+    val e = intercept[Exception] {
+      TextOps.weightBudgetCap(rows.toDF("doc_id", "src", "w"),
+        "src", "doc_id", "w", 100L, "x42").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative w")), msgs(e).mkString(" | "))
+  }
+
   test("both operators plan ONE exchange (the group shuffle) and nothing else") {
     val docs = (1 to 200).map(i => (i.toLong, s"l${i % 5}", s"s${i % 7}", 50L))
       .toDF("doc_id", "lang", "source", "n_chars")
