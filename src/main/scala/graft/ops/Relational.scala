@@ -683,12 +683,21 @@ object Relational {
     * numeric map; z-order a string via a numeric surrogate first). Nulls
     * rank 0 — they cluster together at the curve's origin, explicitly, not
     * by accident of null-skipping `greatest`. Linear bucketing assumes
-    * roughly uniform dimensions (TPC-H keys are); heavily skewed columns
-    * want quantile boundaries in place of min/max — same interleave.
-    * `bitsPerCol · cols.size ≤ 62` keeps the key in one Long.
+    * roughly uniform dimensions (TPC-H keys are); a heavily skewed column
+    * collapses to a handful of linear buckets (one bucket holds most rows
+    * — no rank spread, no clustering on that dimension), so
+    * `quantile = true` computes EQUAL-MASS bucket boundaries per column
+    * (one `approxQuantile` sketch pass over all columns, the same
+    * range-partitioner idea Delta's OPTIMIZE uses) and ranks each value by
+    * counting boundaries ≤ it — a codegen'd `aggregate` over the ≤ n−1
+    * boundary literals, same interleave downstream. Quantile mode wants
+    * modest `bitsPerCol` (6 → 64 buckets ≈ 63 comparisons/row/col at the
+    * one-off OPTIMIZE write; span narrowing saturates well below file
+    * counts anyway). `bitsPerCol · cols.size ≤ 62` keeps the key in one
+    * Long.
     */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
-               bitsPerCol: Int = 8): DataFrame = {
+               bitsPerCol: Int = 8, quantile: Boolean = false): DataFrame = {
     require(cols.size >= 2, "zorderBy needs >= 2 columns (one column: just sort)")
     // 1..30: `1 << 31` overflows Int and width_bucket with a non-positive
     // count returns NULL — an all-null key would silently NOT cluster.
@@ -696,24 +705,54 @@ object Relational {
       s"bitsPerCol must be in [1, 30], got $bitsPerCol")
     require(bitsPerCol * cols.size <= 62,
       s"bitsPerCol ($bitsPerCol) x ${cols.size} cols exceeds one Long")
-    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-      max(col(c).cast("double")).as(s"hi_$c")))
-    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val n = 1 << bitsPerCol
-    val zkey = cols.zipWithIndex.map { case (c, ci) =>
-      val lo = mm.getAs[Double](s"lo_$c"); val hi = mm.getAs[Double](s"hi_$c")
-      // degenerate range (constant column / empty frame): rank 0 for all
-      val rank =
-        if (mm.isNullAt(mm.fieldIndex(s"lo_$c")) || hi <= lo) lit(0L)
-        else {
-          // width_bucket: [1, n] in-range, n+1 at v == hi; −1 then clamp
-          // to [0, n−1]. when(), NOT greatest/least: those skip nulls and
-          // would rank a null row by accident — nulls rank 0 by decree.
-          val wb = width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - 1
-          when(col(c).isNull, 0L)
-            .otherwise(when(wb < 0, 0L).otherwise(when(wb > n - 1, (n - 1).toLong)
-              .otherwise(wb.cast("long"))))
+    require(!quantile || bitsPerCol <= 10,
+      s"quantile mode ranks by scanning ${n - 1} boundary literals per row " +
+        s"— bitsPerCol > 10 is past any useful file count; use linear mode")
+    val dd = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // rank expressions below are applied to `df`, so re-cast inline
+    def v(c: String): Column = col(c).cast("double")
+    // Per-column rank in [0, n): equal-WIDTH (width_bucket over one
+    // min/max scan) or equal-MASS (count of quantile boundaries ≤ v).
+    val ranks: Seq[Column] =
+      if (quantile) {
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        // one sketch pass for every column; relativeError 1/(4n) keeps
+        // adjacent boundaries from swapping. Nulls are ignored by the
+        // sketch and ranked 0 below, same decree as linear mode.
+        val bs = dd.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * n))
+        cols.zip(bs).map { case (c, raw) =>
+          // distinct: a skewed column repeats boundaries (one value holds
+          // >1/n of the mass); duplicates would double-count in the rank
+          val bounds = raw.distinct.sorted
+          if (bounds.isEmpty) lit(0L) // empty/all-null frame
+          else {
+            val rank = aggregate(lit(bounds), lit(0L),
+              (acc, b) => acc + when(v(c) >= b, 1L).otherwise(0L))
+            when(col(c).isNull, 0L).otherwise(rank)
+          }
         }
+      } else {
+        val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+          max(col(c)).as(s"hi_$c")))
+        val mm = dd.agg(aggs.head, aggs.tail: _*).head()
+        cols.map { c =>
+          val lo = mm.getAs[Double](s"lo_$c"); val hi = mm.getAs[Double](s"hi_$c")
+          // degenerate range (constant column / empty frame): rank 0 for all
+          if (mm.isNullAt(mm.fieldIndex(s"lo_$c")) || hi <= lo) lit(0L)
+          else {
+            // width_bucket: [1, n] in-range, n+1 at v == hi; −1 then clamp
+            // to [0, n−1]. when(), NOT greatest/least: those skip nulls and
+            // would rank a null row by accident — nulls rank 0 by decree.
+            val wb = width_bucket(v(c), lit(lo), lit(hi), lit(n)) - 1
+            when(col(c).isNull, 0L)
+              .otherwise(when(wb < 0, 0L).otherwise(when(wb > n - 1, (n - 1).toLong)
+                .otherwise(wb.cast("long"))))
+          }
+        }
+      }
+    val zkey = cols.indices.map { ci =>
+      val rank = ranks(ci)
       (0 until bitsPerCol).map(i =>
         shiftleft(shiftright(rank, i).bitwiseAND(lit(1L)), i * cols.size + ci))
         .reduce(_ bitwiseOR _)

@@ -54,6 +54,58 @@ class ZorderSpec extends SparkSpec {
       grid.exceptAll(spark.read.parquet(zdir)).isEmpty)
   }
 
+  /** Expected number of files a point lookup `c = v` must read, with v
+    * drawn from the DATA (mass-weighted): for each row, count the files
+    * whose [min,max] footer range contains its value, and average. This is
+    * the skipping metric that survives skew — a value-relative span looks
+    * tiny on log-distributed data even when every bulk file overlaps every
+    * bulk value.
+    */
+  private def filesPerLookup(path: String, c: String): Double = {
+    val df = spark.read.parquet(path)
+    val stats = df.groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    df.select(col(c).as("v"))
+      .join(broadcast(stats), col("v") >= col("mn") && col("v") <= col("mx"))
+      .count().toDouble / df.count()
+  }
+
+  test("quantile boundaries cluster a skewed column where linear bucketing can't") {
+    // Log-uniform `a` (spans 1..1e6, ~60% of mass below range/256): linear
+    // min/max bucketing puts the bulk into a handful of bottom buckets —
+    // no rank spread within the bulk, so the interleave can't separate it
+    // and every bulk file's footer range overlaps every bulk value. Equal-
+    // mass boundaries give each rank the same row count, so files tile the
+    // mass and a point lookup touches ~1-3 of 16 files.
+    val n = 4096L
+    val u = (col("id") * 2654435761L % n).cast("double") / n
+    val skewed = spark.range(n).select(
+      floor(pow(lit(1e6), u)).cast("long").as("a"), col("id").as("b"))
+    val ldir = java.nio.file.Files.createTempDirectory("graft_zl_").toString
+    val qdir = java.nio.file.Files.createTempDirectory("graft_zq_").toString
+    Relational.zorderBy(skewed, Seq("a", "b"), 16)
+      .write.mode("overwrite").parquet(ldir)
+    Relational.zorderBy(skewed, Seq("a", "b"), 16, bitsPerCol = 6,
+        quantile = true)
+      .write.mode("overwrite").parquet(qdir)
+    val (lf, qf) = (filesPerLookup(ldir, "a"), filesPerLookup(qdir, "a"))
+    // 16 files / 2 dims: the z-order ideal for a single-dim lookup is
+    // ~sqrt(16) = 4 files; duplicates of the small values and file-cut
+    // boundary effects push the achievable floor up — the claim under
+    // test is the GAP: linear bucketing reads ~every file, quantile
+    // roughly halves it or better.
+    assert(lf > 12.0,
+      s"linear bucketing should FAIL to skip on skewed a: $lf of 16 files/lookup")
+    assert(qf < 8.0 && qf * 1.6 < lf,
+      s"quantile bucketing should skip on skewed a: $qf vs linear $lf files/lookup")
+    // the uniform dimension must still narrow under quantile mode
+    val qb = meanSpan(qdir, "b")
+    assert(qb < 0.5, s"quantile mode dim b mean span $qb")
+    // layout-only contract holds in quantile mode too
+    assert(spark.read.parquet(qdir).exceptAll(skewed).isEmpty &&
+      skewed.exceptAll(spark.read.parquet(qdir)).isEmpty)
+  }
+
   test("zorderBy ranks nulls at the origin and survives constant columns") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Long)](
