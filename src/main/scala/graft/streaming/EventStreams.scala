@@ -299,8 +299,8 @@ object EventStreams {
     val q = spark.readStream.schema(eventSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prevId = guardedPrevId("rollupIngest", spark, stateDir,
-          batchId, checkpointDir)
+        val prevId = guardedPrevId("rollupIngest", stateDir, batchId,
+          checkpointDir, stateIds(spark, stateDir))
         val st = graft.ops.Relational.aggState(
           batch.select(col("event_type"),
             round(col("value") * 100, 0).cast("long").as("cents")),
@@ -344,9 +344,8 @@ object EventStreams {
     * strictly below `batchId` (a re-executed batch never merges against
     * its own partial output).
     */
-  private def guardedPrevId(op: String, spark: SparkSession, stateDir: String,
-                            batchId: Long, checkpointDir: String): Option[Long] = {
-    val ids = stateIds(spark, stateDir)
+  private def guardedPrevId(op: String, stateDir: String, batchId: Long,
+                            checkpointDir: String, ids: Seq[Long]): Option[Long] = {
     val ahead = ids.filter(_ > batchId)
     if (ahead.nonEmpty) throw new IllegalStateException(
       s"$op: state batch=${ahead.max} under $stateDir is ahead " +
@@ -360,6 +359,14 @@ object EventStreams {
     * a re-executed batch rebuilds against); everything older is
     * unreachable — without pruning the state dir grows one full snapshot
     * per micro-batch forever.
+    *
+    * SINGLE-WRITER, NO-CONCURRENT-READER contract: pruning runs right
+    * after each batch commits, so a reader that resolved its `batch=<id>`
+    * just before an ingest run can see that dir vanish mid-read once it is
+    * more than one generation stale (keeping `prevId` gives exactly one
+    * generation of grace). The ingest twins are AvailableNow one-shots —
+    * run `readRollup`/`readScd2` between runs, not concurrently with one,
+    * or point readers at their own copy of the state dir.
     */
   private def pruneSuperseded(spark: SparkSession, stateDir: String,
                               batchId: Long, prevId: Option[Long]): Unit = {
@@ -387,54 +394,97 @@ object EventStreams {
     * re-feeds the prior OPEN segments (as their anchor events, carried
     * unconditionally) together with the batch's events through the shared
     * `Relational.scd2Compress`; closed segments are immutable and pass
-    * through untouched. Per-batch cost is O(batch + open-segments) — at
-    * 100 TB the history is maintained at the ingest seam, never re-read.
+    * through untouched.
+    *
+    * The history is BUCKETED by `pmod(hash(user_id), buckets)` and a batch
+    * rewrites ONLY the buckets its users hash into: per-batch cost is
+    * O(batch + touched buckets' history), NOT O(total history) — the
+    * round-12 probe measured the previous full-snapshot rewrite growing
+    * with the 7.5M-row history; a small landing now leaves the other
+    * buckets' files untouched. A tiny `manifest.json` per committed batch
+    * records, for every bucket, which `batch=<id>` directory holds its
+    * current snapshot; the manifest write is the COMMIT POINT, so
+    * exactly-once survives as before: a re-executed batch recomputes the
+    * same touched buckets from the previous manifest (ids strictly below
+    * its own) and overwrites its own partial output, manifest last.
     *
     * Correctness contract: batches must arrive in per-user event order
     * (the append-mostly landing-zone shape; compression absorbs non-change
     * events, so an event older than a user's last seen one cannot be
     * merged retroactively). The contract is ENFORCED, not assumed: a tiny
     * per-user `seen` watermark table (last (tus, event_id) per user) rides
-    * with the state, and a batch containing an out-of-order event fails
-    * loudly instead of writing a silently wrong history. Given in-order
-    * arrival, the maintained table is invariant to WHERE the stream is cut
-    * into batches (StreamingSpec proves cut-independence + restart).
-    * Exactly-once as in rollupIngest: full state snapshot under
-    * `batch=<id>`, overwrite-on-reexecute, superseded snapshots pruned.
+    * with the state, bucketed the same way. An event STRICTLY older than
+    * its user's watermark fails loudly; an event EQUAL to the watermark
+    * (same (tus, event_id)) is an at-least-once re-delivery of the
+    * last-seen event and is absorbed silently — a duplicate of an OLDER
+    * event is indistinguishable from genuine disorder and stays fatal.
+    * Given in-order arrival, the maintained table is invariant to WHERE
+    * the stream is cut into batches (StreamingSpec proves cut-independence
+    * + restart).
+    *
+    * Single-writer assumption (shared with rollupIngest): superseded
+    * bucket snapshots are pruned right after each commit, so a reader that
+    * resolved a manifest older than the previous generation can fail
+    * mid-read if ingest runs concurrently — run readers between ingest
+    * runs, or against their own state-dir copy.
     */
   def scd2Ingest(spark: SparkSession, srcDir: String, stateDir: String,
-                 checkpointDir: String): Unit = {
+                 checkpointDir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"scd2Ingest needs buckets >= 1, got $buckets")
     val q = spark.readStream.schema(eventSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prevId = guardedPrevId("scd2Ingest", spark, stateDir,
-          batchId, checkpointDir)
+        val ids = manifestIds(spark, stateDir)
+        val prevId = guardedPrevId("scd2Ingest", stateDir, batchId,
+          checkpointDir, ids)
+        val prevMan = prevId.map(id => readManifest(spark, stateDir, id))
+        prevMan.foreach(m => require(m.buckets == buckets,
+          s"scd2Ingest: state under $stateDir was built with ${m.buckets} " +
+            s"buckets, cannot ingest with $buckets — keep the bucket count " +
+            "stable for a state dir's lifetime"))
         // Same event→(user, tier) extraction as the batch gate.
         val ev = batch.select(col("user_id"), col("event_id"),
           graft.Tables.eventTimeUs(batch).as("tus"),
           graft.ops.Relational.floorDivExact(
             expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
+        val bucketCol = pmod(hash(col("user_id")), lit(buckets))
+        // The touched-bucket set is ≤ `buckets` ints — a driver-safe collect.
+        val touched = ev.select(bucketCol.as("b")).distinct()
+          .collect().map(_.getInt(0)).sorted
         val evSeen = ev.groupBy(col("user_id"))
           .agg(max(struct(col("tus"), col("event_id"))).as("m"))
           .select(col("user_id"), col("m.tus").as("last_us"),
             col("m.event_id").as("last_eid"))
-        val (segs, seen) = prevId match {
-          case None =>
+        // Prior state for the TOUCHED buckets only — users outside them
+        // cannot appear in this batch by construction of the hash.
+        def prior(kind: String): Seq[String] = prevMan.toSeq.flatMap(m =>
+          touched.flatMap(b => m.entries.get(b)
+            .map(mid => s"$stateDir/batch=$mid/$kind/bucket=$b")))
+        val (segs, seen) = prior("segments") match {
+          case Seq() =>
             (graft.ops.Relational.scd2Compress(ev), evSeen)
-          case Some(id) =>
-            val prevSegs = spark.read.parquet(s"$stateDir/batch=$id/segments")
-            val prevSeen = spark.read.parquet(s"$stateDir/batch=$id/seen")
-            val late = ev.join(prevSeen, Seq("user_id"))
-              .where(struct(col("tus"), col("event_id")) <=
+          case segPaths =>
+            val prevSegs = spark.read.parquet(segPaths: _*)
+            val prevSeen = spark.read.parquet(prior("seen"): _*)
+            val joined = ev.join(prevSeen, Seq("user_id"), "left")
+            val lateRows = joined
+              .where(struct(col("tus"), col("event_id")) <
                 struct(col("last_us"), col("last_eid")))
-            val lateRows = late.select(col("user_id"), col("tus"), col("event_id"))
+              .select(col("user_id"), col("tus"), col("event_id"))
               .limit(3).collect()
             if (lateRows.nonEmpty) throw new IllegalStateException(
               s"scd2Ingest: batch $batchId contains out-of-order events " +
                 "(older than a user's maintained watermark) — history cannot " +
                 "be merged retroactively; reprocess from scratch or fix the " +
                 s"source ordering. Examples: ${lateRows.mkString(", ")}")
-            val newSegs = graft.ops.Relational.scd2Merge(prevSegs, ev)
+            // Equal to the watermark = exact re-delivery of the last-seen
+            // event (at-least-once upstream): absorb it instead of wedging
+            // the pipeline — it would merge as a non-change anyway.
+            val evNew = joined.where(col("last_us").isNull ||
+                struct(col("tus"), col("event_id")) >
+                  struct(col("last_us"), col("last_eid")))
+              .select(col("user_id"), col("event_id"), col("tus"), col("tier"))
+            val newSegs = graft.ops.Relational.scd2Merge(prevSegs, evNew)
             val newSeen = prevSeen.unionByName(evSeen)
               .groupBy(col("user_id"))
               .agg(max(struct(col("last_us"), col("last_eid"))).as("m"))
@@ -442,9 +492,20 @@ object EventStreams {
                 col("m.last_eid").as("last_eid"))
             (newSegs, newSeen)
         }
-        segs.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/segments")
-        seen.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId/seen")
-        pruneSuperseded(spark, stateDir, batchId, prevId)
+        // Every touched bucket has ≥1 output row (each user in the batch
+        // contributes a segment and a seen row), so partitionBy emits
+        // exactly the touched `bucket=<b>` dirs the manifest points at.
+        segs.withColumn("bucket", bucketCol)
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$stateDir/batch=$batchId/segments")
+        seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$stateDir/batch=$batchId/seen")
+        val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
+          touched.map(_ -> batchId)
+        writeManifest(spark, stateDir, batchId,
+          Scd2Manifest(buckets, entries)) // commit point
+        pruneScd2(spark, stateDir, batchId, prevId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -453,17 +514,103 @@ object EventStreams {
   }
 
   /** The current maintained SCD2 history — same columns as the batch gate
-    * (`anchor_eid` is internal maintenance state). Fails if the ingest has
-    * never run.
+    * (`anchor_eid` is internal maintenance state). Resolves the newest
+    * manifest and unions each bucket's snapshot from whichever batch
+    * directory last rewrote it. Fails if the ingest has never run.
     */
   def readScd2(spark: SparkSession, stateDir: String): DataFrame =
-    stateIds(spark, stateDir).maxOption match {
-      case Some(id) => spark.read.parquet(s"$stateDir/batch=$id/segments")
-        .select(col("user_id"), col("tier"), col("valid_from_us"),
-          col("valid_to_us"), col("is_current"))
+    manifestIds(spark, stateDir).maxOption match {
+      case Some(id) =>
+        val m = readManifest(spark, stateDir, id)
+        val paths = m.entries.toSeq.sorted.map { case (b, mid) =>
+          s"$stateDir/batch=$mid/segments/bucket=$b" }
+        spark.read.parquet(paths: _*)
+          .select(col("user_id"), col("tier"), col("valid_from_us"),
+            col("valid_to_us"), col("is_current"))
       case None => throw new IllegalStateException(
         s"readScd2: no history state under $stateDir — run scd2Ingest first")
     }
+
+  /** Per-batch bucket→holder map for the bucketed SCD2 state. The
+    * manifest file is the batch's commit marker: a `batch=<id>` directory
+    * without one is a partial write from a crashed batch and is invisible
+    * to readers and to the next merge.
+    */
+  private[graft] final case class Scd2Manifest(buckets: Int,
+                                                   entries: Map[Int, Long])
+
+  private def manifestFile(stateDir: String, id: Long) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id/manifest.json")
+
+  private[graft] def manifestIds(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stateIds(spark, stateDir).filter(id => fs.exists(manifestFile(stateDir, id)))
+  }
+
+  private[graft] def readManifest(spark: SparkSession, stateDir: String,
+                           id: Long): Scd2Manifest = {
+    val p = manifestFile(stateDir, id)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    import scala.jdk.CollectionConverters._
+    val entries = node.get("entries").properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    Scd2Manifest(node.get("buckets").asInt(), entries)
+  }
+
+  private def writeManifest(spark: SparkSession, stateDir: String, id: Long,
+                            m: Scd2Manifest): Unit = {
+    val p = manifestFile(stateDir, id)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = m.entries.toSeq.sorted
+      .map { case (b, mid) => s""""$b":$mid""" }.mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"buckets":${m.buckets},"entries":$entries}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Prune for the bucketed SCD2 state: keep the just-committed batch, the
+    * previous generation (the fallback a re-executed batch rebuilds
+    * against), and — at bucket granularity — every `bucket=<b>` directory
+    * either of those two manifests still references. Whole batch dirs with
+    * no referenced bucket are removed; partially superseded dirs lose only
+    * their dead bucket subdirs. Same single-writer assumption as
+    * `pruneSuperseded`.
+    */
+  private def pruneScd2(spark: SparkSession, stateDir: String,
+                        batchId: Long, prevId: Option[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live: Set[(Long, Int)] =
+      (Seq(batchId) ++ prevId).flatMap { id =>
+        // .toSeq BEFORE the key swap: mapping the Map directly would keep
+        // only ONE (mid, bucket) pair per holder id (Map key collision) —
+        // and prune every other live bucket of that generation.
+        readManifest(spark, stateDir, id).entries.toSeq
+          .map { case (b, mid) => (mid, b) }
+      }.toSet
+    stateIds(spark, stateDir).filter(_ < batchId).foreach { id =>
+      val dirLive = live.exists(_._1 == id)
+      if (!dirLive && !prevId.contains(id))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true)
+      else for (kind <- Seq("segments", "seen")) {
+        val kdir = new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id/$kind")
+        if (fs.exists(kdir)) fs.listStatus(kdir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("bucket=") &&
+              !live((id, n.stripPrefix("bucket=").toInt)))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
 
   /** Streaming exact deduplication — the streaming twin of the batch d1
     * pass: digest the dedup key columns to one sha-256 key, then
@@ -473,8 +620,15 @@ object EventStreams {
     * bounded by the churn inside the watermark horizon instead of growing
     * with the whole history (at ingest scale, pair this with an upstream
     * daily partition so re-delivered late files stay inside the horizon).
+    *
+    * `horizon` IS the state-sizing knob: live state ≈ arrival rate ×
+    * horizon (StreamScaleProbe records the state-vs-horizon ladder in
+    * SCALE.md) and also the dedup guarantee's reach — a duplicate arriving
+    * more than `horizon` of event time late is NOT deduplicated. Size it
+    * to the upstream's worst re-delivery lag, then provision state memory
+    * from the measured curve.
     */
-  def dedupStream(events: DataFrame): DataFrame =
+  def dedupStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     withEventTime(events)
       // concat_ws SKIPS nulls, so a bare column digest would collide rows
       // whose keys differ only in null placement ((1, null, "x") vs
@@ -484,7 +638,7 @@ object EventStreams {
         coalesce(col("user_id").cast("string"), lit("\u0000")),
         coalesce(col("event_type"), lit("\u0000")),
         coalesce(col("props"), lit("\u0000"))), 256))
-      .withWatermark("event_time", "1 hour")
+      .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("digest")
 
   final case class UserEvent(user_id: Long, value: Double)

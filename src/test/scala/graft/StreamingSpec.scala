@@ -320,6 +320,86 @@ class StreamingSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
   }
 
+  // (event_id, epoch sec, user_id, k) → a stream-schema events frame;
+  // tier in the scd2 gates is floor(k / 25).
+  private def mkEvents(rows: Seq[(Long, Long, Long, Long)]) =
+    rows.toDF("event_id", "sec", "user_id", "k")
+      .select(col("event_id"),
+        timestamp_seconds(col("sec")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), lit("click").as("event_type"), lit(1.0).as("value"),
+        concat(lit("{\"k\":"), col("k"), lit("}")).as("props"))
+
+  test("scd2 ingest absorbs an exact re-delivery of the last-seen event; older duplicates stay fatal") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2r_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2r_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2r_ckpt_").toString
+    mkEvents(Seq((1L, 1000L, 1L, 10L), (2L, 2000L, 1L, 30L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt)
+    // At-least-once upstream re-delivers the LAST event verbatim alongside
+    // a genuinely new one: the equal-to-watermark row must be absorbed (it
+    // would merge as a non-change anyway), not wedge the pipeline.
+    mkEvents(Seq((2L, 2000L, 1L, 30L), (3L, 3000L, 1L, 60L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt)
+    val hist = EventStreams.readScd2(spark, state)
+      .orderBy("valid_from_us").collect()
+    assert(hist.map(_.getAs[Long]("tier")).toSeq == Seq(0L, 1L, 2L),
+      hist.mkString("; "))
+    assert(hist.last.getAs[Int]("is_current") == 1)
+    // A duplicate of an OLDER event is indistinguishable from genuine
+    // disorder — still fatal.
+    mkEvents(Seq((1L, 1000L, 1L, 10L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Ingest(spark, src, state, ckpt)
+    }
+    assert(e.getMessage.contains("out-of-order") ||
+      Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
+
+  test("scd2 ingest rewrites only the buckets a landing touches") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2b_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2b_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2b_ckpt_").toString
+    def bucketDirs(id: Long) =
+      Option(new java.io.File(s"$state/batch=$id/segments").listFiles())
+        .map(_.count(_.getName.startsWith("bucket="))).getOrElse(0)
+    // 100 users hash across all 8 buckets
+    val all = (1 to 100).map(u => (u.toLong, 1000L + u, u.toLong, u.toLong * 25))
+    mkEvents(all).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 8)
+    assert(bucketDirs(0) == 8)
+    // a one-user landing must rewrite exactly ONE bucket — the
+    // history-proportional full-snapshot rewrite is gone
+    val tiny = Seq((1000L, 5000L, 1L, 75L))
+    mkEvents(tiny).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 8)
+    assert(bucketDirs(1) == 1, s"expected 1 touched bucket, got ${bucketDirs(1)}")
+    // and the maintained table still equals a single-pass compression of
+    // everything — across a third landing so pruning (whole-dir AND
+    // bucket-granular) has run twice over still-referenced generations
+    val tiny2 = Seq((1001L, 6000L, 2L, 99L))
+    mkEvents(tiny2).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 8)
+    val expected = graft.ops.Relational.scd2Compress(
+      mkEvents(all ++ tiny ++ tiny2).select(col("user_id"), col("event_id"),
+        Tables.eventTimeUs(mkEvents(all)).as("tus"),
+        graft.ops.Relational.floorDivExact(
+          expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier")))
+      .drop("anchor_eid")
+    val got = EventStreams.readScd2(spark, state)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // bucket-count mismatch on an existing state dir must fail loudly
+    mkEvents(Seq((1002L, 7000L, 3L, 10L))).coalesce(1)
+      .write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 16)
+    }
+    assert(e.getMessage.contains("bucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("bucket")))
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
