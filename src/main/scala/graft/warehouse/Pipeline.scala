@@ -42,19 +42,32 @@ object Pipeline {
         s"pipeline gate '$stage' failed: ${vs.map(v => s"${v.check}: ${v.detail}").mkString("; ")}")
     }
 
+  /** Runs the full DAG; returns per-stage wall-clock seconds in DAG order
+    * (the ScaleProbe-style row: which stage pays when the corpus grows).
+    */
   def run(spark: SparkSession, inputs: Inputs, paths: Paths,
           factTable: String = "lfb_call", analyticsSchema: String = "analytics",
-          checkColumnCounts: Boolean = true): Unit = {
+          checkColumnCounts: Boolean = true): Seq[(String, Double)] = {
+
+    val stages = Seq.newBuilder[(String, Double)]
+    def staged[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      stages += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
 
     // --- extract stage (4 parallel tasks in the reference) ---
-    Jobs.lfbExtract(spark, inputs.lfbCsv, paths.lfbRaw)
-    Jobs.aqExtract(spark, inputs.aqCsvs, paths.aqRaw)
-    Jobs.extract(spark, inputs.weatherCsv, paths.weatherRaw, Seq("date"))
-    Jobs.extract(spark, inputs.wbCsv, paths.wbRaw, Seq("Ward", "Year"))
+    staged("extract") {
+      Jobs.lfbExtract(spark, inputs.lfbCsv, paths.lfbRaw)
+      Jobs.aqExtract(spark, inputs.aqCsvs, paths.aqRaw)
+      Jobs.extract(spark, inputs.weatherCsv, paths.weatherRaw, Seq("date"))
+      Jobs.extract(spark, inputs.wbCsv, paths.wbRaw, Seq("Ward", "Year"))
+    }
 
     // --- post-extract checks (etl/checks/post-extract-check.py) ---
     val lfbRaw = spark.read.parquet(paths.lfbRaw)
-    gate("post-extract", Seq(
+    staged("post-extract checks") { gate("post-extract", Seq(
       Checks.nonEmpty(lfbRaw),
       Checks.primaryKey(lfbRaw, Seq("IncidentNumber")),
       Checks.completeness(lfbRaw, "IncidentNumber", 1.0)) ++
@@ -63,27 +76,31 @@ object Pipeline {
         Checks.columnCount(spark.read.parquet(paths.aqRaw), expectedColumns("aq")),
         Checks.columnCount(spark.read.parquet(paths.wbRaw), expectedColumns("wb")),
         Checks.columnCount(spark.read.parquet(paths.weatherRaw), expectedColumns("weather")))
-      else Nil))
+      else Nil)) }
 
     // --- cleanse stage ---
-    Jobs.lfbCleanse(spark, paths.lfbRaw, paths.lfbClean)
-    Jobs.aqCleanse(spark, paths.aqRaw, paths.aqClean)
-    Jobs.weatherCleanse(spark, paths.weatherRaw, paths.weatherClean)
-    Jobs.wbCleanse(spark, paths.wbRaw, paths.wbClean)
+    staged("cleanse") {
+      Jobs.lfbCleanse(spark, paths.lfbRaw, paths.lfbClean)
+      Jobs.aqCleanse(spark, paths.aqRaw, paths.aqClean)
+      Jobs.weatherCleanse(spark, paths.weatherRaw, paths.weatherClean)
+      Jobs.wbCleanse(spark, paths.wbRaw, paths.wbClean)
+    }
 
     // --- dimension builds ---
-    Jobs.wardDimension(spark, paths.lfbClean, paths.wardDim)
-    Jobs.wbDimension(spark, paths.wbClean, paths.wbDim)
-    Jobs.incidentTypeDimension(spark, paths.lfbClean, paths.incidentTypeDim)
-    Jobs.locationTypeDimension(spark, paths.lfbClean, paths.locationTypeDim)
-    Jobs.dateDimension(spark, paths.lfbClean, paths.dateDim)
+    staged("dimension builds") {
+      Jobs.wardDimension(spark, paths.lfbClean, paths.wardDim)
+      Jobs.wbDimension(spark, paths.wbClean, paths.wbDim)
+      Jobs.incidentTypeDimension(spark, paths.lfbClean, paths.incidentTypeDim)
+      Jobs.locationTypeDimension(spark, paths.lfbClean, paths.locationTypeDim)
+      Jobs.dateDimension(spark, paths.lfbClean, paths.dateDim)
+    }
 
     // --- dimension checks (etl/checks/*-dimension-check.py) ---
     val dateDim = spark.read.parquet(paths.dateDim)
     val wardDim = spark.read.parquet(paths.wardDim)
     val itDim = spark.read.parquet(paths.incidentTypeDim)
     val ltDim = spark.read.parquet(paths.locationTypeDim)
-    gate("dimension-checks", Seq(
+    staged("dimension checks") { gate("dimension-checks", Seq(
       Checks.nonEmpty(dateDim),
       Checks.schemaEquals(dateDim, Model.dateDimSchema),
       Checks.primaryKey(dateDim, Seq("Date")),
@@ -97,9 +114,10 @@ object Pipeline {
       Checks.nonEmpty(itDim),
       Checks.primaryKey(itDim, Seq("IncidentTypeKey")),
       Checks.nonEmpty(ltDim),
-      Checks.primaryKey(ltDim, Seq("LocationTypeKey"))))
+      Checks.primaryKey(ltDim, Seq("LocationTypeKey")))) }
 
     // --- dimension loads (etl/load/load_*_dim.py) ---
+    staged("dimension loads") {
     Jobs.loadDimTable(spark, paths.dateDim, "date_dim",
       Model.dateDimSchema.fields.map(f => f.name -> f.name).toSeq,
       partitionBy = Some("Year"), clusterBy = Seq("Date"))
@@ -125,17 +143,20 @@ object Pipeline {
     Jobs.loadDimTable(spark, paths.wbDim, "well_being",
       (wbCols.filterNot(Seq("Year", "WardCode").contains)).map(c => c -> c).toSeq,
       partitionBy = None, clusterBy = Seq("WellBeingID"))
+    }
 
     // --- fact load ---
-    FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
-      paths.aqClean, paths.weatherClean, paths.wbDim, factTable)
-    // The cached dim served the fact-build joins; a library run must not
-    // leave pinned blocks behind (K6 — the reference leaks this cache).
-    spark.sql("UNCACHE TABLE IF EXISTS air_quality")
+    staged("fact load") {
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, factTable)
+      // The cached dim served the fact-build joins; a library run must not
+      // leave pinned blocks behind (K6 — the reference leaks this cache).
+      spark.sql("UNCACHE TABLE IF EXISTS air_quality")
+    }
 
     // --- post-load checks + aggregates ---
     val fact = spark.table(factTable)
-    gate("post-load", Seq(
+    staged("post-load checks") { gate("post-load", Seq(
       Checks.nonEmpty(fact),
       Checks.schemaEquals(
         fact.select(Model.factSchema.fieldNames.map(col).toSeq: _*), Model.factSchema),
@@ -144,8 +165,9 @@ object Pipeline {
       Checks.referentialIntegrity(fact, "WardID", spark.table("ward"), "WardID"),
       Checks.referentialIntegrity(fact, "AirQualityKey", spark.table("air_quality"), "AirQualityKey"),
       Checks.referentialIntegrity(fact, "WeatherKey", spark.table("weather"), "WeatherKey"),
-      Checks.referentialIntegrity(fact, "WellBeingID", spark.table("well_being"), "WellBeingID")))
+      Checks.referentialIntegrity(fact, "WellBeingID", spark.table("well_being"), "WellBeingID"))) }
 
-    Aggregates.run(spark, factTable, analyticsSchema)
+    staged("aggregates") { Aggregates.run(spark, factTable, analyticsSchema) }
+    stages.result()
   }
 }

@@ -36,8 +36,9 @@ object PipelineDemo {
     }
     val paths = Pipeline.Paths(base.resolve("staging").toString)
     val t0 = System.nanoTime()
-    Pipeline.run(spark, inputs, paths)
+    val stageTimes = Pipeline.run(spark, inputs, paths)
     println(f"== pipeline wall-clock: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    stageTimes.foreach { case (s, t) => println(f"==   stage $s%-20s $t%7.1f s") }
 
     println(s"== fact lfb_call: ${spark.table("lfb_call").count()} rows")
     spark.table("lfb_call").show(10, truncate = false)
