@@ -140,20 +140,38 @@ object StreamScaleProbe {
         import scala.jdk.CollectionConverters._
         val progs = collected.asScala.toSeq
           .filter(_.runId == q.runId).filter(_.numInputRows > 0)
+          .sortBy(_.batchId)
         val st = progs.flatMap(_.stateOperators)
         val maxRows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
         val maxMemMb = if (st.isEmpty) 0.0 else st.map(_.memoryUsedBytes).max / 1e6
         val inRows = progs.map(_.numInputRows).sum
         val outRows = progs.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
           .filter(_ > 0).sum
+        // Per-batch state series: the single `max` conflates the warm-up
+        // batches (no eviction can fire before the first watermark advance,
+        // so batches 1-2 always stack un-evicted) with the steady state the
+        // horizon actually governs — the series makes the post-warm-up
+        // plateau readable on its own.
+        val series = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
         println(f"[sprobe] $name: ${progs.length} micro-batches, $inRows input rows, " +
-          f"max live state $maxRows rows / $maxMemMb%.1f MB, out $outRows rows")
+          f"max live state $maxRows rows / $maxMemMb%.1f MB, out $outRows rows, " +
+          s"state/batch [${series.mkString(", ")}]")
         q.stop()
       } finally spark.streams.removeListener(listener)
     }
     // maxFilesPerTrigger ≈ one landing per micro-batch (8 files each).
+    // The scd2 tiny-probe landings share `src` (they must ride the same
+    // checkpointed file sequence as the big landings) but carry FAR-FUTURE
+    // event times (reserved copy indices ≥ `copies`): fed to a watermarked
+    // stream they would jump the global watermark past every remaining
+    // landing in micro-batch 2 and the run would silently measure
+    // late-drop behavior, not state. Their user ids are offset past every
+    // big landing's by construction, so filtering on user id BEFORE the
+    // operator's withWatermark keeps them out of watermark tracking.
+    val maxBigUid = copies.toLong * (span.maxUserId + 1) - 1
     def stream() = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "8").parquet(src)
+      .where(col("user_id") <= maxBigUid)
     stateRun("sprobe_drift",
       EventStreams.driftMonitor(stream(), EventStreams.driftReference(
         spark.read.schema(EventStreams.eventSchema).parquet(src))))
