@@ -77,10 +77,15 @@ case class HilbertIndexF(child: Expression, bits: Int) extends UnaryExpression {
 object HilbertIndexF {
 
   /** `ranks`: one rank column per dimension, each a Long in `[0, 2^bits)`
-    * with nulls already coalesced; `dims * bits` must fit one Long.
+    * with nulls already coalesced. `dims * bits ≤ 62` is ENFORCED (same
+    * bound as `zorderBy`'s Morton path): past it the interleave would
+    * shift bit planes off the top of the Long and silently alias distinct
+    * points onto one key — the bijection the clustering depends on.
     */
   def hilbertIndex(ranks: Seq[Column], bits: Int): Column = {
     require(ranks.size >= 2, "hilbertIndex needs >= 2 dimensions")
+    require(ranks.size * bits <= 62,
+      s"$bits bits x ${ranks.size} dims exceeds one Long (need dims*bits <= 62)")
     ColumnBridge.toColumn(HilbertIndexF(
       ColumnBridge.toExpr(org.apache.spark.sql.functions.array(ranks: _*)), bits))
   }

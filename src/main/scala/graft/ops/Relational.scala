@@ -695,10 +695,26 @@ object Relational {
     * one-off OPTIMIZE write; span narrowing saturates well below file
     * counts anyway). `bitsPerCol · cols.size ≤ 62` keeps the key in one
     * Long.
+    *
+    * `curve` picks the space-filling curve the ranks are linearized on:
+    * `"morton"` (default) is the bit interleave above — pure Column
+    * shift/mask algebra, zero extra machinery; `"hilbert"` routes the SAME
+    * ranks through the native `HilbertIndexF` expression (Skilling
+    * transform, codegen'd). Hilbert's unit-step property (consecutive
+    * indices are grid-adjacent; Morton jumps across the grid at every
+    * power-of-two seam) makes each range-partitioned file a more compact
+    * blob, so per-file min/max footer spans — and files touched per point
+    * lookup — are at least as tight as Morton's on the same ranks
+    * (`ZorderSpec` measures the gap; `HilbertSpec` proves the curve
+    * properties). Same contract either way: only the linearization of the
+    * already-computed ranks changes.
     */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
-               bitsPerCol: Int = 8, quantile: Boolean = false): DataFrame = {
+               bitsPerCol: Int = 8, quantile: Boolean = false,
+               curve: String = "morton"): DataFrame = {
     require(cols.size >= 2, "zorderBy needs >= 2 columns (one column: just sort)")
+    require(curve == "morton" || curve == "hilbert",
+      s"""curve must be "morton" or "hilbert", got "$curve"""")
     // 1..30: `1 << 31` overflows Int and width_bucket with a non-positive
     // count returns NULL — an all-null key would silently NOT cluster.
     require(bitsPerCol >= 1 && bitsPerCol <= 30,
@@ -751,12 +767,15 @@ object Relational {
           }
         }
       }
-    val zkey = cols.indices.map { ci =>
-      val rank = ranks(ci)
-      (0 until bitsPerCol).map(i =>
-        shiftleft(shiftright(rank, i).bitwiseAND(lit(1L)), i * cols.size + ci))
-        .reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
+    val zkey =
+      if (curve == "hilbert")
+        graft.functions.HilbertIndexF.hilbertIndex(ranks, bitsPerCol)
+      else cols.indices.map { ci =>
+        val rank = ranks(ci)
+        (0 until bitsPerCol).map(i =>
+          shiftleft(shiftright(rank, i).bitwiseAND(lit(1L)), i * cols.size + ci))
+          .reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
     df.withColumn("__zkey", zkey)
       .repartitionByRange(numPartitions, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))

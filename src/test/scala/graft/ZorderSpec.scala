@@ -106,6 +106,36 @@ class ZorderSpec extends SparkSpec {
       skewed.exceptAll(spark.read.parquet(qdir)).isEmpty)
   }
 
+  test("hilbert curve clusters at least as tight as morton on the same ranks") {
+    // Same uniform grid as the first test — the shape where the curves'
+    // locality difference is purely the linearization (identical ranks).
+    // Hilbert's unit-step property (HilbertSpec) means range-partition
+    // cuts land on grid-adjacent boundaries, so per-file blobs are at
+    // least as compact as Morton's seam-jumping stripes: files-per-lookup
+    // must not regress on either dimension, and both dims must narrow.
+    val n = 64
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("a"), (col("id") / n).cast("long").as("b"),
+        col("id").as("payload"))
+    val mdir = java.nio.file.Files.createTempDirectory("graft_zm_").toString
+    val hdir = java.nio.file.Files.createTempDirectory("graft_zh_").toString
+    Relational.zorderBy(grid, Seq("a", "b"), 16)
+      .write.mode("overwrite").parquet(mdir)
+    Relational.zorderBy(grid, Seq("a", "b"), 16, curve = "hilbert")
+      .write.mode("overwrite").parquet(hdir)
+    for (c <- Seq("a", "b")) {
+      val hs = meanSpan(hdir, c)
+      assert(hs < 0.5, s"hilbert dim $c mean span $hs")
+      val (mf, hf) = (filesPerLookup(mdir, c), filesPerLookup(hdir, c))
+      // "at least as tight": allow file-cut boundary jitter, no regression
+      assert(hf <= mf * 1.1,
+        s"hilbert files/lookup on $c regressed: $hf vs morton $mf")
+    }
+    // layout-only contract holds for the hilbert path too
+    assert(spark.read.parquet(hdir).exceptAll(grid).isEmpty &&
+      grid.exceptAll(spark.read.parquet(hdir)).isEmpty)
+  }
+
   test("zorderBy ranks nulls at the origin and survives constant columns") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Long)](
