@@ -321,11 +321,46 @@ object EventStreams {
 
   /** The current maintained rollup: the newest `batch=<id>` state table.
     * Fails if the ingest has never run (no state exists to read).
+    *
+    * Concurrent-prune handling (the race `pruneSuperseded` documents): a
+    * reader that resolved a state id just before an ingest run can find
+    * that directory pruned once it is more than one generation stale. If
+    * the resolved dir is gone but a NEWER one exists, the read falls
+    * forward to it (bounded retries — a livelock under continuous ingest
+    * still terminates); if no newer generation exists the state is corrupt
+    * or the single-writer contract was violated, and the error says so.
+    * The retry closes the resolve-time window; the returned frame is still
+    * lazy, so a consumer that sits on it across 2+ further ingest commits
+    * re-enters the documented contract (run readers between ingest runs).
     */
   def readRollup(spark: SparkSession, stateDir: String): DataFrame =
-    latestStateBefore(spark, stateDir, Long.MaxValue).getOrElse(
+    readRollupFrom(spark, stateDir, None)
+
+  /** `startAt` pins the generation the reader initially resolved — the
+    * test seam that replays the concurrent-prune race deterministically;
+    * production callers pass None (= newest).
+    */
+  @annotation.tailrec
+  private[graft] final def readRollupFrom(spark: SparkSession, stateDir: String,
+                                          startAt: Option[Long],
+                                          attempts: Int = 0): DataFrame = {
+    val id = startAt.orElse(stateIds(spark, stateDir).maxOption).getOrElse(
       throw new IllegalStateException(
         s"readRollup: no rollup state under $stateDir — run rollupIngest first"))
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else {
+      val newest = stateIds(spark, stateDir).maxOption
+      if (newest.exists(_ > id) && attempts < 3)
+        readRollupFrom(spark, stateDir, newest, attempts + 1)
+      else throw new IllegalStateException(
+        s"readRollup: state batch=$id under $stateDir vanished with no newer " +
+          "generation to fall forward to — a concurrent ingest pruned past " +
+          "the one-generation grace (the state dir is single-writer; run " +
+          "readers between ingest runs) or the state is corrupt")
+    }
+  }
 
   /** Newest `batch=<id>` state with id < `beforeId` — id-bounded so a
     * re-executed batch can never merge against its own partial output.
@@ -517,19 +552,59 @@ object EventStreams {
     * (`anchor_eid` is internal maintenance state). Resolves the newest
     * manifest and unions each bucket's snapshot from whichever batch
     * directory last rewrote it. Fails if the ingest has never run.
+    *
+    * Concurrent-prune handling (same contract as `readRollup`): every
+    * bucket path the manifest references is existence-checked at resolve
+    * time; if any was pruned but a NEWER manifest has committed, the read
+    * falls forward to it (bounded retries), otherwise it fails loudly
+    * naming the single-writer contract. The returned frame is lazy — a
+    * consumer holding it across 2+ further ingest commits is back in the
+    * documented race; the one-generation prune grace covers exactly one.
     */
   def readScd2(spark: SparkSession, stateDir: String): DataFrame =
-    manifestIds(spark, stateDir).maxOption match {
-      case Some(id) =>
+    readScd2From(spark, stateDir, None)
+
+  /** `startAt` pins the manifest the reader initially resolved — the test
+    * seam that replays the concurrent-prune race deterministically;
+    * production callers pass None (= newest).
+    */
+  @annotation.tailrec
+  private[graft] final def readScd2From(spark: SparkSession, stateDir: String,
+                                        startAt: Option[Long],
+                                        attempts: Int = 0): DataFrame = {
+    val id = startAt.orElse(manifestIds(spark, stateDir).maxOption).getOrElse(
+      throw new IllegalStateException(
+        s"readScd2: no history state under $stateDir — run scd2Ingest first"))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The resolved manifest itself can vanish mid-resolve (whole-dir prune)
+    // — treat that exactly like a pruned bucket path.
+    val missing: Seq[String] =
+      try {
         val m = readManifest(spark, stateDir, id)
         val paths = m.entries.toSeq.sorted.map { case (b, mid) =>
           s"$stateDir/batch=$mid/segments/bucket=$b" }
-        spark.read.parquet(paths: _*)
-          .select(col("user_id"), col("tier"), col("valid_from_us"),
-            col("valid_to_us"), col("is_current"))
-      case None => throw new IllegalStateException(
-        s"readScd2: no history state under $stateDir — run scd2Ingest first")
-    }
+        val gone = paths.filterNot(p =>
+          fs.exists(new org.apache.hadoop.fs.Path(p)))
+        if (gone.isEmpty)
+          return spark.read.parquet(paths: _*)
+            .select(col("user_id"), col("tier"), col("valid_from_us"),
+              col("valid_to_us"), col("is_current"))
+        gone
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          Seq(manifestFile(stateDir, id).toString)
+      }
+    val newest = manifestIds(spark, stateDir).maxOption
+    if (newest.exists(_ > id) && attempts < 3)
+      readScd2From(spark, stateDir, newest, attempts + 1)
+    else throw new IllegalStateException(
+      s"readScd2: manifest batch=$id under $stateDir references pruned " +
+        s"snapshot(s) [${missing.take(3).mkString(", ")}] and no newer " +
+        "manifest exists to fall forward to — a concurrent ingest pruned " +
+        "past the one-generation grace (the state dir is single-writer; " +
+        "run readers between ingest runs) or the state is corrupt")
+  }
 
   /** Per-batch bucket→holder map for the bucketed SCD2 state. The
     * manifest file is the batch's commit marker: a `batch=<id>` directory

@@ -400,6 +400,62 @@ class StreamingSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("bucket")))
   }
 
+  test("state readers fall forward past a concurrent prune, and fail naming the contract when they can't") {
+    // Replay the race pruneSuperseded documents: a reader resolves a
+    // generation, a concurrent ingest commits + prunes it. The seam
+    // (startAt) pins the stale resolution deterministically.
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2p_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2p_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2p_ckpt_").toString
+    // both landings touch ALL 4 buckets, so manifest 1 references only
+    // batch=1 dirs and batch=0 survives solely on the one-generation grace
+    mkEvents((1 to 40).map(u => (u.toLong, 1000L + u, u.toLong, 10L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 4)
+    mkEvents((1 to 40).map(u => (100L + u, 5000L + u, u.toLong, 60L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 4)
+    val expected = EventStreams.readScd2(spark, state).collect().toSet
+    // the prune a THIRD commit would do: generation 0 vanishes entirely
+    def rm(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rm(c.getPath))
+      f.delete()
+    }
+    rm(s"$state/batch=0")
+    // a reader that had resolved generation 0 falls forward to generation 1
+    val got = EventStreams.readScd2From(spark, state, Some(0L)).collect().toSet
+    assert(got == expected, "fall-forward read diverged from the live state")
+    // newest generation broken with nothing newer: pinned contract error
+    rm(s"$state/batch=1/segments/bucket=0")
+    val e = intercept[IllegalStateException] {
+      EventStreams.readScd2(spark, state)
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+
+    // same two branches for the rollup reader
+    val rsrc = java.nio.file.Files.createTempDirectory("graft_rollp_src_").toString
+    val rstate = java.nio.file.Files.createTempDirectory("graft_rollp_state_").toString + "/s"
+    val rckpt = java.nio.file.Files.createTempDirectory("graft_rollp_ckpt_").toString
+    val ev = batchEvents
+    ev.where(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(rsrc)
+    EventStreams.rollupIngest(spark, rsrc, rstate, rckpt)
+    ev.where(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(rsrc)
+    EventStreams.rollupIngest(spark, rsrc, rstate, rckpt)
+    val rexpected = EventStreams.readRollup(spark, rstate).collect().toSet
+    rm(s"$rstate/batch=0")
+    assert(EventStreams.readRollupFrom(spark, rstate, Some(0L))
+      .collect().toSet == rexpected)
+    // reader resolved generation 1, it vanishes, nothing newer committed:
+    // pinned contract error (a FRESH read of the emptied dir is the
+    // ordinary "no state" error — the race error is for stale resolvers)
+    rm(s"$rstate/batch=1")
+    val re = intercept[IllegalStateException] {
+      EventStreams.readRollupFrom(spark, rstate, Some(1L))
+    }
+    assert(re.getMessage.contains("single-writer"), re.getMessage)
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
