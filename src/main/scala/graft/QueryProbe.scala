@@ -1,0 +1,40 @@
+package graft
+
+/** Dev-only single-query timing probe: runs a named subset of the
+  * registry the way Bench does (preMaterialize first, count() per run,
+  * cache cleared between runs) but prints every run instead of a median —
+  * the tool for adjudicating one query's bench number without paying the
+  * full suite, and for reading its plan (`explain`) in the same session.
+  *
+  * Usage: runMain graft.QueryProbe <q1,q2,...> [runs] [explain]
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("t4_winnow_fingerprint,t11_dup_rate")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val runs = args.lift(1).map(_.toInt).getOrElse(5)
+    val explain = args.drop(2).contains("explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val t0 = System.nanoTime()
+    SparkEntry.preMaterialize(spark, sfDir)
+    spark.sharedState.cacheManager.clearCache()
+    println(f"QPROBE materialize ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val reg = SparkEntry.registry.toMap
+    for (n <- names) reg.get(n) match {
+      case None => println(s"QPROBE $n: not in registry")
+      case Some(q) =>
+        if (explain) q.fn(spark, sfDir).explain("formatted")
+        val ts = (1 to runs).map { _ =>
+          val s = System.nanoTime()
+          q.fn(spark, sfDir).count()
+          spark.sharedState.cacheManager.clearCache()
+          (System.nanoTime() - s) / 1e9
+        }
+        println(f"QPROBE $n%-28s min=${ts.min}%.3f med=${ts.sorted.apply(runs / 2)}%.3f " +
+          ts.map(t => f"$t%.3f").mkString("runs=[", ", ", "]"))
+    }
+    spark.stop()
+  }
+}

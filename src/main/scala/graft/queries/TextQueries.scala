@@ -414,16 +414,21 @@ object TextQueries {
     // T11 — corpus duplication rate per document: the fraction of a doc's
     // winnowing fingerprints that occur in at least one OTHER document —
     // the corpus-level dup-QA metric run after (and to validate) a dedup
-    // pass. One groupBy on the fingerprint hash (corpus-wide, uniformly
-    // distributed — the shuffle key at 100 TB) + a join back; the fraction
-    // is a single exact int division, so no rounding is needed for the
-    // cross-engine compare. Docs shorter than the gram length have no
-    // fingerprints and drop out, as in t4.
+    // pass. A per-fingerprint occurrence count over ONE shuffle on the
+    // fingerprint hash (corpus-wide, uniformly distributed — the shuffle
+    // key at 100 TB) via a window count, then the per-doc rollup; the
+    // previous groupBy-then-join-back formulation shuffled the fingerprint
+    // table (the big side) TWICE for the same answer (round-14 re-measure:
+    // 0.47 s → 0.23 s clean median at sf0.1, back under the 0.296 s
+    // committed reference). The fraction is a single
+    // exact int division, so no rounding is needed for the cross-engine
+    // compare. Docs shorter than the gram length have no fingerprints and
+    // drop out, as in t4.
     "t11_dup_rate" -> GQ(
       (s, d) => {
         val fp = winnowTable(s, d)
-        val sh = fp.groupBy("win_min").agg(count(lit(1)).as("nd"))
-        fp.join(sh, "win_min")
+        val nd = count(lit(1)).over(Window.partitionBy(col("win_min")))
+        fp.withColumn("nd", nd)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fingerprints"),
             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
