@@ -245,6 +245,26 @@ object RelationalQueries {
       "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity " +
         "FROM lineitem"),
 
+    // K8b — the same OPTIMIZE/ZORDER content contract on the Hilbert
+    // curve path (zorderBy(curve = "hilbert") → native HilbertIndexF):
+    // identical rows out, only the layout differs. ZorderSpec measures the
+    // files-per-lookup gap vs Morton; HilbertSpec proves the curve
+    // properties; this gate pins that the codegen'd expression never
+    // corrupts or drops a row on real data.
+    "k8b_zorder_hilbert" -> GQ(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))
+        val out = tmpDir("graft_zorder_h_") + "/li"
+        Relational.zorderBy(li, Seq("l_partkey", "l_suppkey"), 16,
+            curve = "hilbert")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      },
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity " +
+        "FROM lineitem"),
+
     // J1 + K2 — the incremental-load primitive: append only rows whose key
     // is absent from the existing sink, with overwrite fallback on first
     // run (reference: etl/extract/lfb-extract.py:30-52).

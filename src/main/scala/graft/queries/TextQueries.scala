@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -35,10 +35,12 @@ object TextQueries {
 
   /** BPE merge rounds learned by t16. Fixed and small: each round is one
     * corpus-wide pair-count shuffle over the DISTINCT-WORD table, so the
-    * constant bounds total cost; real trainers run thousands of rounds by
-    * checkpointing the symbol table between batches of merges (the
-    * InterStage pattern), which changes nothing about the per-round shape
-    * gated here.
+    * constant bounds total cost. Production round counts run through
+    * `bpeTrainCheckpointed` (per-round InterStage checkpoint) — MEASURED
+    * flat at 0.31–0.5 s/round over 30 rounds at sf0.1, vs ~1 s/round
+    * GROWTH for this gate's lineage-accreting shape (SCALE.md round 14):
+    * the checkpoint is what makes thousands of rounds reachable, and
+    * BpeSpec pins the two trainers to identical merges + vocab.
     */
   val BpeRounds = 3
 
@@ -60,35 +62,98 @@ object TextQueries {
     *
     * Returns (one merge-rule row per round, final symbol table).
     */
-  private def bpeStages(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    val words = Tables.load(s, d, "documents")
+  /** Initial BPE symbol table: word-frequency dict, each word split to
+    * per-character symbols with the '</w>' terminator. */
+  private[graft] def bpeInit(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wc"))
-    var cur = words.select(col("w"), col("wc"),
-      concat(filter(split(col("w"), ""), x => length(x) > 0),
-        array(lit("</w>"))).as("syms"))
+      .select(col("w"), col("wc"),
+        concat(filter(split(col("w"), ""), x => length(x) > 0),
+          array(lit("</w>"))).as("syms"))
+
+  /** Adjacent-pair frequencies of the current symbol table, keyed by the
+    * pair (map-side combine — the per-round shuffle). Fully-merged words
+    * (one symbol) are filtered FIRST: `sequence(1, size-1)` on them is
+    * sequence(1, 0) — a DESCENDING Spark sequence [1, 0], whose i=1 step
+    * indexes element 2 of a 1-element array and throws under ANSI mode.
+    * Invisible at BpeRounds = 3 (no sf word collapses that fast); found by
+    * the checkpointed trainer's run-to-exhaustion spec. */
+  private[graft] def bpePairs(cur: DataFrame): DataFrame =
+    cur.where(size(col("syms")) >= 2)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("p1"),
+            element_at(col("syms"), i + 1).as("p2")))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("wc")).as("freq"))
+
+  /** Greedy left-to-right application of ONE merge rule (p1, p2) to a
+    * symbol array — the fold both trainers share (see bpeStages scaladoc
+    * for the exactness argument). */
+  private[graft] def bpeApply(syms: Column, p1: Column, p2: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === p1 && x === p2,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(p1, p2))))
+        .otherwise(concat(acc, array(x))))
+
+  private def bpeStages(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    var cur = bpeInit(s, d)
     val merges = (1 to BpeRounds).map { r =>
-      val pairs = cur.select(col("wc"),
-          explode(transform(sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("p1"),
-              element_at(col("syms"), i + 1).as("p2")))).as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(sum(col("wc")).as("freq"))
-      val best = pairs.orderBy(col("freq").desc, col("p1"), col("p2")).limit(1)
+      val best = bpePairs(cur)
+        .orderBy(col("freq").desc, col("p1"), col("p2")).limit(1)
       cur = cur.crossJoin(broadcast(
           best.select(col("p1").as("bp1"), col("p2").as("bp2"))))
         .select(col("w"), col("wc"),
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) === 0, array(x))
-              .when(element_at(acc, -1) === col("bp1") && x === col("bp2"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(col("bp1"), col("bp2")))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
+          bpeApply(col("syms"), col("bp1"), col("bp2")).as("syms"))
       best.select(lit(r.toLong).as("merge_round"), col("p1"), col("p2"),
         col("freq"))
     }
     (merges, cur)
+  }
+
+  /** Production-round-count BPE trainer: the SAME round algebra as
+    * bpeStages (bpePairs → deterministic top-1 → bpeApply), but the symbol
+    * table is CHECKPOINTED to an InterStage parquet after every round, so
+    * round r+1's plan is a flat parquet scan instead of r nested
+    * aggregate-fold layers — without it Catalyst re-analyzes (and the
+    * executor re-computes) the whole lineage every round and per-round
+    * cost grows with r (SCALE.md round 14 measures both curves). The merge
+    * rule is one row per round, so it is collected driver-side and folded
+    * back in as literals — the per-round plan is scan → map → write, and a
+    * rounds-long training run is a chain of such plans, each O(dict).
+    * Checkpoint keys are (corpus, round)-stable, so a longer run resumes
+    * over a shorter run's prefix within one JVM.
+    *
+    * Returns (merge rules as (round, p1, p2, freq), final symbol table).
+    * `onRound` sees each round's wall-clock seconds — probe instrumentation.
+    */
+  def bpeTrainCheckpointed(s: SparkSession, d: String, rounds: Int,
+                           onRound: (Int, Double) => Unit = (_, _) => ())
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val key = InterStage.tableKey(d, "documents")
+    var cur = InterStage.materialize(s, s"$key|bpe|r0", bpeInit(s, d))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val t0 = System.nanoTime()
+      val best = bpePairs(cur)
+        .orderBy(col("freq").desc, col("p1"), col("p2")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // dict collapsed to single symbols
+      else {
+        val (p1, p2) = (best.head.getString(0), best.head.getString(1))
+        merges += ((r.toLong, p1, p2, best.head.getLong(2)))
+        cur = InterStage.materialize(s, s"$key|bpe|r$r",
+          cur.select(col("w"), col("wc"),
+            bpeApply(col("syms"), lit(p1), lit(p2)).as("syms")))
+        onRound(r, (System.nanoTime() - t0) / 1e9)
+      }
+      r += 1
+    }
+    (merges.result(), cur)
   }
 
   /** DuckDB CTEs mirroring bpeStages' base: word-frequency dict + initial

@@ -19,7 +19,8 @@ object PipelineDemo {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
     java.nio.file.Files.createDirectories(base)
-    val cores = if (rows.isDefined) "16" else "4"
+    val cores =
+      if (rows.isDefined) sys.env.getOrElse("SPARK_GRAFT_CPUS", "16") else "4"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)

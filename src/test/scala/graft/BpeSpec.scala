@@ -54,6 +54,28 @@ class BpeSpec extends SparkSpec {
     assert(enc === Map(1L -> ((3L, 6L)), 2L -> ((3L, 12L))))
   }
 
+  test("checkpointed trainer learns the identical merge sequence and vocab") {
+    // bpeTrainCheckpointed is the production-round-count twin (per-round
+    // InterStage checkpoint, merge rule folded back as literals); on the
+    // same corpus and round count it must be indistinguishable from the
+    // gate's lineage-accreting bpeStages.
+    val (merges, fin) = graft.queries.TextQueries
+      .bpeTrainCheckpointed(spark, dir, 3)
+    assert(merges === Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "low", "</w>", 3L)))
+    val vocab = fin.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("syms")).as("sym"),
+        org.apache.spark.sql.functions.col("wc"))
+      .groupBy("sym").agg(org.apache.spark.sql.functions.sum("wc").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map(
+      "low</w>" -> 3L, "low" -> 2L, "e" -> 4L, "r" -> 2L, "</w>" -> 3L,
+      "n" -> 1L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
+    // a trainer run past dictionary exhaustion stops instead of looping
+    val (all, _) = graft.queries.TextQueries.bpeTrainCheckpointed(spark, dir, 1000)
+    assert(all.size < 1000 && all.take(3).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("t16 plan never funnels word rows through one partition") {
     // The pair-count shuffle is keyed by the symbol pair and the apply
     // side by word; the only tiny-side artifacts allowed are the 1-row
