@@ -36,6 +36,7 @@ object SparkEntry {
       Future(TextQueries.warmWinnowChain(spark, sfDir)),
       Future(TextQueries.warmRepSpanChain(spark, sfDir)),
       Future(TextQueries.warmSimhashChain(spark, sfDir)),
+      Future(TextQueries.warmBpeChain(spark, sfDir)),
       Future(VectorQueries.warmInterStage(spark, sfDir)))
       .foreach(Await.result(_, Duration.Inf))
   }

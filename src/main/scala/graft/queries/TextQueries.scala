@@ -99,7 +99,31 @@ object TextQueries {
           concat(slice(acc, lit(1), size(acc) - 1), array(concat(p1, p2))))
         .otherwise(concat(acc, array(x))))
 
-  private def bpeStages(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+  /** Shared trained tokenizer for the t16 family (the winnowTable
+    * pattern): the CHECKPOINTED trainer at BpeRounds, whose per-round
+    * InterStage tables make the second and third gate's dict lookup a
+    * parquet scan instead of a full re-train — t16/t16b/t16c each paid
+    * the 3-round training (~1 s each at sf0.1) before this. Merge rules
+    * come back driver-side (BpeRounds rows — the argmax collect is the
+    * trainer's own shape, not a gate-side shortcut); equivalence with the
+    * lineage-accreting bpeStages below is BpeSpec-pinned.
+    */
+  private val bpeSharedMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Long, String, String, Long)], DataFrame)]
+  private def bpeShared(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    // memoized per corpus per JVM (the fin frame is an InterStage parquet
+    // scan, safe to hand out repeatedly): without this, every gate call
+    // re-collects the per-round argmaxes — 3 pair-count jobs — even though
+    // the dicts themselves are InterStage-cached
+    bpeSharedMemo.getOrElseUpdate(InterStage.tableKey(d, "documents"),
+      bpeTrainCheckpointed(s, d, BpeRounds))
+
+  /** Lineage-accreting reference shape (no checkpoint): kept as the
+    * equivalence baseline BpeSpec pins bpeTrainCheckpointed against, and
+    * as BpeProbe's contrast curve. Gates route through bpeShared.
+    */
+  private[graft] def bpeStages(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     var cur = bpeInit(s, d)
     val merges = (1 to BpeRounds).map { r =>
       val best = bpePairs(cur)
@@ -362,6 +386,13 @@ object TextQueries {
     */
   def warmWinnowChain(s: SparkSession, d: String): Unit = {
     winnowTable(s, d)
+    ()
+  }
+
+  /** Trained BPE tokenizer (t16/t16b/t16c): per-round dicts + memoized
+    * merge rules. */
+  def warmBpeChain(s: SparkSession, d: String): Unit = {
+    bpeShared(s, d)
     ()
   }
 
@@ -1296,7 +1327,10 @@ object TextQueries {
     // frequency). See bpeStages for the scale story; the oracle replays
     // the identical greedy merges through window-parity SQL.
     "t16_bpe_merges" -> GQ(
-      (s, d) => bpeStages(s, d)._1.reduce(_.union(_)),
+      (s, d) => {
+        import s.implicits._
+        bpeShared(s, d)._1.toDF("merge_round", "p1", "p2", "freq")
+      },
       dBpeCtes + " " + (1 to BpeRounds).map(r =>
         s"SELECT $r::BIGINT AS merge_round, p1, p2, freq FROM b$r")
         .mkString(" UNION ALL ")),
@@ -1307,7 +1341,7 @@ object TextQueries {
     // i.e. that the fold's greedy application matches the oracle's.
     "t16b_bpe_vocab" -> GQ(
       (s, d) => {
-        val fin = bpeStages(s, d)._2
+        val fin = bpeShared(s, d)._2
         fin.select(col("wc"), explode(col("syms")).as("sym"))
           .groupBy("sym").agg(sum(col("wc")).as("cnt"))
       },
@@ -1324,7 +1358,7 @@ object TextQueries {
     // re-segmentation happens.
     "t16c_bpe_encode" -> GQ(
       (s, d) => {
-        val dict = bpeStages(s, d)._2
+        val dict = bpeShared(s, d)._2
           .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
         Tables.load(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))

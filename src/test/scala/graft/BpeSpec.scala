@@ -63,6 +63,13 @@ class BpeSpec extends SparkSpec {
       .bpeTrainCheckpointed(spark, dir, 3)
     assert(merges === Seq(
       (1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "low", "</w>", 3L)))
+    // differential pin against the lineage-accreting reference shape: the
+    // two trainers must agree rule-for-rule, not just on hand-checked data
+    val (refMerges, refFin) = graft.queries.TextQueries.bpeStages(spark, dir)
+    assert(refMerges.reduce(_.union(_)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq === merges)
+    assert(refFin.exceptAll(fin).isEmpty && fin.exceptAll(refFin).isEmpty)
     val vocab = fin.select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.col("syms")).as("sym"),
         org.apache.spark.sql.functions.col("wc"))
