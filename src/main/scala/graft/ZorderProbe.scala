@@ -52,14 +52,24 @@ object ZorderProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val files = args.lift(1).map(_.toInt).getOrElse(16)
+    // copies > 1 unions key-shifted lineitem copies — the 10× rung that
+    // checks the curve gap and the write cost both scale linearly.
+    val copies = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val n = 256
     val grid = spark.range(n.toLong * n)
       .select((col("id") % n).as("a"), (col("id") / n).cast("long").as("b"),
         col("id").as("payload"))
     probe(spark, s"grid ${n}x$n/$files files", grid, Seq("a", "b"), files)
-    val li = Tables.load(spark, sfDir, "lineitem")
-    probe(spark, s"lineitem $sfDir/$files files", li,
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val pSpan = li0.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val li = li0.withColumn("c",
+        explode(sequence(lit(0), lit(copies - 1))))
+      .select((col("l_partkey") + col("c") * pSpan).as("l_partkey"),
+        col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+    probe(spark, s"lineitem ${copies}x/$files files", li,
       Seq("l_partkey", "l_suppkey"), files)
     spark.stop()
   }

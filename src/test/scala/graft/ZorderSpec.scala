@@ -136,6 +136,27 @@ class ZorderSpec extends SparkSpec {
       grid.exceptAll(spark.read.parquet(hdir)).isEmpty)
   }
 
+  test("quantile ranks compose with the hilbert curve (the full knob matrix)") {
+    // Same skewed frame as the quantile test: equal-mass ranks feed the
+    // Hilbert linearization exactly as they feed Morton — the two knobs
+    // are orthogonal by construction, and this pins it: skipping works on
+    // the skewed dim, the uniform dim still narrows, content untouched.
+    val n = 4096L
+    val u = (col("id") * 2654435761L % n).cast("double") / n
+    val skewed = spark.range(n).select(
+      floor(pow(lit(1e6), u)).cast("long").as("a"), col("id").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zqh_").toString
+    Relational.zorderBy(skewed, Seq("a", "b"), 16, bitsPerCol = 6,
+        quantile = true, curve = "hilbert")
+      .write.mode("overwrite").parquet(dir)
+    val qf = filesPerLookup(dir, "a")
+    assert(qf < 8.0, s"quantile+hilbert should skip on skewed a: $qf of 16")
+    val qb = meanSpan(dir, "b")
+    assert(qb < 0.5, s"quantile+hilbert dim b mean span $qb")
+    assert(spark.read.parquet(dir).exceptAll(skewed).isEmpty &&
+      skewed.exceptAll(spark.read.parquet(dir)).isEmpty)
+  }
+
   test("zorderBy ranks nulls at the origin and survives constant columns") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Long)](
