@@ -335,6 +335,18 @@ class ScalePlanSpec extends SparkSpec {
     assert(dataShuffles <= 1, s"expected one (type,bucket) shuffle:\n${plan.take(2500)}")
   }
 
+  test("t11 dup rate shuffles the fingerprint table exactly once") {
+    // The round-14 rewrite: occurrence counts via a window over ONE
+    // win_min shuffle (the old groupBy-then-join-back shuffled the big
+    // table twice). Pin the shape: exactly two hash exchanges total — the
+    // fingerprint shuffle plus the doc-keyed rollup — no join, no funnel.
+    val plan = executedPlan(SparkEntry.queries("t11_dup_rate")(spark, Sf0001))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(!plan.contains("Join"), s"t11 must not join the table back:\n${plan.take(2000)}")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected exactly 2 shuffles, got $hashEx:\n${plan.take(2500)}")
+  }
+
   test("t21 source quota plans one source-keyed shuffle and no funnel") {
     val plan = executedPlan(SparkEntry.queries("t21_source_quota")(spark, Sf0001))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
