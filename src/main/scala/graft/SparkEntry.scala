@@ -31,13 +31,23 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Per-chain wall-clock to stderr: the materialize phase is ~30% of the
+    // official bench total, and "which chain is the long pole" should be a
+    // printed fact, not a guess (the chains run concurrently, so total =
+    // longest chain + scheduler interleaving).
+    def timed(name: String)(body: => Unit): Future[Unit] = Future {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[materialize] $name%-10s ${(System.nanoTime() - t0) / 1e9}%5.1f s")
+    }
     Seq(
-      Future(TextQueries.warmShingleChain(spark, sfDir)),
-      Future(TextQueries.warmWinnowChain(spark, sfDir)),
-      Future(TextQueries.warmRepSpanChain(spark, sfDir)),
-      Future(TextQueries.warmSimhashChain(spark, sfDir)),
-      Future(TextQueries.warmBpeChain(spark, sfDir)),
-      Future(VectorQueries.warmInterStage(spark, sfDir)))
+      timed("shingle") { TextQueries.warmShingleChain(spark, sfDir) },
+      timed("winnow") { TextQueries.warmWinnowChain(spark, sfDir) },
+      timed("repspan") { TextQueries.warmRepSpanChain(spark, sfDir) },
+      timed("simhash-cc") { TextQueries.warmSimhashChain(spark, sfDir) },
+      timed("bpe") { TextQueries.warmBpeChain(spark, sfDir) },
+      timed("vectors") { VectorQueries.warmInterStage(spark, sfDir) })
       .foreach(Await.result(_, Duration.Inf))
   }
 
