@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * wall-clock. Run on a synthetic uniform grid (crisp ideal) and on
   * sf lineitem (l_partkey, l_suppkey) — the k8 gate's shape.
   *
-  * Usage: runMain graft.ZorderProbe [sfDir] [files]
+  * Usage: runMain graft.ZorderProbe [sfDir] [files] [copies]
   */
 object ZorderProbe {
 
