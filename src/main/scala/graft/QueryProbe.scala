@@ -12,15 +12,21 @@ object QueryProbe {
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("t4_winnow_fingerprint,t11_dup_rate")
       .split(",").map(_.trim).filter(_.nonEmpty)
-    val runs = args.lift(1).map(_.toInt).getOrElse(5)
+    val runs = args.lift(1).flatMap(a => a.toIntOption).getOrElse(5)
     val explain = args.drop(2).contains("explain")
+    // "nowarm" skips preMaterialize, so a query's FIRST run shows its
+    // inter-stage build cost — the tool for attributing the materialize
+    // phase to individual chain stages.
+    val nowarm = args.drop(1).contains("nowarm")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(1000).selectExpr("sum(id)").collect()
-    val t0 = System.nanoTime()
-    SparkEntry.preMaterialize(spark, sfDir)
-    spark.sharedState.cacheManager.clearCache()
-    println(f"QPROBE materialize ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (!nowarm) {
+      val t0 = System.nanoTime()
+      SparkEntry.preMaterialize(spark, sfDir)
+      spark.sharedState.cacheManager.clearCache()
+      println(f"QPROBE materialize ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val reg = SparkEntry.registry.toMap
     for (n <- names) reg.get(n) match {
       case None => println(s"QPROBE $n: not in registry")
