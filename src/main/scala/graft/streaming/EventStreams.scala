@@ -362,14 +362,6 @@ object EventStreams {
     }
   }
 
-  /** Newest `batch=<id>` state with id < `beforeId` — id-bounded so a
-    * re-executed batch can never merge against its own partial output.
-    */
-  private def latestStateBefore(spark: SparkSession, stateDir: String,
-                                beforeId: Long): Option[DataFrame] =
-    stateIds(spark, stateDir).filter(_ < beforeId).maxOption
-      .map(id => spark.read.parquet(s"$stateDir/batch=$id"))
-
   /** Shared exactly-once plumbing for the snapshot-per-batch ingest twins
     * (rollupIngest/scd2Ingest). Stale-state guard: a state id AHEAD of the
     * incoming batch means the checkpoint was reset (ids restart at 0)
