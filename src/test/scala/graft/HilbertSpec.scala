@@ -90,6 +90,25 @@ class HilbertSpec extends SparkSpec {
     assert(mismatches == 0L, s"$mismatches codegen/kernel disagreements")
   }
 
+  test("injectivity holds on big grids the exhaustive pass can't reach") {
+    // 3 dims x 20 bits = a 2^60-cell grid: enumerate-and-check is
+    // impossible, but injectivity is still falsifiable — hash 50k distinct
+    // random points through the kernel and demand 50k distinct in-range
+    // indices (a single aliased bit plane would collide immediately).
+    val rng = new scala.util.Random(7)
+    val dims = 3; val bits = 20; val side = 1L << bits
+    val pts = Iterator.continually(Array.fill(dims)(
+        math.floorMod(rng.nextLong(), side)))
+      .take(50000).map(p => (p(0), p(1), p(2))).toSet
+    val idx = pts.map { case (a, b, c) =>
+      val h = HilbertIndexF.hilbertIndex(Array(a, b, c), bits)
+      assert(h >= 0 && h < (1L << (dims * bits)), s"index $h out of range")
+      h
+    }
+    assert(idx.size == pts.size,
+      s"${pts.size - idx.size} collisions among ${pts.size} distinct points")
+  }
+
   test("dims*bits > 62 fails loudly instead of aliasing bit planes") {
     val e = intercept[IllegalArgumentException] {
       HilbertIndexF.hilbertIndex(Seq(col("a"), col("b"), col("c")), 21)
