@@ -114,11 +114,19 @@ object FactLoad {
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
     // Partition by station ground; cluster files by (DateOfCall,
-    // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405).
+    // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405). The
+    // station LEADS the range key: Delta's OPTIMIZE ZORDER clusters
+    // WITHIN each partition, and leading with the partition column makes
+    // every write task hold a contiguous station slice — one or two open
+    // parquet writers per task instead of one per station (the 16-task ×
+    // 40-dir writer fan-out was the measured spill term of the 10×
+    // fact build, SCALE.md round 14), fewer+bigger files per dir, and the
+    // (date, cost) sort surviving intact inside each partition.
     finalDf
       .repartitionByRange(math.max(spark.sparkContext.defaultParallelism / 2, 1),
-        col("DateOfCall"), col("NotionalCost"))
-      .sortWithinPartitions(col("DateOfCall"), col("NotionalCost"))
+        col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
+      .sortWithinPartitions(
+        col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
       .write.mode("overwrite").format("parquet")
       .partitionBy("IncidentStationGround").saveAsTable(outputTable)
 

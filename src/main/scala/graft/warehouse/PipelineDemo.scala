@@ -21,9 +21,21 @@ object PipelineDemo {
     java.nio.file.Files.createDirectories(base)
     val cores =
       if (rows.isDefined) sys.env.getOrElse("SPARK_GRAFT_CPUS", "16") else "4"
+    // One shuffle partition per core is right until a partition's sort
+    // working set outgrows memory: at 15M wide fact rows / 32 partitions
+    // the fact build's sorts and min_by agg spill and the stage goes
+    // super-linear (SCALE.md round 14 ladder). Scaled runs therefore size
+    // partitions by ROWS (~250k fact rows each — wide-row working sets a
+    // task holds comfortably) and let AQE coalesce the ones that end up
+    // small; the override env pins it for experiments.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      rows match {
+        case Some(n) => math.max(cores.toInt, n / 250000).toString
+        case None => cores
+      })
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", base.resolve("warehouse").toString)
