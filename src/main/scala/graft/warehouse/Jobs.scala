@@ -327,10 +327,16 @@ object Jobs {
     var df = spark.read.parquet(inPath).drop(dropCols: _*)
     if (distinct) df = df.distinct()
     df = df.select(columns.map { case (from, to) => col(from).as(to) }: _*)
+    // The partition column LEADS the range/sort key (same alignment as
+    // FactLoad's fact write): otherwise the file committer's required
+    // ordering on the partition column re-sorts each task's rows and the
+    // clusterBy order inside every partition dir is lost. Dims are tiny so
+    // this is a correctness-of-layout point, not a perf one.
+    val keyCols = (partitionBy.toSeq ++ clusterBy).distinct.map(col)
     val clustered =
       if (clusterBy.nonEmpty)
         df.repartitionByRange(math.max(spark.sparkContext.defaultParallelism / 4, 1),
-          clusterBy.map(col): _*).sortWithinPartitions(clusterBy.map(col): _*)
+          keyCols: _*).sortWithinPartitions(keyCols: _*)
       else df
     val writer = clustered.write.mode("overwrite").format("parquet")
     partitionBy.fold(writer)(p => writer.partitionBy(p)).saveAsTable(table)
