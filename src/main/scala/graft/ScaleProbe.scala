@@ -174,7 +174,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, big)
-        val row = df.withColumn("__h", xxhash64(df.columns.map(col): _*))
+        val row = df.withColumn("__h", xxhash64(df.columns.toIndexedSeq.map(col): _*))
           .agg(count(lit(1)), expr("bit_xor(__h)")).head()
         val n = row.getLong(0)
         println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")

@@ -35,7 +35,7 @@ object TimeQueries {
         val df = SparkEntry.queries(name)(spark, dir)
         val n = df.withColumn("__h",
             org.apache.spark.sql.functions.xxhash64(
-              df.columns.map(org.apache.spark.sql.functions.col): _*))
+              df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)),
             org.apache.spark.sql.functions.expr("bit_xor(__h)"))

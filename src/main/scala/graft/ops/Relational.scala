@@ -283,7 +283,7 @@ object Relational {
       .groupBy(col(probeId))
       .agg(min_by(struct(rCols.map(col): _*), struct(dt, col(tieBreak))).as("__best"))
     probe.join(best, Seq(probeId), "left")
-      .select(probe.columns.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+      .select(probe.columns.toIndexedSeq.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** As-of join: for each probe row, the most recent reading at or before
@@ -321,7 +321,7 @@ object Relational {
       .groupBy(col(probeId))
       .agg(min_by(struct(rCols.map(col): _*), struct(dt, col(tieBreak))).as("__best"))
     probe.join(best, Seq(probeId), "left")
-      .select(probe.columns.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
+      .select(probe.columns.toIndexedSeq.map(col) ++ rCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** Range join: match each point row to every `[lo, hi)` range row it
@@ -399,7 +399,7 @@ object Relational {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(skewed.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -121,7 +121,7 @@ object Jobs {
       lit(null).cast(TimestampType).as("ReadingDateTime") +:
         levelCols.map(c => lit("Unknown").as(c)) :+
         lit("Unknown").as("AirQualityKey"): _*)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
     df.union(sentinel).write.mode("overwrite").parquet(outPath)
   }
 
@@ -161,7 +161,7 @@ object Jobs {
         col("PressureLevel"), col("PrecipitationLevel"), col("SnowLevel"),
         col("SunshineLevel")), 256))
     val sentinel = spark.range(1).select(
-      df.columns.map(c =>
+      df.columns.toIndexedSeq.map(c =>
         if (c == "date") lit(null).cast(df.schema(c).dataType).as(c)
         else lit("Unknown").as(c)): _*)
     df.union(sentinel)
@@ -204,7 +204,7 @@ object Jobs {
     val withId = df.withColumn("WardID", sha2(concat_ws("|",
       col("WardCode"), col("WardName"), col("BoroughName"), col("BoroughCode")), 256))
     val sentinel = spark.range(1).select(
-      withId.columns.map(c => lit("Unknown").as(c)): _*)
+      withId.columns.toIndexedSeq.map(c => lit("Unknown").as(c)): _*)
     withId.unionByName(sentinel).write.mode("overwrite").parquet(outPath)
   }
 
