@@ -185,6 +185,26 @@ object Relational {
   // Temporal nearest-within-band join (as-of/band join)
   // ---------------------------------------------------------------------
 
+  /** Clustered-write partition count sized by ROWS, not cores. An explicit
+    * `repartitionByRange(n, …)` count bypasses both
+    * `spark.sql.shuffle.partitions` and AQE (an explicit numPartitions is
+    * never coalesced or split), so deriving it from `defaultParallelism`
+    * silently fixes rows-per-task to corpus-size/cores — past ~250k wide
+    * rows per task the write's sort working set spills and the stage goes
+    * super-linear (measured: the 15M-row fact build, SCALE.md round 14).
+    * Rows-per-task is the scale-invariant quantity: this helper holds it
+    * at `rowsPerPartition` whatever the corpus or cluster size. The count
+    * costs one `df.count()` on the write input — for parquet inputs a
+    * footer-metadata scan, negligible next to the write itself.
+    */
+  def rowSizedPartitions(rowCount: Long, rowsPerPartition: Long = 250000L): Int = {
+    require(rowsPerPartition > 0, s"rowsPerPartition must be > 0, got $rowsPerPartition")
+    // ceil-div without the additive overflow near Long.MaxValue
+    val n = rowCount / rowsPerPartition +
+      (if (rowCount % rowsPerPartition > 0) 1L else 0L)
+    math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt
+  }
+
   /** floor(c / d) as a bucket key, exact for the FULL Long range (d > 0).
     * Computed as truncating `IntegralDivide` plus a −1 correction when the
     * remainder is negative (truncation rounded toward zero but the true

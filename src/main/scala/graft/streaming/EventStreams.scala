@@ -462,77 +462,96 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ids = manifestIds(spark, stateDir)
-        val prevId = guardedPrevId("scd2Ingest", stateDir, batchId,
-          checkpointDir, ids)
+        // State GENERATION ids are decoupled from streaming batch ids: the
+        // manifest's `txn` field records the last streaming batch applied
+        // (the Delta-txn-metadata idempotence pattern), so maintenance
+        // commits (`rebucketScd2`) can advance the generation counter
+        // without desynchronizing the checkpoint. Guard + idempotence run
+        // against txn: an incoming batch BELOW the watermark means the
+        // checkpoint was reset while state survived (split-brain, fatal);
+        // EQUAL means the commit landed but the checkpoint marker did not
+        // (crash-recovery replay) — the manifest being the commit point,
+        // the batch is already durable and the replay is a no-op.
+        val prevId = ids.maxOption
         val prevMan = prevId.map(id => readManifest(spark, stateDir, id))
-        prevMan.foreach(m => require(m.buckets == buckets,
-          s"scd2Ingest: state under $stateDir was built with ${m.buckets} " +
-            s"buckets, cannot ingest with $buckets — keep the bucket count " +
-            "stable for a state dir's lifetime"))
-        // Same event→(user, tier) extraction as the batch gate.
-        val ev = batch.select(col("user_id"), col("event_id"),
-          graft.Tables.eventTimeUs(batch).as("tus"),
-          graft.ops.Relational.floorDivExact(
-            expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
-        val bucketCol = pmod(hash(col("user_id")), lit(buckets))
-        // The touched-bucket set is ≤ `buckets` ints — a driver-safe collect.
-        val touched = ev.select(bucketCol.as("b")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        val evSeen = ev.groupBy(col("user_id"))
-          .agg(max(struct(col("tus"), col("event_id"))).as("m"))
-          .select(col("user_id"), col("m.tus").as("last_us"),
-            col("m.event_id").as("last_eid"))
-        // Prior state for the TOUCHED buckets only — users outside them
-        // cannot appear in this batch by construction of the hash.
-        def prior(kind: String): Seq[String] = prevMan.toSeq.flatMap(m =>
-          touched.flatMap(b => m.entries.get(b)
-            .map(mid => s"$stateDir/batch=$mid/$kind/bucket=$b")))
-        val (segs, seen) = prior("segments") match {
-          case Seq() =>
-            (graft.ops.Relational.scd2Compress(ev), evSeen)
-          case segPaths =>
-            val prevSegs = spark.read.parquet(segPaths: _*)
-            val prevSeen = spark.read.parquet(prior("seen"): _*)
-            val joined = ev.join(prevSeen, Seq("user_id"), "left")
-            val lateRows = joined
-              .where(struct(col("tus"), col("event_id")) <
-                struct(col("last_us"), col("last_eid")))
-              .select(col("user_id"), col("tus"), col("event_id"))
-              .limit(3).collect()
-            if (lateRows.nonEmpty) throw new IllegalStateException(
-              s"scd2Ingest: batch $batchId contains out-of-order events " +
-                "(older than a user's maintained watermark) — history cannot " +
-                "be merged retroactively; reprocess from scratch or fix the " +
-                s"source ordering. Examples: ${lateRows.mkString(", ")}")
-            // Equal to the watermark = exact re-delivery of the last-seen
-            // event (at-least-once upstream): absorb it instead of wedging
-            // the pipeline — it would merge as a non-change anyway.
-            val evNew = joined.where(col("last_us").isNull ||
-                struct(col("tus"), col("event_id")) >
-                  struct(col("last_us"), col("last_eid")))
-              .select(col("user_id"), col("event_id"), col("tus"), col("tier"))
-            val newSegs = graft.ops.Relational.scd2Merge(prevSegs, evNew)
-            val newSeen = prevSeen.unionByName(evSeen)
-              .groupBy(col("user_id"))
-              .agg(max(struct(col("last_us"), col("last_eid"))).as("m"))
-              .select(col("user_id"), col("m.last_us").as("last_us"),
-                col("m.last_eid").as("last_eid"))
-            (newSegs, newSeen)
+        prevMan.foreach { m =>
+          if (batchId < m.txn) throw new IllegalStateException(
+            s"scd2Ingest: state under $stateDir was last written by " +
+              s"streaming batch ${m.txn}, ahead of incoming batch $batchId " +
+              s"— checkpoint $checkpointDir was reset while state " +
+              "survived; delete both or restore the checkpoint")
+          require(m.buckets == buckets,
+            s"scd2Ingest: state under $stateDir was built with ${m.buckets} " +
+              s"buckets, cannot ingest with $buckets — keep the bucket count " +
+              "stable for a state dir's lifetime (or run rebucketScd2 first)")
         }
-        // Every touched bucket has ≥1 output row (each user in the batch
-        // contributes a segment and a seen row), so partitionBy emits
-        // exactly the touched `bucket=<b>` dirs the manifest points at.
-        segs.withColumn("bucket", bucketCol)
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$stateDir/batch=$batchId/segments")
-        seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$stateDir/batch=$batchId/seen")
-        val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
-          touched.map(_ -> batchId)
-        writeManifest(spark, stateDir, batchId,
-          Scd2Manifest(buckets, entries)) // commit point
-        pruneScd2(spark, stateDir, batchId, prevId)
+        if (!prevMan.exists(_.txn == batchId)) {
+          val genId = prevId.map(_ + 1).getOrElse(batchId)
+          // Same event→(user, tier) extraction as the batch gate.
+          val ev = batch.select(col("user_id"), col("event_id"),
+            graft.Tables.eventTimeUs(batch).as("tus"),
+            graft.ops.Relational.floorDivExact(
+              expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
+          val bucketCol = pmod(hash(col("user_id")), lit(buckets))
+          // The touched-bucket set is ≤ `buckets` ints — a driver-safe collect.
+          val touched = ev.select(bucketCol.as("b")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val evSeen = ev.groupBy(col("user_id"))
+            .agg(max(struct(col("tus"), col("event_id"))).as("m"))
+            .select(col("user_id"), col("m.tus").as("last_us"),
+              col("m.event_id").as("last_eid"))
+          // Prior state for the TOUCHED buckets only — users outside them
+          // cannot appear in this batch by construction of the hash.
+          def prior(kind: String): Seq[String] = prevMan.toSeq.flatMap(m =>
+            touched.flatMap(b => m.entries.get(b)
+              .map(mid => s"$stateDir/batch=$mid/$kind/bucket=$b")))
+          val (segs, seen) = prior("segments") match {
+            case Seq() =>
+              (graft.ops.Relational.scd2Compress(ev), evSeen)
+            case segPaths =>
+              val prevSegs = spark.read.parquet(segPaths: _*)
+              val prevSeen = spark.read.parquet(prior("seen"): _*)
+              val joined = ev.join(prevSeen, Seq("user_id"), "left")
+              val lateRows = joined
+                .where(struct(col("tus"), col("event_id")) <
+                  struct(col("last_us"), col("last_eid")))
+                .select(col("user_id"), col("tus"), col("event_id"))
+                .limit(3).collect()
+              if (lateRows.nonEmpty) throw new IllegalStateException(
+                s"scd2Ingest: batch $batchId contains out-of-order events " +
+                  "(older than a user's maintained watermark) — history cannot " +
+                  "be merged retroactively; reprocess from scratch or fix the " +
+                  s"source ordering. Examples: ${lateRows.mkString(", ")}")
+              // Equal to the watermark = exact re-delivery of the last-seen
+              // event (at-least-once upstream): absorb it instead of wedging
+              // the pipeline — it would merge as a non-change anyway.
+              val evNew = joined.where(col("last_us").isNull ||
+                  struct(col("tus"), col("event_id")) >
+                    struct(col("last_us"), col("last_eid")))
+                .select(col("user_id"), col("event_id"), col("tus"), col("tier"))
+              val newSegs = graft.ops.Relational.scd2Merge(prevSegs, evNew)
+              val newSeen = prevSeen.unionByName(evSeen)
+                .groupBy(col("user_id"))
+                .agg(max(struct(col("last_us"), col("last_eid"))).as("m"))
+                .select(col("user_id"), col("m.last_us").as("last_us"),
+                  col("m.last_eid").as("last_eid"))
+              (newSegs, newSeen)
+          }
+          // Every touched bucket has ≥1 output row (each user in the batch
+          // contributes a segment and a seen row), so partitionBy emits
+          // exactly the touched `bucket=<b>` dirs the manifest points at.
+          segs.withColumn("bucket", bucketCol)
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$stateDir/batch=$genId/segments")
+          seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$stateDir/batch=$genId/seen")
+          val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
+            touched.map(_ -> genId)
+          writeManifest(spark, stateDir, genId,
+            Scd2Manifest(buckets, batchId, entries)) // commit point
+          pruneScd2(spark, stateDir, genId, prevId)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -569,41 +588,100 @@ object EventStreams {
         s"readScd2: no history state under $stateDir — run scd2Ingest first"))
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // The resolved manifest itself can vanish mid-resolve (whole-dir prune)
-    // — treat that exactly like a pruned bucket path.
-    val missing: Seq[String] =
-      try {
-        val m = readManifest(spark, stateDir, id)
+    // Three distinct things can vanish under a concurrent prune, and the
+    // fall-forward error must name the one that actually did: the manifest
+    // itself (whole-dir prune mid-resolve), a bucket path the exists-probe
+    // catches, or a bucket path that goes between the probe and the read's
+    // schema resolution (named via the read's own exception). Each try is
+    // scoped to exactly one of those so a miss cannot be misattributed.
+    val resolved: Either[Seq[String], DataFrame] =
+      (try Right(readManifest(spark, stateDir, id))
+       catch {
+         case _: java.io.FileNotFoundException =>
+           Left(Seq(manifestFile(stateDir, id).toString))
+       }).flatMap { m =>
         val paths = m.entries.toSeq.sorted.map { case (b, mid) =>
           s"$stateDir/batch=$mid/segments/bucket=$b" }
         val gone = paths.filterNot(p =>
           fs.exists(new org.apache.hadoop.fs.Path(p)))
-        if (gone.isEmpty)
-          return spark.read.parquet(paths: _*)
+        if (gone.nonEmpty) Left(gone)
+        else
+          try Right(spark.read.parquet(paths: _*)
             .select(col("user_id"), col("tier"), col("valid_from_us"),
-              col("valid_to_us"), col("is_current"))
-        gone
-      } catch {
-        case _: java.io.FileNotFoundException =>
-          Seq(manifestFile(stateDir, id).toString)
+              col("valid_to_us"), col("is_current")))
+          catch {
+            case e: java.io.FileNotFoundException =>
+              Left(Seq(Option(e.getMessage).getOrElse(paths.head)))
+          }
       }
-    val newest = manifestIds(spark, stateDir).maxOption
-    if (newest.exists(_ > id) && attempts < 3)
-      readScd2From(spark, stateDir, newest, attempts + 1)
-    else throw new IllegalStateException(
-      s"readScd2: manifest batch=$id under $stateDir references pruned " +
-        s"snapshot(s) [${missing.take(3).mkString(", ")}] and no newer " +
-        "manifest exists to fall forward to — a concurrent ingest pruned " +
-        "past the one-generation grace (the state dir is single-writer; " +
-        "run readers between ingest runs) or the state is corrupt")
+    resolved match {
+      case Right(df) => df
+      case Left(missing) =>
+        val newest = manifestIds(spark, stateDir).maxOption
+        if (newest.exists(_ > id) && attempts < 3)
+          readScd2From(spark, stateDir, newest, attempts + 1)
+        else throw new IllegalStateException(
+          s"readScd2: manifest batch=$id under $stateDir references pruned " +
+            s"snapshot(s) [${missing.take(3).mkString(", ")}] and no newer " +
+            "manifest exists to fall forward to — a concurrent ingest pruned " +
+            "past the one-generation grace (the state dir is single-writer; " +
+            "run readers between ingest runs) or the state is corrupt")
+    }
   }
 
-  /** Per-batch bucket→holder map for the bucketed SCD2 state. The
-    * manifest file is the batch's commit marker: a `batch=<id>` directory
-    * without one is a partial write from a crashed batch and is invisible
-    * to readers and to the next merge.
+  /** Maintenance: rewrite the current SCD2 snapshot into `newBuckets` hash
+    * buckets, committed as a new state generation. The bucket count is the
+    * per-landing-cost knob (Scd2BucketProbe's r14 ladder: smallest B whose
+    * per-bucket history fits the rewrite budget) and the right B GROWS
+    * with history — at 100-TB state B scales with history, not landings —
+    * so a long-lived state dir must be able to migrate without a full
+    * rebuild of checkpoint + state. This is that path: read the newest
+    * manifest's snapshot, rewrite segments+seen under the new hash, commit
+    * a manifest carrying the SAME `txn` watermark (streaming progress is
+    * untouched — the next ingest, run with `buckets = newBuckets`,
+    * continues from its checkpoint as if the rebucket never happened), and
+    * prune superseded generations. O(total history) by design — this is
+    * the amortized-rare OPTIMIZE, not the per-landing path. Same
+    * single-writer contract as ingest: run it BETWEEN ingest runs.
     */
-  private[graft] final case class Scd2Manifest(buckets: Int,
+  def rebucketScd2(spark: SparkSession, stateDir: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"rebucketScd2 needs newBuckets >= 1, got $newBuckets")
+    val prevId = manifestIds(spark, stateDir).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"rebucketScd2: no history state under $stateDir — run scd2Ingest first"))
+    val m = readManifest(spark, stateDir, prevId)
+    if (m.buckets == newBuckets) return // already there: nothing to commit
+    val genId = prevId + 1
+    def paths(kind: String): Seq[String] = m.entries.toSeq.sorted.map {
+      case (b, mid) => s"$stateDir/batch=$mid/$kind/bucket=$b" }
+    val bucketCol = pmod(hash(col("user_id")), lit(newBuckets))
+    for (kind <- Seq("segments", "seen"))
+      spark.read.parquet(paths(kind): _*)
+        .withColumn("bucket", bucketCol)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/batch=$genId/$kind")
+    // Manifest entries list only buckets that EXIST on disk (partitionBy
+    // emits no dir for an empty bucket, and readers existence-check every
+    // entry) — the occupied set is ≤ newBuckets ints, driver-safe.
+    val occupied = spark.read.parquet(s"$stateDir/batch=$genId/seen")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
+    writeManifest(spark, stateDir, genId,
+      Scd2Manifest(newBuckets, m.txn, occupied.map(_ -> genId).toMap)) // commit
+    pruneScd2(spark, stateDir, genId, Some(prevId))
+  }
+
+  /** Per-generation bucket→holder map for the bucketed SCD2 state. The
+    * manifest file is the generation's commit marker: a `batch=<id>`
+    * directory without one is a partial write from a crashed commit and is
+    * invisible to readers and to the next merge. `txn` is the last
+    * STREAMING batch id applied — generation ids advance on every commit
+    * (ingest or maintenance) while txn advances only on ingest, which is
+    * what lets `rebucketScd2` commit between ingests without looking like
+    * a checkpoint reset to the split-brain guard. Manifests written before
+    * the field existed deserialize with txn = generation id (the two were
+    * identical then).
+    */
+  private[graft] final case class Scd2Manifest(buckets: Int, txn: Long,
                                                    entries: Map[Int, Long])
 
   private def manifestFile(stateDir: String, id: Long) =
@@ -627,7 +705,8 @@ object EventStreams {
     import scala.jdk.CollectionConverters._
     val entries = node.get("entries").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
-    Scd2Manifest(node.get("buckets").asInt(), entries)
+    val txn = Option(node.get("txn")).map(_.asLong).getOrElse(id)
+    Scd2Manifest(node.get("buckets").asInt(), txn, entries)
   }
 
   private def writeManifest(spark: SparkSession, stateDir: String, id: Long,
@@ -638,7 +717,7 @@ object EventStreams {
       .map { case (b, mid) => s""""$b":$mid""" }.mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(
-      s"""{"buckets":${m.buckets},"entries":$entries}"""
+      s"""{"buckets":${m.buckets},"txn":${m.txn},"entries":$entries}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -122,8 +122,16 @@ object FactLoad {
     // 40-dir writer fan-out was the measured spill term of the 10×
     // fact build, SCALE.md round 14), fewer+bigger files per dir, and the
     // (date, cost) sort surviving intact inside each partition.
+    //
+    // The partition COUNT is sized by rows, not cores: every stage here is
+    // cardinality-preserving (stage 1 is a projection; stages 2/3/5/6 are
+    // left joins against PK-checked dims; the band join is top-1 per
+    // incident), so the fact row count IS the cleansed input's count — a
+    // parquet footer-metadata read, paid once up front instead of a full
+    // recompute of the 6-join plan at write time.
+    val writePartitions = Relational.rowSizedPartitions(lfb0.count())
     finalDf
-      .repartitionByRange(math.max(spark.sparkContext.defaultParallelism / 2, 1),
+      .repartitionByRange(writePartitions,
         col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
       .sortWithinPartitions(
         col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))

@@ -330,12 +330,16 @@ object Jobs {
     // The partition column LEADS the range/sort key (same alignment as
     // FactLoad's fact write): otherwise the file committer's required
     // ordering on the partition column re-sorts each task's rows and the
-    // clusterBy order inside every partition dir is lost. Dims are tiny so
-    // this is a correctness-of-layout point, not a perf one.
+    // clusterBy order inside every partition dir is lost. The partition
+    // count is sized by rows via the shared helper (same rule as the fact
+    // write) — at fixed dimension cardinalities that is 1 partition, i.e.
+    // one globally-ordered file per partition dir, which is exactly what
+    // OPTIMIZE ZORDER on a dim means; a cores-derived count here would
+    // just shard a ~600-row dim into near-empty files.
     val keyCols = (partitionBy.toSeq ++ clusterBy).distinct.map(col)
     val clustered =
       if (clusterBy.nonEmpty)
-        df.repartitionByRange(math.max(spark.sparkContext.defaultParallelism / 4, 1),
+        df.repartitionByRange(Relational.rowSizedPartitions(df.count()),
           keyCols: _*).sortWithinPartitions(keyCols: _*)
       else df
     val writer = clustered.write.mode("overwrite").format("parquet")

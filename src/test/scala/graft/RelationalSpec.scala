@@ -346,6 +346,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rowSizedPartitions holds rows-per-task invariant across corpus size") {
+    // the scale-invariant quantity is rows-per-task, never cores
+    assert(Relational.rowSizedPartitions(0L) == 1)
+    assert(Relational.rowSizedPartitions(1L) == 1)
+    assert(Relational.rowSizedPartitions(250000L) == 1)
+    assert(Relational.rowSizedPartitions(250001L) == 2)
+    assert(Relational.rowSizedPartitions(15000000L) == 60)   // the r14 rung
+    assert(Relational.rowSizedPartitions(150000000L) == 600) // the 100x rung
+    // no overflow at absurd row counts; clamps into Int
+    assert(Relational.rowSizedPartitions(Long.MaxValue, 1L) == Int.MaxValue)
+    assert(Relational.rowSizedPartitions(1000L, 100L) == 10)
+    intercept[IllegalArgumentException] {
+      Relational.rowSizedPartitions(10L, 0L)
+    }
+  }
+
   test("bucketedQuantiles on a single-bucket and single-row frame") {
     val one = Relational.bucketedQuantiles(Seq(42L).toDF("v"), "v", 1000L,
       Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()

@@ -456,6 +456,47 @@ class StreamingSpec extends SparkSpec {
     assert(re.getMessage.contains("single-writer"), re.getMessage)
   }
 
+  test("rebucketScd2 migrates the bucket count; ingest continues from its checkpoint") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2m_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2m_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2m_ckpt_").toString
+    val all = (1 to 60).map(u => (u.toLong, 1000L + u, u.toLong, u.toLong * 25))
+    mkEvents(all).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 16)
+    val before = EventStreams.readScd2(spark, state).collect().toSet
+
+    EventStreams.rebucketScd2(spark, state, 64)
+    // the maintained table is invariant under the migration
+    assert(EventStreams.readScd2(spark, state).collect().toSet == before,
+      "rebucket changed the maintained history")
+    // idempotent: same bucket count again is a no-op commit
+    EventStreams.rebucketScd2(spark, state, 64)
+    assert(EventStreams.readScd2(spark, state).collect().toSet == before)
+
+    // ingest continues from the SAME checkpoint at the new bucket count —
+    // the rebucket generation did not desynchronize the split-brain guard
+    val tiny = Seq((1000L, 5000L, 1L, 75L))
+    mkEvents(tiny).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 64)
+    val expected = graft.ops.Relational.scd2Compress(
+      mkEvents(all ++ tiny).select(col("user_id"), col("event_id"),
+        Tables.eventTimeUs(mkEvents(all)).as("tus"),
+        graft.ops.Relational.floorDivExact(
+          expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier")))
+      .drop("anchor_eid")
+    val got = EventStreams.readScd2(spark, state)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // the pre-migration bucket count now fails loudly, naming the path out
+    mkEvents(Seq((1001L, 6000L, 2L, 99L))).coalesce(1)
+      .write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 16)
+    }
+    assert(e.getMessage.contains("rebucketScd2") ||
+      Option(e.getCause).exists(_.getMessage.contains("rebucketScd2")))
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
