@@ -34,6 +34,26 @@ object InterStage {
   private val done = scala.collection.concurrent.TrieMap.empty[String, String]
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // Build accounting (test seam): every ACTUAL thunk execution is logged as
+  // (key, thread id), and `maxConcurrentBuilds` high-water-marks the number
+  // of builds in flight at once. This is what pins the r14 materialize-phase
+  // halving as an invariant instead of a happy accident: the overlap spec
+  // asserts the shared vector base builds exactly once per corpus and the
+  // branch chains actually run on concurrent threads — a change that
+  // re-serializes the chains or double-builds the base fails the spec, not
+  // just the bench number.
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+  private val buildingNow = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def buildEvents(keyFilter: String => Boolean): Seq[(String, Long)] = {
+    val b = Seq.newBuilder[(String, Long)]
+    buildLog.forEach(e => if (keyFilter(e._1)) b += e)
+    b.result()
+  }
+  private[graft] def maxConcurrentBuilds: Int = maxConcurrent.get()
+
   /** Scratch directory with the same JVM lifecycle as the temp root:
     * removed by a shutdown hook. For write-path gates and staging copies —
     * per-call `createTempDirectory` without a hook piles abandoned table
@@ -103,7 +123,11 @@ object InterStage {
       val p = root.resolve(
         "t" + java.lang.Integer.toHexString(key.hashCode) + "_" +
           seq.getAndIncrement()).toString
-      df.write.mode("overwrite").parquet(p)
+      buildLog.add(key -> Thread.currentThread().getId)
+      val inFlight = buildingNow.incrementAndGet()
+      maxConcurrent.accumulateAndGet(inFlight, math.max(_, _))
+      try df.write.mode("overwrite").parquet(p)
+      finally buildingNow.decrementAndGet()
       p
     })
     spark.read.parquet(path)

@@ -109,15 +109,26 @@ object TextQueries {
     * lineage-accreting bpeStages below is BpeSpec-pinned.
     */
   private val bpeSharedMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Long, String, String, Long)], DataFrame)]
+    .empty[String, (Seq[(Long, String, String, Long)], String)]
   private def bpeShared(s: SparkSession, d: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) =
-    // memoized per corpus per JVM (the fin frame is an InterStage parquet
-    // scan, safe to hand out repeatedly): without this, every gate call
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    // memoized per corpus per JVM: without this, every gate call
     // re-collects the per-round argmaxes — 3 pair-count jobs — even though
-    // the dicts themselves are InterStage-cached
-    bpeSharedMemo.getOrElseUpdate(InterStage.tableKey(d, "documents"),
-      bpeTrainCheckpointed(s, d, BpeRounds))
+    // the dicts themselves are InterStage-cached. The memo holds the merge
+    // TUPLES plus the final checkpoint's InterStage key, never a
+    // DataFrame: the frame is re-resolved through InterStage with the
+    // CALLER's session on every call, so a session restart in the same
+    // JVM cannot hand a consumer a frame bound to a stopped session (the
+    // by-name rebuild below only runs if the checkpoint were somehow
+    // evicted — InterStage tables share this memo's JVM lifetime).
+    val corpus = InterStage.tableKey(d, "documents")
+    val (merges, finKey) = bpeSharedMemo.getOrElseUpdate(corpus, {
+      val (m, _) = bpeTrainCheckpointed(s, d, BpeRounds)
+      (m, s"$corpus|bpe|r${m.size}")
+    })
+    (merges, InterStage.materialize(s, finKey,
+      bpeTrainCheckpointed(s, d, BpeRounds)._2))
+  }
 
   /** Lineage-accreting reference shape (no checkpoint): kept as the
     * equivalence baseline BpeSpec pins bpeTrainCheckpointed against, and
@@ -148,31 +159,110 @@ object TextQueries {
     * rule is one row per round, so it is collected driver-side and folded
     * back in as literals — the per-round plan is scan → map → write, and a
     * rounds-long training run is a chain of such plans, each O(dict).
-    * Checkpoint keys are (corpus, round)-stable, so a longer run resumes
-    * over a shorter run's prefix within one JVM.
+    *
+    * RESUME. With `stateDir = None`, checkpoints live in the JVM-lifetime
+    * InterStage root: a longer run reuses a shorter run's dict tables
+    * within one JVM, but a RESTARTED process replays every round's argmax
+    * job. With `stateDir = Some(dir)`, the trainer is durable: each round
+    * commits its dict (`dir/dict/r=N`) and THEN its one-row merge rule
+    * (`dir/merges/r=N` — the round's commit marker), so a new JVM
+    * fast-forwards over the longest committed prefix with ZERO jobs for
+    * those rounds (merge rules read back from parquet, the resume dict is
+    * one scan) and trains only the remainder; a crash between the two
+    * writes just re-trains that round (deterministic argmax → identical
+    * rule). Dictionary exhaustion persists as a `_exhausted` marker so a
+    * resumed run with a higher round count does not re-probe a collapsed
+    * dict, and a `_corpus` marker pins the state to its corpus fingerprint
+    * (same strictness as InterStage.tableKey: a rewritten corpus
+    * invalidates the state loudly rather than resuming across it).
+    * Single-writer, like every state dir in this library.
     *
     * Returns (merge rules as (round, p1, p2, freq), final symbol table).
-    * `onRound` sees each round's wall-clock seconds — probe instrumentation.
+    * `onRound` sees each LIVE-TRAINED round's wall-clock seconds (resumed
+    * rounds don't fire it) — probe instrumentation and the resume spec's
+    * no-jobs-for-the-prefix assertion hook.
     */
   def bpeTrainCheckpointed(s: SparkSession, d: String, rounds: Int,
-                           onRound: (Int, Double) => Unit = (_, _) => ())
+                           onRound: (Int, Double) => Unit = (_, _) => (),
+                           stateDir: Option[String] = None)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val key = InterStage.tableKey(d, "documents")
-    var cur = InterStage.materialize(s, s"$key|bpe|r0", bpeInit(s, d))
+    import org.apache.hadoop.fs.{Path => HPath}
+    def fsOf(p: String) =
+      new HPath(p).getFileSystem(s.sparkContext.hadoopConfiguration)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    var r = 1
-    var exhausted = false
+
+    val (start, cur0, exhausted0): (Int, DataFrame, Boolean) = stateDir match {
+      case None =>
+        (0, InterStage.materialize(s, s"$key|bpe|r0", bpeInit(s, d)), false)
+      case Some(dir) =>
+        val fs = fsOf(dir)
+        val corpusMarker = new HPath(s"$dir/_corpus")
+        if (fs.exists(corpusMarker)) {
+          val in = fs.open(corpusMarker)
+          val prev = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+          require(prev == key, s"bpeTrainCheckpointed: state under $dir was " +
+            s"trained on a different corpus ($prev, now $key) — point " +
+            "stateDir at a fresh location or delete the stale state")
+        } else {
+          val out = fs.create(corpusMarker, true)
+          try out.write(key.getBytes("UTF-8")) finally out.close()
+        }
+        // Longest contiguous committed prefix 1..k (merges/r=N is round
+        // N's commit marker, written strictly after its dict).
+        val mroot = new HPath(s"$dir/merges")
+        val have: Set[Int] =
+          if (!fs.exists(mroot)) Set.empty
+          else fs.listStatus(mroot).iterator.map(_.getPath.getName)
+            .collect { case n if n.startsWith("r=") =>
+              n.stripPrefix("r=").toInt }.toSet
+        var k = 0
+        while (have.contains(k + 1)) k += 1
+        val kEff = math.min(k, rounds)
+        if (kEff > 0)
+          merges ++= s.read
+            .parquet((1 to kEff).map(r => s"$dir/merges/r=$r"): _*)
+            .collect().map(row => (row.getLong(0), row.getString(1),
+              row.getString(2), row.getLong(3))).sortBy(_._1)
+        val cur =
+          if (kEff == 0) {
+            bpeInit(s, d).write.mode("overwrite").parquet(s"$dir/dict/r=0")
+            s.read.parquet(s"$dir/dict/r=0")
+          } else s.read.parquet(s"$dir/dict/r=$kEff")
+        (kEff, cur, fs.exists(new HPath(s"$dir/_exhausted")))
+    }
+
+    var cur = cur0
+    var r = start + 1
+    var exhausted = exhausted0
     while (r <= rounds && !exhausted) {
       val t0 = System.nanoTime()
       val best = bpePairs(cur)
         .orderBy(col("freq").desc, col("p1"), col("p2")).limit(1).collect()
-      if (best.isEmpty) exhausted = true // dict collapsed to single symbols
-      else {
+      if (best.isEmpty) { // dict collapsed to single symbols
+        exhausted = true
+        stateDir.foreach { dir =>
+          fsOf(dir).create(new HPath(s"$dir/_exhausted"), true).close()
+        }
+      } else {
         val (p1, p2) = (best.head.getString(0), best.head.getString(1))
-        merges += ((r.toLong, p1, p2, best.head.getLong(2)))
-        cur = InterStage.materialize(s, s"$key|bpe|r$r",
-          cur.select(col("w"), col("wc"),
-            bpeApply(col("syms"), lit(p1), lit(p2)).as("syms")))
+        val freq = best.head.getLong(2)
+        merges += ((r.toLong, p1, p2, freq))
+        val applied = cur.select(col("w"), col("wc"),
+          bpeApply(col("syms"), lit(p1), lit(p2)).as("syms"))
+        cur = stateDir match {
+          case None => InterStage.materialize(s, s"$key|bpe|r$r", applied)
+          case Some(dir) =>
+            applied.write.mode("overwrite").parquet(s"$dir/dict/r=$r")
+            import s.implicits._
+            Seq((r.toLong, p1, p2, freq))
+              .toDF("merge_round", "p1", "p2", "freq")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/merges/r=$r") // commit marker for round r
+            s.read.parquet(s"$dir/dict/r=$r")
+        }
         onRound(r, (System.nanoTime() - t0) / 1e9)
       }
       r += 1

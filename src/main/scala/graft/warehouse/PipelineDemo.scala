@@ -20,7 +20,11 @@ object PipelineDemo {
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
     java.nio.file.Files.createDirectories(base)
     val cores =
-      if (rows.isDefined) sys.env.getOrElse("SPARK_GRAFT_CPUS", "16") else "4"
+      if (rows.isDefined)
+        sys.env.get("SPARK_GRAFT_CPUS").map(v => v.toIntOption.getOrElse(
+          sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$v'")).toString)
+          .getOrElse("16")
+      else "4"
     // One shuffle partition per core is right until a partition's sort
     // working set outgrows memory: at 15M wide fact rows / 32 partitions
     // the fact build's sorts and min_by agg spill and the stage goes

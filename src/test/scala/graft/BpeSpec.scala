@@ -83,6 +83,47 @@ class BpeSpec extends SparkSpec {
     assert(all.size < 1000 && all.take(3).map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("durable trainer resumes across sessions from the persisted prefix") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_bpestate_").toString + "/st"
+    val d = Sf0001
+    val r1 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (m10, _) = graft.queries.TextQueries.bpeTrainCheckpointed(
+      spark, d, 10, (r, _) => { r1 += r; () }, Some(state))
+    assert(r1.toSeq == (1 to 10) && m10.size == 10)
+
+    // A NEW session resumes: rounds 1-10 fast-forward from the state dir
+    // (onRound fires only for live-trained rounds — its silence for 1-10
+    // is the no-argmax-jobs assertion), 11-20 train live.
+    val s2 = spark.newSession()
+    val r2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (m20, fin20) = graft.queries.TextQueries.bpeTrainCheckpointed(
+      s2, d, 20, (r, _) => { r2 += r; () }, Some(state))
+    assert(r2.toSeq == (11 to 20), s"resumed run re-trained rounds: $r2")
+    assert(m20.take(10) == m10)
+
+    // identical to a cold 20-round run (the JVM-lifetime InterStage path)
+    val (cold, coldFin) =
+      graft.queries.TextQueries.bpeTrainCheckpointed(spark, d, 20)
+    assert(m20 == cold)
+    assert(fin20.exceptAll(coldFin).isEmpty && coldFin.exceptAll(fin20).isEmpty)
+
+    // asking for FEWER rounds than persisted returns the exact prefix and
+    // that round's dict, training nothing
+    val (m5, fin5) = graft.queries.TextQueries.bpeTrainCheckpointed(
+      spark, d, 5, (r, _) => fail(s"round $r re-trained on a full prefix"),
+      Some(state))
+    assert(m5 == m10.take(5))
+    assert(fin5.count() > 0)
+
+    // corpus guard: the same state dir under a different corpus fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.bpeTrainCheckpointed(spark, dir, 3,
+        stateDir = Some(state))
+    }
+    assert(e.getMessage.contains("different corpus"))
+  }
+
   test("t16 plan never funnels word rows through one partition") {
     // The pair-count shuffle is keyed by the symbol pair and the apply
     // side by word; the only tiny-side artifacts allowed are the 1-row
