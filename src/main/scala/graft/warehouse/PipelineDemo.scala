@@ -7,15 +7,29 @@ import org.apache.spark.sql.SparkSession
   * 3 years), runs the full DAG (extract -> cleanse -> dims -> fact ->
   * aggregates with every quality gate), and prints the fact table +
   * analytics aggregates.
-  * Usage: runMain graft.warehouse.PipelineDemo [workDir] [--rows n]
+  * Usage: runMain graft.warehouse.PipelineDemo [workDir] [--rows n] [--from stage]
+  *
+  * `--from <stage>` restarts the DAG at a stage boundary (Pipeline.stageOrder)
+  * over an existing workDir: inputs are NOT regenerated and every stage
+  * before `<stage>` is skipped, reading the staging parquet the earlier run
+  * left behind — the in-process equivalent of an Airflow task retry (each
+  * reference stage is its own Livy job over shared storage). This is how a
+  * large `--rows` run whose fact load died (spill, disk) resumes without
+  * repaying corpus generation + extract + cleanse.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val rows = args.sliding(2).collectFirst {
       case Array("--rows", n) => n.toInt
     }
-    val base = args.filterNot(_.startsWith("--")).filterNot(a =>
-        rows.exists(_.toString == a)).headOption
+    val fromStage = args.sliding(2).collectFirst {
+      case Array("--from", s) => s
+    }
+    // Positional workDir = first arg that is neither a --flag nor a flag's value.
+    val flagValues = args.zip(args.drop(1)).collect {
+      case (f, v) if f.startsWith("--") => v
+    }.toSet
+    val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
     java.nio.file.Files.createDirectories(base)
@@ -47,13 +61,25 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val inputs = rows match {
-      case Some(n) => Fixtures.writeScaled(base, n)
-      case None    => Fixtures.write(base)
+    val inputs = (rows, fromStage) match {
+      // Resume: the earlier run already wrote the inputs (and may have
+      // pruned the consumed CSVs to reclaim disk — fine, the skipped
+      // stages are the only readers). Rebind by naming convention.
+      case (_, Some(_)) =>
+        import scala.jdk.CollectionConverters._
+        val aq = java.nio.file.Files.list(base).iterator().asScala
+          .filter(p => p.getFileName.toString.matches("aq-.*\\.csv"))
+          .map(_.toString).toSeq.sorted
+        Pipeline.Inputs(base.resolve("lfb-calls.csv").toString, aq,
+          base.resolve("weather.csv").toString,
+          base.resolve("well-being.csv").toString)
+      case (Some(n), None) => Fixtures.writeScaled(base, n)
+      case (None, None)    => Fixtures.write(base)
     }
     val paths = Pipeline.Paths(base.resolve("staging").toString)
     val t0 = System.nanoTime()
-    val stageTimes = Pipeline.run(spark, inputs, paths)
+    val stageTimes = Pipeline.run(spark, inputs, paths,
+      fromStage = fromStage.getOrElse("extract"))
     println(f"== pipeline wall-clock: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     stageTimes.foreach { case (s, t) => println(f"==   stage $s%-20s $t%7.1f s") }
 

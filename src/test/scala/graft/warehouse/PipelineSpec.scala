@@ -109,6 +109,21 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("lfb_call").count() == 6)
   }
 
+  test("restart-from-stage resumes over staged parquet without inputs (Airflow-retry shape)") {
+    ranOnce
+    // A retry never re-reads the source CSVs (they may have been pruned to
+    // reclaim disk after extract consumed them) — prove it with ghost paths.
+    val ghost = Pipeline.Inputs("/nonexistent/lfb.csv", Seq("/nonexistent/aq.csv"),
+      "/nonexistent/weather.csv", "/nonexistent/wb.csv")
+    val stages = Pipeline.run(spark, ghost, paths, fromStage = "dimension loads")
+    assert(stages.map(_._1) ==
+      Seq("dimension loads", "fact load", "post-load checks", "aggregates"))
+    assert(spark.table("lfb_call").count() == 6)
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, ghost, paths, fromStage = "not-a-stage")
+    }
+  }
+
   test("batchSplit writes cumulative date-sliced CSV batches (batching/lfb-preprocess.py)") {
     ranOnce
     val out = java.nio.file.Files.createTempDirectory("graft_split_").toString
