@@ -205,6 +205,40 @@ object Relational {
     math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt
   }
 
+  /** Clears a stale managed-table location left behind by a previous JVM,
+    * so a following `saveAsTable(mode=overwrite)` succeeds.
+    *
+    * On a table the catalog does not know, overwrite-mode `saveAsTable` is
+    * a CREATE, and Spark refuses to create a managed table over an existing
+    * directory (`LOCATION_ALREADY_EXISTS`). With a persistent metastore
+    * this never happens — the table survives the restart and the overwrite
+    * replaces it — but the local in-memory catalog dies with the JVM while
+    * the warehouse directory does not. A stage-boundary restart
+    * (`Pipeline.run(fromStage = ...)`) therefore deletes the orphaned
+    * directory before re-creating the table it was about to overwrite
+    * anyway. Deletion only fires when the catalog has NO entry for the
+    * table, so a live table's data can never be removed here — the
+    * overwrite itself handles that path atomically.
+    */
+  def prepareManagedOverwrite(spark: org.apache.spark.sql.SparkSession,
+                              table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val (db, name) = table.split('.') match {
+        case Array(d, t) => (d, t)
+        case Array(t)    => (spark.catalog.currentDatabase, t)
+        case other => sys.error(s"unexpected table identifier '$table'")
+      }
+      if (spark.catalog.databaseExists(db)) {
+        // Managed-table dirs live under the database location, lowercased
+        // (the session catalog normalizes identifiers to lowercase).
+        val dir = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+          name.toLowerCase(java.util.Locale.ROOT))
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
+
   /** floor(c / d) as a bucket key, exact for the FULL Long range (d > 0).
     * Computed as truncating `IntegralDivide` plus a −1 correction when the
     * remainder is negative (truncation rounded toward zero but the true

@@ -113,13 +113,7 @@ object RelationalQueries {
         s.sql("DROP TABLE IF EXISTS analytics.supplier_clustered")
         // A fresh session's in-memory catalog doesn't know about a previous
         // JVM's managed-table directory; clear it or saveAsTable refuses.
-        val stale = new java.io.File("spark-warehouse/analytics.db/supplier_clustered")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(stale)
-        }
+        graft.ops.Relational.prepareManagedOverwrite(s, "analytics.supplier_clustered")
         Tables.load(s, d, "supplier")
           .repartitionByRange(4, col("s_acctbal"))
           .sortWithinPartitions(col("s_acctbal"))

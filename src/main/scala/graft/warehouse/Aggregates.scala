@@ -75,6 +75,7 @@ object Aggregates {
       "types_per_ward" -> typesPerWard(spark, factTable),
       "per_location_type" -> perLocationType(spark, factTable))
     tables.foreach { case (name, df) =>
+      graft.ops.Relational.prepareManagedOverwrite(spark, s"$outputSchema.$name")
       df.write.mode("overwrite").format("parquet").saveAsTable(s"$outputSchema.$name")
     }
   }

@@ -130,6 +130,7 @@ object FactLoad {
     // parquet footer-metadata read, paid once up front instead of a full
     // recompute of the 6-join plan at write time.
     val writePartitions = Relational.rowSizedPartitions(lfb0.count())
+    Relational.prepareManagedOverwrite(spark, outputTable)
     finalDf
       .repartitionByRange(writePartitions,
         col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))

@@ -343,6 +343,7 @@ object Jobs {
           keyCols: _*).sortWithinPartitions(keyCols: _*)
       else df
     val writer = clustered.write.mode("overwrite").format("parquet")
+    Relational.prepareManagedOverwrite(spark, table)
     partitionBy.fold(writer)(p => writer.partitionBy(p)).saveAsTable(table)
     // K6: pin small dimension tables in the block cache for the fact-build
     // joins (reference: etl/load/load_air_quality_dim.py:56). CACHE TABLE

@@ -124,6 +124,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
+    ranOnce
+    // Simulate the crashed-run restart state: the managed-table directory
+    // survives on disk but the in-memory catalog lost the entry, so an
+    // overwrite-mode saveAsTable is a CREATE and refuses over the leftover
+    // dir (LOCATION_ALREADY_EXISTS). prepareManagedOverwrite is the seam.
+    import org.apache.hadoop.fs.Path
+    val stale = new Path(
+      new Path(spark.catalog.getDatabase("default").locationUri), "resume_probe")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    val orphan = fs.create(new Path(stale, "orphan.bin")); orphan.write(1); orphan.close()
+    assert(!spark.catalog.tableExists("resume_probe"))
+    Jobs.loadDimTable(spark, paths.dateDim, "resume_probe",
+      Model.dateDimSchema.fields.map(f => f.name -> f.name).toSeq,
+      partitionBy = None, clusterBy = Seq("Date"))
+    val expected = spark.read.parquet(paths.dateDim).count()
+    assert(spark.table("resume_probe").count() == expected)
+    // The guard must never touch a LIVE table's data: with the catalog
+    // entry present it is a no-op and the overwrite path owns replacement.
+    graft.ops.Relational.prepareManagedOverwrite(spark, "resume_probe")
+    assert(spark.table("resume_probe").count() == expected)
+    spark.sql("DROP TABLE resume_probe")
+  }
+
   test("batchSplit writes cumulative date-sliced CSV batches (batching/lfb-preprocess.py)") {
     ranOnce
     val out = java.nio.file.Files.createTempDirectory("graft_split_").toString
