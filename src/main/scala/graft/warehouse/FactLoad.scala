@@ -22,6 +22,36 @@ object FactLoad {
   def run(spark: SparkSession, lfbCleanPath: String, locationTypeTable: String,
           wardTable: String, aqCleanPath: String, weatherCleanPath: String,
           wbDimPath: String, outputTable: String): Unit = {
+    val staged = buildJoined(spark, lfbCleanPath, locationTypeTable, wardTable,
+      aqCleanPath, weatherCleanPath, wbDimPath)
+    // Phase boundary: the join phase's shuffle files (the band-join result's
+    // wide sort-merge join-back is ~a compressed copy of the whole corpus)
+    // are dead once the staging parquet is committed, but Spark only
+    // reclaims a shuffle when its ShuffleDependency is GC'd — and on a
+    // minutes-long single-action build the default periodic GC (30 min)
+    // never fires. One explicit GC here (the same mechanism
+    // spark.cleaner.periodicGC uses) hands the scratch disk back before the
+    // write phase's range shuffle claims its own corpus-sized footprint.
+    // Measured: without the boundary the two wide shuffles coexist and a
+    // 150M-row build filled a 72 GB scratch disk (SCALE.md round 15).
+    System.gc()
+    writeClustered(spark, staged, outputTable)
+  }
+
+  /** Phase 1 — stages 1-7 (key derivation, dim joins, band join, schema
+    * finalization), materialized to `<staging>/fact-staging.parquet`.
+    * The staging boundary is load-bearing at scale, not a convenience:
+    * (a) scratch-disk peak becomes max(join shuffle, write shuffle)
+    * instead of their sum — within one action both live until the action
+    * ends; (b) `repartitionByRange` samples its child for range
+    * boundaries, so over staged parquet the sample job is a cheap column
+    * scan instead of a second execution of the 6-join plan; (c) a
+    * clustered write that dies (spill, disk) can resume without repaying
+    * the joins — the same Airflow-retry shape as Pipeline.run(fromStage).
+    */
+  private def buildJoined(spark: SparkSession, lfbCleanPath: String,
+          locationTypeTable: String, wardTable: String, aqCleanPath: String,
+          weatherCleanPath: String, wbDimPath: String): String = {
 
     val lfb0 = spark.read.parquet(lfbCleanPath)
       .select(Model.factStage1Columns.distinct.map(col): _*)
@@ -113,6 +143,17 @@ object FactLoad {
     val finalDf = renamed.select(Model.factSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
+    val stagedPath = s"${new org.apache.hadoop.fs.Path(lfbCleanPath).getParent}" +
+      "/fact-staging.parquet"
+    finalDf.write.mode("overwrite").parquet(stagedPath)
+    stagedPath
+  }
+
+  /** Phase 2 — the clustered catalog write over the staged joined fact. */
+  private def writeClustered(spark: SparkSession, stagedPath: String,
+                             outputTable: String): Unit = {
+    val staged = spark.read.parquet(stagedPath)
+
     // Partition by station ground; cluster files by (DateOfCall,
     // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405). The
     // station LEADS the range key: Delta's OPTIMIZE ZORDER clusters
@@ -123,15 +164,12 @@ object FactLoad {
     // fact build, SCALE.md round 14), fewer+bigger files per dir, and the
     // (date, cost) sort surviving intact inside each partition.
     //
-    // The partition COUNT is sized by rows, not cores: every stage here is
-    // cardinality-preserving (stage 1 is a projection; stages 2/3/5/6 are
-    // left joins against PK-checked dims; the band join is top-1 per
-    // incident), so the fact row count IS the cleansed input's count — a
-    // parquet footer-metadata read, paid once up front instead of a full
-    // recompute of the 6-join plan at write time.
-    val writePartitions = Relational.rowSizedPartitions(lfb0.count())
+    // The partition COUNT is sized by rows, not cores (the measured ~250k
+    // wide-rows-per-task spill cliff, SCALE.md round 14); over the staged
+    // parquet the count is a footer-metadata read.
+    val writePartitions = Relational.rowSizedPartitions(staged.count())
     Relational.prepareManagedOverwrite(spark, outputTable)
-    finalDf
+    staged
       .repartitionByRange(writePartitions,
         col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
       .sortWithinPartitions(

@@ -54,6 +54,14 @@ object PipelineDemo {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Scratch disk, not memory, is this box's binding constraint at the
+      // 100x (150M-row) rung: a wide-fact shuffle is ~a compressed copy of
+      // the corpus. zstd shrinks shuffle/spill files substantially vs the
+      // lz4 default for a few % CPU, and a 1-min cleaner GC reclaims dead
+      // shuffles DURING the run (the 30-min default never fires on a
+      // minutes-long pipeline, so finished stages' files pile up).
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", base.resolve("warehouse").toString)
