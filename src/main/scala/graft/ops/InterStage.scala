@@ -34,25 +34,24 @@ object InterStage {
   private val done = scala.collection.concurrent.TrieMap.empty[String, String]
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  // Build accounting (test seam): every ACTUAL thunk execution is logged as
-  // (key, thread id), and `maxConcurrentBuilds` high-water-marks the number
-  // of builds in flight at once. This is what pins the r14 materialize-phase
-  // halving as an invariant instead of a happy accident: the overlap spec
-  // asserts the shared vector base builds exactly once per corpus and the
-  // branch chains actually run on concurrent threads — a change that
-  // re-serializes the chains or double-builds the base fails the spec, not
-  // just the bench number.
+  // Build accounting (test seam): every ACTUAL thunk execution is logged
+  // as (key, thread id, start nanos, end nanos). This is what pins the r14
+  // materialize-phase halving as an invariant instead of a happy accident:
+  // the overlap spec asserts the shared vector base builds exactly once
+  // per corpus and that ITS OWN branch builds' intervals overlap in time —
+  // scoped per key filter, so another suite's concurrency can never
+  // satisfy the assertion vacuously (a JVM-global in-flight high-water
+  // mark could). A change that re-serializes the chains or double-builds
+  // the base fails the spec, not just the bench number.
   private val buildLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
-  private val buildingNow = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]
 
-  private[graft] def buildEvents(keyFilter: String => Boolean): Seq[(String, Long)] = {
-    val b = Seq.newBuilder[(String, Long)]
+  private[graft] def buildEvents(keyFilter: String => Boolean)
+      : Seq[(String, Long, Long, Long)] = {
+    val b = Seq.newBuilder[(String, Long, Long, Long)]
     buildLog.forEach(e => if (keyFilter(e._1)) b += e)
     b.result()
   }
-  private[graft] def maxConcurrentBuilds: Int = maxConcurrent.get()
 
   /** Scratch directory with the same JVM lifecycle as the temp root:
     * removed by a shutdown hook. For write-path gates and staging copies —
@@ -123,11 +122,10 @@ object InterStage {
       val p = root.resolve(
         "t" + java.lang.Integer.toHexString(key.hashCode) + "_" +
           seq.getAndIncrement()).toString
-      buildLog.add(key -> Thread.currentThread().getId)
-      val inFlight = buildingNow.incrementAndGet()
-      maxConcurrent.accumulateAndGet(inFlight, math.max(_, _))
+      val t0 = System.nanoTime()
       try df.write.mode("overwrite").parquet(p)
-      finally buildingNow.decrementAndGet()
+      finally buildLog.add(
+        (key, Thread.currentThread().getId, t0, System.nanoTime()))
       p
     })
     spark.read.parquet(path)

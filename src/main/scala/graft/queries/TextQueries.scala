@@ -211,13 +211,22 @@ object TextQueries {
           try out.write(key.getBytes("UTF-8")) finally out.close()
         }
         // Longest contiguous committed prefix 1..k (merges/r=N is round
-        // N's commit marker, written strictly after its dict).
+        // N's commit marker, written strictly after its dict). Directory
+        // EXISTENCE is not commit: FileOutputCommitter creates r=N (with
+        // only _temporary inside) before the job commits, so a crash
+        // mid-write would otherwise wedge every resume on an unreadable
+        // dir. The _SUCCESS file is the commit point; an uncommitted r=N
+        // is simply not in the prefix and round N re-trains over it
+        // (overwrite mode), which the deterministic argmax makes
+        // byte-identical.
         val mroot = new HPath(s"$dir/merges")
         val have: Set[Int] =
           if (!fs.exists(mroot)) Set.empty
           else fs.listStatus(mroot).iterator.map(_.getPath.getName)
             .collect { case n if n.startsWith("r=") =>
-              n.stripPrefix("r=").toInt }.toSet
+              n.stripPrefix("r=").toInt }
+            .filter(n => fs.exists(new HPath(s"$dir/merges/r=$n/_SUCCESS")))
+            .toSet
         var k = 0
         while (have.contains(k + 1)) k += 1
         val kEff = math.min(k, rounds)

@@ -474,12 +474,26 @@ object EventStreams {
         // the batch is already durable and the replay is a no-op.
         val prevId = ids.maxOption
         val prevMan = prevId.map(id => readManifest(spark, stateDir, id))
+        val qid = checkpointQueryId(spark, checkpointDir)
         prevMan.foreach { m =>
           if (batchId < m.txn) throw new IllegalStateException(
             s"scd2Ingest: state under $stateDir was last written by " +
               s"streaming batch ${m.txn}, ahead of incoming batch $batchId " +
               s"— checkpoint $checkpointDir was reset while state " +
               "survived; delete both or restore the checkpoint")
+          // Equal txn is only a safe no-op when the replay comes from the
+          // SAME checkpoint: a reset regenerates the query id AND restarts
+          // batch ids at 0, so with exactly one committed generation a
+          // reset's batch 0 (all files, a superset of the committed one)
+          // would otherwise be silently swallowed as "already applied".
+          if (batchId == m.txn && m.appId.nonEmpty && qid.nonEmpty &&
+              m.appId != qid) throw new IllegalStateException(
+            s"scd2Ingest: incoming batch $batchId matches the state's txn " +
+              s"watermark but was produced by a different checkpoint " +
+              s"(query $qid vs committed ${m.appId}) — checkpoint " +
+              s"$checkpointDir was reset while state under $stateDir " +
+              "survived; the re-delivered batch is NOT the committed one. " +
+              "Delete the state dir or restore the original checkpoint")
           require(m.buckets == buckets,
             s"scd2Ingest: state under $stateDir was built with ${m.buckets} " +
               s"buckets, cannot ingest with $buckets — keep the bucket count " +
@@ -549,7 +563,7 @@ object EventStreams {
           val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
             touched.map(_ -> genId)
           writeManifest(spark, stateDir, genId,
-            Scd2Manifest(buckets, batchId, entries)) // commit point
+            Scd2Manifest(buckets, batchId, entries, qid)) // commit point
           pruneScd2(spark, stateDir, genId, prevId)
         }
       }
@@ -666,7 +680,9 @@ object EventStreams {
     val occupied = spark.read.parquet(s"$stateDir/batch=$genId/seen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
     writeManifest(spark, stateDir, genId,
-      Scd2Manifest(newBuckets, m.txn, occupied.map(_ -> genId).toMap)) // commit
+      // txn AND appId carry forward: maintenance applies no streaming batch.
+      Scd2Manifest(newBuckets, m.txn, occupied.map(_ -> genId).toMap,
+        m.appId)) // commit
     pruneScd2(spark, stateDir, genId, Some(prevId))
   }
 
@@ -682,10 +698,35 @@ object EventStreams {
     * identical then).
     */
   private[graft] final case class Scd2Manifest(buckets: Int, txn: Long,
-                                                   entries: Map[Int, Long])
+                                                   entries: Map[Int, Long],
+                                                   appId: String = "")
 
   private def manifestFile(stateDir: String, id: Long) =
     new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id/manifest.json")
+
+  /** The streaming query id from the checkpoint's `metadata` file — the
+    * Delta-txn `appId` analog. Spark writes it at query start and
+    * REGENERATES it when the checkpoint is reset, so an equal-txn replay
+    * carrying a different id proves the "replayed" batch is not the one
+    * the manifest committed (a reset re-delivers ALL source files as batch
+    * 0, which txn alone cannot distinguish from crash recovery when only
+    * one generation was ever committed). Empty when unreadable — the guard
+    * then degrades to the txn-only check.
+    */
+  private def checkpointQueryId(spark: SparkSession,
+                                checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+      Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .get("id")).map(_.asText).getOrElse("")
+    }
+  }
 
   private[graft] def manifestIds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -706,7 +747,8 @@ object EventStreams {
     val entries = node.get("entries").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
     val txn = Option(node.get("txn")).map(_.asLong).getOrElse(id)
-    Scd2Manifest(node.get("buckets").asInt(), txn, entries)
+    val appId = Option(node.get("appId")).map(_.asText).getOrElse("")
+    Scd2Manifest(node.get("buckets").asInt(), txn, entries, appId)
   }
 
   private def writeManifest(spark: SparkSession, stateDir: String, id: Long,
@@ -717,8 +759,9 @@ object EventStreams {
       .map { case (b, mid) => s""""$b":$mid""" }.mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(
-      s"""{"buckets":${m.buckets},"txn":${m.txn},"entries":$entries}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (s"""{"buckets":${m.buckets},"txn":${m.txn},"appId":"${m.appId}",""" +
+        s""""entries":$entries}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 

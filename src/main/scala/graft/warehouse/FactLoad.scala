@@ -45,9 +45,11 @@ object FactLoad {
     * instead of their sum — within one action both live until the action
     * ends; (b) `repartitionByRange` samples its child for range
     * boundaries, so over staged parquet the sample job is a cheap column
-    * scan instead of a second execution of the 6-join plan; (c) a
-    * clustered write that dies (spill, disk) can resume without repaying
-    * the joins — the same Airflow-retry shape as Pipeline.run(fromStage).
+    * scan instead of a second execution of the 6-join plan. Note `run()`
+    * always rebuilds the staging parquet — it cannot know whether an
+    * existing one is stale against its inputs, so the artifact is a
+    * disk-footprint and sampling-cost boundary, not an automatic resume
+    * point (stage-granular resume stays Pipeline.run(fromStage)'s job).
     */
   private def buildJoined(spark: SparkSession, lfbCleanPath: String,
           locationTypeTable: String, wardTable: String, aqCleanPath: String,

@@ -64,9 +64,22 @@ object Pipeline {
           checkColumnCounts: Boolean = true,
           fromStage: String = "extract"): Seq[(String, Double)] = {
 
-    val fromIdx = stageOrder.indexOf(fromStage)
-    require(fromIdx >= 0,
+    val askedIdx = stageOrder.indexOf(fromStage)
+    require(askedIdx >= 0,
       s"unknown stage '$fromStage'; expected one of: ${stageOrder.mkString(", ")}")
+    // Catalog tables are JVM state: a cross-JVM resume entering past
+    // "dimension loads" would fail mid-stage with TABLE_OR_VIEW_NOT_FOUND
+    // (every later stage reads spark.table(...)). Re-enter at "dimension
+    // loads" instead — it rebuilds every catalog entry from the staged
+    // parquet in seconds. A persistent-metastore deployment resumes
+    // exactly where asked; this is the in-memory catalog's repair.
+    val dimIdx = stageOrder.indexOf("dimension loads")
+    val fromIdx =
+      if (askedIdx > dimIdx && !spark.catalog.tableExists("ward")) {
+        println(s"== resume: catalog has no 'ward' in this JVM; " +
+          s"entering at 'dimension loads' to rebuild it (asked: '$fromStage')")
+        dimIdx
+      } else askedIdx
     val stages = Seq.newBuilder[(String, Double)]
     def staged(name: String)(body: => Unit): Unit =
       if (stageOrder.indexOf(name) >= fromIdx) {

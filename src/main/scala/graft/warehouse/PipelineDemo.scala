@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val rows = args.sliding(2).collectFirst {
+    val rowsArg = args.sliding(2).collectFirst {
       case Array("--rows", n) => n.toInt
     }
     val fromStage = args.sliding(2).collectFirst {
@@ -33,6 +33,21 @@ object PipelineDemo {
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
     java.nio.file.Files.createDirectories(base)
+    // A scaled run records its row count in the workDir so a resume sizes
+    // the session like the original run did — `--from` without `--rows`
+    // must NOT fall back to the tiny-fixture profile (local[4], 4 shuffle
+    // partitions), which would hand the retry ~37M wide rows per task at
+    // 150M: the exact spill cliff the restart feature exists to get past.
+    val rowsMarker = base.resolve(".rows")
+    val rows = rowsArg.orElse {
+      if (fromStage.isDefined && java.nio.file.Files.exists(rowsMarker))
+        Some(new String(java.nio.file.Files.readAllBytes(rowsMarker),
+          "UTF-8").trim.toInt)
+      else None
+    }
+    if (rowsArg.isDefined && fromStage.isEmpty)
+      java.nio.file.Files.write(rowsMarker,
+        rowsArg.get.toString.getBytes("UTF-8"))
     val cores =
       if (rows.isDefined)
         sys.env.get("SPARK_GRAFT_CPUS").map(v => v.toIntOption.getOrElse(
@@ -48,7 +63,9 @@ object PipelineDemo {
     // small; the override env pins it for experiments.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       rows match {
-        case Some(n) => math.max(cores.toInt, n / 250000).toString
+        // rowSizedPartitions owns the measured ~250k-rows/task threshold.
+        case Some(n) => math.max(cores.toInt,
+          graft.ops.Relational.rowSizedPartitions(n.toLong)).toString
         case None => cores
       })
     val spark = SparkSession.builder()
@@ -68,6 +85,9 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"== session local[$cores], shuffle partitions $shufflePartitions" +
+      rows.fold("")(n => s", sized for $n rows" +
+        (if (rowsArg.isEmpty) " (from workDir .rows marker)" else "")))
 
     val inputs = (rows, fromStage) match {
       // Resume: the earlier run already wrote the inputs (and may have

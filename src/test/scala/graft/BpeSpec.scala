@@ -116,6 +116,20 @@ class BpeSpec extends SparkSpec {
     assert(m5 == m10.take(5))
     assert(fin5.count() > 0)
 
+    // A crash mid-merge-write leaves merges/r=N existing but uncommitted
+    // (FileOutputCommitter creates the dir before job commit; _SUCCESS is
+    // the commit point). That round must drop out of the resumable prefix
+    // and re-train identically — not wedge every future resume on an
+    // unreadable directory.
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/merges/r=20/_SUCCESS"), false)
+    val r3 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (m20b, _) = graft.queries.TextQueries.bpeTrainCheckpointed(
+      spark, d, 20, (r, _) => { r3 += r; () }, Some(state))
+    assert(r3.toSeq == Seq(20), s"expected exactly round 20 to re-train: $r3")
+    assert(m20b == m20)
+
     // corpus guard: the same state dir under a different corpus fails loudly
     val e = intercept[IllegalArgumentException] {
       graft.queries.TextQueries.bpeTrainCheckpointed(spark, dir, 3,

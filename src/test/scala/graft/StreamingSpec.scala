@@ -329,6 +329,30 @@ class StreamingSpec extends SparkSpec {
         col("user_id"), lit("click").as("event_type"), lit(1.0).as("value"),
         concat(lit("{\"k\":"), col("k"), lit("}")).as("props"))
 
+  test("scd2 ingest detects a checkpoint reset even with a single committed generation") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2cr_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2cr_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2cr_ckpt_").toString
+    mkEvents(Seq((1L, 1000L, 1L, 10L))).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt)
+    // The checkpoint is lost, new events land, and a fresh checkpoint
+    // re-delivers EVERYTHING as batch 0. txn(0) == batchId(0) looks exactly
+    // like crash-recovery replay, which used to be swallowed as a no-op —
+    // silently dropping the new event forever (the fresh checkpoint commits
+    // past it). The query id recorded in the manifest proves this batch 0
+    // is not the committed one; the guard must fail loudly.
+    mkEvents(Seq((2L, 2000L, 1L, 30L))).coalesce(1).write.mode("append").parquet(src)
+    val ckptReset = java.nio.file.Files.createTempDirectory("graft_scd2cr_ckpt2_").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Ingest(spark, src, state, ckptReset)
+    }
+    assert(e.getMessage.contains("different checkpoint") ||
+      Option(e.getCause).exists(_.getMessage.contains("different checkpoint")),
+      e.getMessage)
+    // State is untouched by the refused batch.
+    assert(EventStreams.readScd2(spark, state).count() == 1)
+  }
+
   test("scd2 ingest absorbs an exact re-delivery of the last-seen event; older duplicates stay fatal") {
     val src = java.nio.file.Files.createTempDirectory("graft_scd2r_src_").toString
     val state = java.nio.file.Files.createTempDirectory("graft_scd2r_state_").toString + "/s"

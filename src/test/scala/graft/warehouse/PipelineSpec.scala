@@ -124,6 +124,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resume past 'dimension loads' self-heals when the catalog is empty (cross-JVM shape)") {
+    ranOnce
+    // Simulate the fresh-JVM catalog: drop every table, keep staging.
+    Seq("date_dim", "ward", "incident_types", "location_type", "weather",
+      "air_quality", "well_being", "lfb_call")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ghost = Pipeline.Inputs("/nonexistent/lfb.csv", Seq("/nonexistent/aq.csv"),
+      "/nonexistent/weather.csv", "/nonexistent/wb.csv")
+    // Asking for "fact load" with no catalog would die on spark.table(...)
+    // mid-stage; the runner must re-enter at "dimension loads" instead.
+    val stages = Pipeline.run(spark, ghost, paths, fromStage = "fact load")
+    assert(stages.map(_._1) ==
+      Seq("dimension loads", "fact load", "post-load checks", "aggregates"))
+    assert(spark.table("lfb_call").count() == 6)
+  }
+
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
     ranOnce
     // Simulate the crashed-run restart state: the managed-table directory
