@@ -77,7 +77,8 @@ object PipelineDemo {
       // lz4 default for a few % CPU, and a 1-min cleaner GC reclaims dead
       // shuffles DURING the run (the 30-min default never fires on a
       // minutes-long pipeline, so finished stages' files pile up).
-      .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
