@@ -77,8 +77,16 @@ object PipelineDemo {
       // lz4 default for a few % CPU, and a 1-min cleaner GC reclaims dead
       // shuffles DURING the run (the 30-min default never fires on a
       // minutes-long pipeline, so finished stages' files pile up).
-      .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // Validated eagerly: Spark instantiates the codec lazily at the first
+      // shuffle write, so a typo would otherwise burn the whole extract
+      // stage before crashing (same late-failure shape as the CPUS knob).
+      .config("spark.io.compression.codec", {
+        val c = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd")
+        val known = Set("lz4", "lzf", "snappy", "zstd")
+        if (!known.contains(c)) sys.error(
+          s"SPARK_GRAFT_IO_CODEC must be one of ${known.mkString("/")}, got '$c'")
+        c
+      })
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
