@@ -480,6 +480,33 @@ class StreamingSpec extends SparkSpec {
     assert(re.getMessage.contains("single-writer"), re.getMessage)
   }
 
+  test("pre-appId manifests deserialize and continue ingesting (backward compat)") {
+    // A state dir written before the checkpoint-identity field existed must
+    // keep working: the manifest reads back with appId = "" and the reset
+    // guard degrades to the txn-only check (no spurious split-brain throw).
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2bc_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2bc_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2bc_ckpt_").toString
+    mkEvents(Seq((1L, 1000L, 1L, 10L))).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt)
+    // Rewrite generation 0's manifest in the OLD format (no appId field).
+    val p = new org.apache.hadoop.fs.Path(s"$state/batch=0/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val legacy = json.replaceAll(""""appId":"[^"]*",""", "")
+    assert(legacy != json, s"expected an appId field to strip: $json")
+    val out = fs.create(p, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(EventStreams.readManifest(spark, state, 0L).appId == "")
+    // Ingest continues over the legacy manifest from the SAME checkpoint.
+    mkEvents(Seq((2L, 2000L, 1L, 30L))).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt)
+    assert(EventStreams.readScd2(spark, state).count() == 2)
+  }
+
   test("rebucketScd2 migrates the bucket count; ingest continues from its checkpoint") {
     val src = java.nio.file.Files.createTempDirectory("graft_scd2m_src_").toString
     val state = java.nio.file.Files.createTempDirectory("graft_scd2m_state_").toString + "/s"
