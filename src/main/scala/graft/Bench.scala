@@ -32,7 +32,10 @@ import java.nio.file.{Files, Paths}
   * first otherwise); first-run median/min/max + `rerun` stay as evidence;
   * re-runs still > 2× are named in `sentinelFailed`. Keys starting with
   * `_` in the reference file are metadata (machine state of the
-  * rebaseline run), not query references.
+  * rebaseline run), not query references; `_canary` among them is the
+  * committed reference for the CPU-bound drift canary timed in the
+  * preamble (reported as `canary`/`canaryDrift` — uniform elevation that
+  * tracks the canary is machine state, not a code regression).
   *
   * Two consumers, two totals. The primary metric (`value`, per-query
   * medians) uses `count()` — comparable across every prior round, but
@@ -57,6 +60,25 @@ object Bench {
     Tables.all.foreach(t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () })
+    // Machine-drift canary: a fixed CPU-bound workload — deterministic
+    // generated input, codegen'd hash chain, no I/O — timed before any
+    // query runs. Its committed reference lives in bench_reference.json
+    // under `_canary` (metadata key, not a query), so a round's sentinel
+    // adjudication can normalize "every query is uniformly ~1.2× up" by
+    // the canary's drift instead of arguing from run history: the canary
+    // moves with ambient machine state (CPU contention, thermal/steal
+    // time) and CANNOT move with repo code changes. MIN of 3 — for a
+    // fixed workload the minimum is the contention-robust statistic.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 29, 1L, 32)
+        // bit_xor, not sum: an ANSI-mode sum of 2^27 uniform longs overflows
+        .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7, id * 31)))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySec = (1 to 3).map(_ => canaryOnce()).min
+
     // Shared inter-stage tables (shingle index, signatures, bucketed
     // embeddings) are built once here and timed as their own phase, so
     // per-query numbers don't depend on registry order.
@@ -109,7 +131,7 @@ object Bench {
     // Contention sentinel (see scaladoc): reference seconds per query from
     // the committed last-clean-round file; absent file = sentinel off.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
-    val refs: Map[String, Double] =
+    val refsAll: Map[String, Double] =
       if (!Files.exists(Paths.get(refPath))) Map.empty
       else try {
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -117,12 +139,25 @@ object Bench {
             classOf[java.util.Map[String, Object]])
         import scala.jdk.CollectionConverters._
         m.asScala.collect {
-          case (k, v: Number) if !k.startsWith("_") => k -> v.doubleValue()
+          case (k, v: Number) => k -> v.doubleValue()
         }.toMap
       } catch { case e: Throwable =>
         System.err.println(s"[bench] reference unreadable ($refPath): ${e.getMessage}")
         Map.empty[String, Double]
       }
+    // Keys starting with `_` are metadata, not query references; `_canary`
+    // is the canary's committed idle-machine reference.
+    val refs: Map[String, Double] =
+      refsAll.filter { case (k, _) => !k.startsWith("_") }
+    val canaryRef: Option[Double] = refsAll.get("_canary").filter(_ > 0)
+    val drift: Option[Double] = canaryRef.map(canarySec / _)
+    drift.foreach { d =>
+      if (d > 1.25) System.err.println(
+        f"[bench] canary drift $d%.2fx vs committed reference " +
+          f"($canarySec%.2f s vs ${canaryRef.get}%.2f s) — machine is " +
+          "ambient-slow; adjudicate uniform elevation against this, " +
+          "not against code changes")
+    }
     val registryMap = SparkEntry.registry.toMap
     // Sentinel coverage must be TOTAL: a registered gate with no reference
     // entry is one the contention sentinel silently cannot protect (round
@@ -219,6 +254,8 @@ object Bench {
             s""""fullTotal":$fullTotal,""" +
             s""""adjTotal":$adjTotal,"adjMinTotal":$adjMinTotal,""" +
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
+            s""""canary":$canarySec,"canaryRef":${canaryRef.getOrElse("null")},""" +
+            s""""canaryDrift":${drift.map(d => j(d)).getOrElse("null")},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
             s""""unguarded":${if (sentinelOn) unguarded.map("\"" + _ + "\"").mkString("[", ",", "]") else "null"},""" +
@@ -247,6 +284,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${j(adjTotal)},"unit":"sec","runs":$Runs,""" +
         s""""rawTotal":${j(total)},"fullTotal":${j(fullTotal)},""" +
+        s""""canary":${j(canarySec)},"drift":${drift.map(d => j(d)).getOrElse("null")},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},"sentinelFailed":${sentinelFailed.size},""" +

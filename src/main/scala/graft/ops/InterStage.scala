@@ -43,6 +43,12 @@ object InterStage {
   // satisfy the assertion vacuously (a JVM-global in-flight high-water
   // mark could). A change that re-serializes the chains or double-builds
   // the base fails the spec, not just the bench number.
+  // Capped drop-oldest: a long-lived process whose corpora keep changing
+  // (content-fingerprinted keys mint new entries per rewrite) must not
+  // accumulate accounting rows forever. 4096 covers any single test run's
+  // window by orders of magnitude; each entry rides a parquet write, so
+  // the O(n) size() probe on a <=4096 queue is noise.
+  private val buildLogMax = 4096
   private val buildLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]
 
@@ -124,8 +130,11 @@ object InterStage {
           seq.getAndIncrement()).toString
       val t0 = System.nanoTime()
       try df.write.mode("overwrite").parquet(p)
-      finally buildLog.add(
-        (key, Thread.currentThread().getId, t0, System.nanoTime()))
+      finally {
+        buildLog.add(
+          (key, Thread.currentThread().getId, t0, System.nanoTime()))
+        while (buildLog.size > buildLogMax) buildLog.poll()
+      }
       p
     })
     spark.read.parquet(path)

@@ -175,6 +175,10 @@ object TextQueries {
     * dict, and a `_corpus` marker pins the state to its corpus fingerprint
     * (same strictness as InterStage.tableKey: a rewritten corpus
     * invalidates the state loudly rather than resuming across it).
+    * State storage stays O(dict + rounds), not O(dict × rounds): each
+    * commit prunes dicts older than round N-1 (merge rules — 1 row/round —
+    * are kept forever; a fewer-rounds ask rebuilds its dict from them via
+    * [[bpeReplay]]).
     * Single-writer, like every state dir in this library.
     *
     * Returns (merge rules as (round, p1, p2, freq), final symbol table).
@@ -182,6 +186,27 @@ object TextQueries {
     * rounds don't fire it) — probe instrumentation and the resume spec's
     * no-jobs-for-the-prefix assertion hook.
     */
+  /** Rebuild round `rules.length`'s symbol table by applying the committed
+    * merge rules, in order, to a fresh per-character init — the
+    * deterministic twin of training that never runs an argmax job (the
+    * same greedy-apply step training used, fed the recorded winners).
+    * Serves fewer-rounds-than-kept resumes after the trainer's dict prune.
+    * The chain collapses through the JVM-lifetime InterStage every 32
+    * rules so a deep replay stays scan→map→write per segment instead of
+    * nesting thousands of apply expressions into one plan.
+    */
+  private def bpeReplay(s: SparkSession, d: String, key: String,
+                        rules: Seq[(Long, String, String, Long)]): DataFrame = {
+    var cur = bpeInit(s, d)
+    for (((_, p1, p2, _), i) <- rules.zipWithIndex) {
+      cur = cur.select(col("w"), col("wc"),
+        bpeApply(col("syms"), lit(p1), lit(p2)).as("syms"))
+      if ((i + 1) % 32 == 0)
+        cur = InterStage.materialize(s, s"$key|bpe-replay|r${i + 1}", cur)
+    }
+    cur
+  }
+
   def bpeTrainCheckpointed(s: SparkSession, d: String, rounds: Int,
                            onRound: (Int, Double) => Unit = (_, _) => (),
                            stateDir: Option[String] = None)
@@ -230,16 +255,26 @@ object TextQueries {
         var k = 0
         while (have.contains(k + 1)) k += 1
         val kEff = math.min(k, rounds)
-        if (kEff > 0)
-          merges ++= s.read
+        val resumed: Seq[(Long, String, String, Long)] =
+          if (kEff == 0) Seq.empty
+          else s.read
             .parquet((1 to kEff).map(r => s"$dir/merges/r=$r"): _*)
             .collect().map(row => (row.getLong(0), row.getString(1),
-              row.getString(2), row.getLong(3))).sortBy(_._1)
+              row.getString(2), row.getLong(3))).sortBy(_._1).toSeq
+        merges ++= resumed
         val cur =
           if (kEff == 0) {
             bpeInit(s, d).write.mode("overwrite").parquet(s"$dir/dict/r=0")
             s.read.parquet(s"$dir/dict/r=0")
-          } else s.read.parquet(s"$dir/dict/r=$kEff")
+          } else if (fs.exists(new HPath(s"$dir/dict/r=$kEff/_SUCCESS")))
+            s.read.parquet(s"$dir/dict/r=$kEff")
+          else
+            // This round's dict was pruned (only the newest two rounds'
+            // dicts are kept — see the commit-site prune): rebuild it by
+            // replaying the committed rules over a fresh init. Zero argmax
+            // jobs, deterministic, so the result is byte-identical to the
+            // pruned table.
+            bpeReplay(s, d, key, resumed)
         (kEff, cur, fs.exists(new HPath(s"$dir/_exhausted")))
     }
 
@@ -270,6 +305,23 @@ object TextQueries {
               .toDF("merge_round", "p1", "p2", "freq")
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$dir/merges/r=$r") // commit marker for round r
+            // State hygiene: once round r's marker commits, resume needs
+            // only dict r (the committed head) and r-1 (a crash before
+            // round r+1's marker re-trains it FROM r; the _SUCCESS-deleted
+            // case in BpeSpec). At production round counts (~30k merges)
+            // keeping every round would pile up thousands of full corpus
+            // word-dict copies on state storage. A later ask for FEWER
+            // rounds than kept rebuilds its dict from the merge rules
+            // (bpeReplay) — rules are 1 row/round and are never pruned.
+            // Listing (not r-2 arithmetic) also sweeps strays left by a
+            // crash between a previous commit and its prune.
+            val pfs = fsOf(dir)
+            val droot = new HPath(s"$dir/dict")
+            if (pfs.exists(droot))
+              pfs.listStatus(droot).iterator.map(_.getPath)
+                .filter(p => p.getName.startsWith("r=") &&
+                  p.getName.stripPrefix("r=").toInt < r - 1)
+                .foreach(p => pfs.delete(p, true))
             s.read.parquet(s"$dir/dict/r=$r")
         }
         onRound(r, (System.nanoTime() - t0) / 1e9)

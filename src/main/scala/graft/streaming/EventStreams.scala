@@ -507,9 +507,12 @@ object EventStreams {
             graft.ops.Relational.floorDivExact(
               expr("cast(get_json_object(props, '$.k') as bigint)"), 25L).as("tier"))
           val bucketCol = pmod(hash(col("user_id")), lit(buckets))
-          // The touched-bucket set is ≤ `buckets` ints — a driver-safe collect.
-          val touched = ev.select(bucketCol.as("b")).distinct()
-            .collect().map(_.getInt(0)).sorted
+          // The touched-bucket set is ≤ `buckets` ints — a driver-safe
+          // collect; the same job's counts size the state write below.
+          val bucketCounts = ev.groupBy(bucketCol.as("b"))
+            .agg(count(lit(1)).as("c")).collect()
+          val touched = bucketCounts.map(_.getInt(0)).sorted
+          val batchRows = bucketCounts.map(_.getLong(1)).sum
           val evSeen = ev.groupBy(col("user_id"))
             .agg(max(struct(col("tus"), col("event_id"))).as("m"))
             .select(col("user_id"), col("m.tus").as("last_us"),
@@ -554,10 +557,22 @@ object EventStreams {
           // Every touched bucket has ≥1 output row (each user in the batch
           // contributes a segment and a seen row), so partitionBy emits
           // exactly the touched `bucket=<b>` dirs the manifest points at.
-          segs.withColumn("bucket", bucketCol)
+          // The rewrite's size is touched-bucket HISTORY + landing, not the
+          // landing alone (a backfill-sized batch touching every bucket
+          // rewrites the whole history), so the write is sized by that
+          // bound — prior rows come from parquet footers, no data scan —
+          // and bucket-aligned past one task's worth (see bucketAligned).
+          def priorRows(kind: String): Long = {
+            val ps = prior(kind)
+            if (ps.isEmpty) 0L else spark.read.parquet(ps: _*).count()
+          }
+          bucketAligned(segs.withColumn("bucket", bucketCol),
+              priorRows("segments") + batchRows)
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(s"$stateDir/batch=$genId/segments")
-          seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
+          bucketAligned(
+              seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets))),
+              priorRows("seen") + batchRows)
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(s"$stateDir/batch=$genId/seen")
           val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
@@ -657,8 +672,39 @@ object EventStreams {
     * prune superseded generations. O(total history) by design — this is
     * the amortized-rare OPTIMIZE, not the per-landing path. Same
     * single-writer contract as ingest: run it BETWEEN ingest runs.
+    * `checkpointDir` (optional) upgrades a legacy pre-appId manifest by
+    * stamping the owning checkpoint's query id — see the commit-site note.
     */
-  def rebucketScd2(spark: SparkSession, stateDir: String, newBuckets: Int): Unit = {
+  /** Bucket-aligned, row-sized state write (the committer lesson measured
+    * on the fact write, `FactLoad.writeClustered`): `partitionBy("bucket")`
+    * straight off a hash-derived column hands every upstream task rows for
+    * ~every bucket, so the committer either fans out tasks×buckets small
+    * files (a 640-task × 256-bucket history ≈ 160k files — exactly the
+    * 100-TB state size the rebucket path exists for) or pays a per-task
+    * sort over the unclustered partition column (the measured spill term).
+    * Leading the range key with `bucket` gives each write task a contiguous
+    * bucket slice — 1-2 open writers per task, O(1) files per bucket —
+    * and `user_id` keeps rows clustered for the per-user merge that reads
+    * them back. `estRows` sizes the partition count (~250k rows/task, the
+    * measured spill threshold); an upper-bound estimate only makes tasks
+    * smaller. A write that fits one task skips the extra shuffle, keeping
+    * the ordinary per-landing plan exactly as the r14 ladder measured it.
+    * `spark.graft.scd2.rowsPerWriteTask` overrides the 250k default — the
+    * measured threshold is for WIDE fact rows; scd2 state rows are narrow,
+    * so an operator can raise it (and the spec lowers it to drive the
+    * alignment path at test scale).
+    */
+  private def bucketAligned(df: DataFrame, estRows: Long): DataFrame = {
+    val perTask = df.sparkSession.conf
+      .get("spark.graft.scd2.rowsPerWriteTask", "250000").toLong
+    val parts = graft.ops.Relational.rowSizedPartitions(estRows, perTask)
+    if (parts <= 1) df
+    else df.repartitionByRange(parts, col("bucket"), col("user_id"))
+      .sortWithinPartitions(col("bucket"), col("user_id"))
+  }
+
+  def rebucketScd2(spark: SparkSession, stateDir: String, newBuckets: Int,
+                   checkpointDir: Option[String] = None): Unit = {
     require(newBuckets >= 1, s"rebucketScd2 needs newBuckets >= 1, got $newBuckets")
     val prevId = manifestIds(spark, stateDir).maxOption.getOrElse(
       throw new IllegalStateException(
@@ -669,20 +715,33 @@ object EventStreams {
     def paths(kind: String): Seq[String] = m.entries.toSeq.sorted.map {
       case (b, mid) => s"$stateDir/batch=$mid/$kind/bucket=$b" }
     val bucketCol = pmod(hash(col("user_id")), lit(newBuckets))
-    for (kind <- Seq("segments", "seen"))
-      spark.read.parquet(paths(kind): _*)
-        .withColumn("bucket", bucketCol)
+    for (kind <- Seq("segments", "seen")) {
+      val snap = spark.read.parquet(paths(kind): _*)
+      // count() over parquet is a footer-metadata read, not a data scan
+      bucketAligned(snap.withColumn("bucket", bucketCol), snap.count())
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$stateDir/batch=$genId/$kind")
+    }
     // Manifest entries list only buckets that EXIST on disk (partitionBy
     // emits no dir for an empty bucket, and readers existence-check every
     // entry) — the occupied set is ≤ newBuckets ints, driver-safe.
     val occupied = spark.read.parquet(s"$stateDir/batch=$genId/seen")
       .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
+    // txn carries forward: maintenance applies no streaming batch. appId
+    // carries forward too — EXCEPT for a legacy pre-appId manifest (empty
+    // appId), where the checkpoint-reset guard is silently degraded (an
+    // equal-txn reset replay would be swallowed). Passing `checkpointDir`
+    // stamps that state's owning query id during the rewrite, closing the
+    // degraded window for states whose only post-upgrade writes are
+    // maintenance. The caller asserts ownership: pass the checkpoint that
+    // PRODUCED this state (the single-writer contract already requires
+    // knowing it), never a freshly reset one.
+    val appId =
+      if (m.appId.nonEmpty) m.appId
+      else checkpointDir.map(checkpointQueryId(spark, _)).getOrElse("")
     writeManifest(spark, stateDir, genId,
-      // txn AND appId carry forward: maintenance applies no streaming batch.
       Scd2Manifest(newBuckets, m.txn, occupied.map(_ -> genId).toMap,
-        m.appId)) // commit
+        appId)) // commit
     pruneScd2(spark, stateDir, genId, Some(prevId))
   }
 

@@ -10,19 +10,22 @@ import java.nio.file.{Files, Path}
   */
 object Fixtures {
 
-  def write(dir: Path): Pipeline.Inputs = {
-    val lfbHeader =
-      "IncidentNumber,DateOfCall,TimeOfCall,CalYear,HourOfCall,IncidentGroup," +
-        "StopCodeDescription,SpecialServiceType,PropertyCategory,PropertyType," +
-        "AddressQualifier,Postcode_full,Postcode_district,UPRN,USRN," +
-        "IncGeo_BoroughCode,IncGeo_BoroughName,ProperCase,IncGeo_WardCode," +
-        "IncGeo_WardName,IncGeo_WardNameNew,Easting_m,Northing_m," +
-        "Easting_rounded,Northing_rounded,Latitude,Longitude,FRS," +
-        "IncidentStationGround,FirstPumpArriving_AttendanceTime," +
-        "FirstPumpArriving_DeployedFromStation,SecondPumpArriving_AttendanceTime," +
-        "SecondPumpArriving_DeployedFromStation,NumStationsWithPumpsAttending," +
-        "NumPumpsAttending,PumpCount,PumpMinutesRounded,Notional Cost (£),NumCalls"
+  /** The 39-column LFB raw header (FIXTURES.md §1) — shared by the 6-row
+    * correctness fixture, the driver-side scaled writer, and the parallel
+    * Spark generator (which stamps it at the head of every part file). */
+  private[warehouse] val lfbHeader =
+    "IncidentNumber,DateOfCall,TimeOfCall,CalYear,HourOfCall,IncidentGroup," +
+      "StopCodeDescription,SpecialServiceType,PropertyCategory,PropertyType," +
+      "AddressQualifier,Postcode_full,Postcode_district,UPRN,USRN," +
+      "IncGeo_BoroughCode,IncGeo_BoroughName,ProperCase,IncGeo_WardCode," +
+      "IncGeo_WardName,IncGeo_WardNameNew,Easting_m,Northing_m," +
+      "Easting_rounded,Northing_rounded,Latitude,Longitude,FRS," +
+      "IncidentStationGround,FirstPumpArriving_AttendanceTime," +
+      "FirstPumpArriving_DeployedFromStation,SecondPumpArriving_AttendanceTime," +
+      "SecondPumpArriving_DeployedFromStation,NumStationsWithPumpsAttending," +
+      "NumPumpsAttending,PumpCount,PumpMinutesRounded,Notional Cost (£),NumCalls"
 
+  def write(dir: Path): Pipeline.Inputs = {
     def lfbRow(id: Int, date: String, time: String, group: String, stop: String,
                special: String, propCat: String, propType: String, wardCode: String,
                wardName: String, lat: String, lon: String, usrn: String,
@@ -104,60 +107,108 @@ object Fixtures {
       wbCsv.toString)
   }
 
+  // --- scaled-corpus vocabulary (object-level so the Spark generator's
+  // executor closures reach it via static MODULE$ access, no capture) ---
+  private val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  private val groups = Seq("Fire", "False Alarm", "Special Service")
+  private val stops = Seq("Primary Fire", "Secondary Fire", "AFA", "Flooding",
+    "Use of Special Operations Room")
+  private val props = Seq("House", "Flat", "Car", "Park", "Office", "Shop")
+  private val stations = (0 until 40).map(i => s"Station$i")
+
+  // 3 years x 12 months x 28 days = 1008 distinct valid dates; the grid
+  // enumeration keeps the weather/date dimensions unique per date.
+  private val nDays = 1008
+  private def dateOf(day: Int): (Int, Int, Int) = {
+    val y = 2020 + day / 336; val m = (day % 336) / 28; val d = day % 28 + 1
+    (y, m, d)
+  }
+
+  /** splitmix64 finalizer: neighbouring row ids become decorrelated seeds
+    * (java.util.Random's LCG scramble alone leaves sequential-seed
+    * structure in the first draws). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** One scaled LFB CSV line. Seeded PER ROW (splitmix64 of the row id),
+    * so the corpus is deterministic AND independent of who generates it —
+    * the driver-side writer and the parallel Spark generator produce the
+    * same line for the same id regardless of partitioning. */
+  private[warehouse] def scaledLfbRow(i: Long): String = {
+    val rng = new scala.util.Random(mix64(i))
+    val day = rng.nextInt(nDays)
+    val (y, m, d) = dateOf(day)
+    val date = f"$d%02d-${months(m)}-${y % 100}%02d"
+    val time = f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
+    val ward = rng.nextInt(600)
+    val grp = groups(rng.nextInt(groups.length))
+    val stop = stops(rng.nextInt(stops.length))
+    val prop = props(rng.nextInt(props.length))
+    s"IN$i,$date,$time,$y,10,$grp,$stop,Special $stop,Cat,$prop," +
+      s"Within,E$ward,E,1$i,${1000 + i},E090${ward / 20},B${ward / 20},Borough${ward / 20}," +
+      s"W$ward,ward $ward,ward $ward,532000,181000,532000,181000," +
+      s"${51.3 + rng.nextInt(40) / 100.0},${-0.5 + rng.nextInt(60) / 100.0},LFB," +
+      s"${stations(rng.nextInt(stations.length))},${60 + rng.nextInt(600)},StationA," +
+      s"300,StationB,${1 + rng.nextInt(3)},${1 + rng.nextInt(4)},2," +
+      s"${30 + rng.nextInt(120)},${100 + rng.nextInt(2000)},${1 + rng.nextInt(4)}"
+  }
+
+  /** Parallel LFB corpus generator: row ids `[startId, startId+n)` written
+    * as a DIRECTORY of text part files under `path` (~1M lines each).
+    * Every part leads with the header line — Spark's CSV reader with
+    * header=true strips the first line of EVERY file, so the directory
+    * reads back exactly like the driver-written single file. This is what
+    * makes the 500M-row ladder rung affordable: the driver-side writer
+    * measured ~13 min for 150M rows (SCALE.md round 15) where the 32-way
+    * generator is bounded by disk bandwidth, and `startId` chunking lets a
+    * storage-constrained box generate -> extract -> prune in corpus slices
+    * instead of holding the whole CSV (the 150M rung's binding constraint).
+    */
+  def writeScaledLfbSpark(spark: org.apache.spark.sql.SparkSession,
+                          path: String, n: Long, startId: Long = 0L): Unit = {
+    import spark.implicits._
+    val parts = math.min(
+      math.max(spark.sparkContext.defaultParallelism.toLong, n / 1000000L),
+      20000L).toInt
+    spark.range(startId, startId + n, 1L, parts)
+      .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i)))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Scaled synthetic inputs: `n` incidents over 2020-2022 across ~600
     * wards, hourly air-quality readings, daily weather, per-(ward, year)
     * well-being — realistic warehouse cardinalities for timing the full
     * DAG beyond the 6-row correctness fixture. Deterministic (seeded).
+    * With a session and >=1M rows the LFB corpus (the only input that
+    * scales with `n`) is generated by [[writeScaledLfbSpark]] in parallel;
+    * the driver path remains for spec-sized fixtures and session-less use.
     */
-  def writeScaled(dir: Path, n: Int): Pipeline.Inputs = {
-    val rng = new scala.util.Random(42)
-    val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
-    val groups = Seq("Fire", "False Alarm", "Special Service")
-    val stops = Seq("Primary Fire", "Secondary Fire", "AFA", "Flooding",
-      "Use of Special Operations Room")
-    val props = Seq("House", "Flat", "Car", "Park", "Office", "Shop")
-    val stations = (0 until 40).map(i => s"Station$i")
-
-    val lfbHeader =
-      "IncidentNumber,DateOfCall,TimeOfCall,CalYear,HourOfCall,IncidentGroup," +
-        "StopCodeDescription,SpecialServiceType,PropertyCategory,PropertyType," +
-        "AddressQualifier,Postcode_full,Postcode_district,UPRN,USRN," +
-        "IncGeo_BoroughCode,IncGeo_BoroughName,ProperCase,IncGeo_WardCode," +
-        "IncGeo_WardName,IncGeo_WardNameNew,Easting_m,Northing_m," +
-        "Easting_rounded,Northing_rounded,Latitude,Longitude,FRS," +
-        "IncidentStationGround,FirstPumpArriving_AttendanceTime," +
-        "FirstPumpArriving_DeployedFromStation,SecondPumpArriving_AttendanceTime," +
-        "SecondPumpArriving_DeployedFromStation,NumStationsWithPumpsAttending," +
-        "NumPumpsAttending,PumpCount,PumpMinutesRounded,Notional Cost (£),NumCalls"
-
-    // 3 years x 12 months x 28 days = 1008 distinct valid dates; the grid
-    // enumeration keeps the weather/date dimensions unique per date.
-    val nDays = 1008
-    def dateOf(day: Int): (Int, Int, Int) = {
-      val y = 2020 + day / 336; val m = (day % 336) / 28; val d = day % 28 + 1
-      (y, m, d)
-    }
-    val lfbRows = (0 until n).iterator.map { i =>
-      val day = rng.nextInt(nDays)
-      val (y, m, d) = dateOf(day)
-      val date = f"$d%02d-${months(m)}-${y % 100}%02d"
-      val time = f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
-      val ward = rng.nextInt(600)
-      val grp = groups(rng.nextInt(groups.length))
-      val stop = stops(rng.nextInt(stops.length))
-      val prop = props(rng.nextInt(props.length))
-      s"IN$i,$date,$time,$y,10,$grp,$stop,Special $stop,Cat,$prop," +
-        s"Within,E$ward,E,1$i,${1000 + i},E090${ward / 20},B${ward / 20},Borough${ward / 20}," +
-        s"W$ward,ward $ward,ward $ward,532000,181000,532000,181000," +
-        s"${51.3 + rng.nextInt(40) / 100.0},${-0.5 + rng.nextInt(60) / 100.0},LFB," +
-        s"${stations(rng.nextInt(stations.length))},${60 + rng.nextInt(600)},StationA," +
-        s"300,StationB,${1 + rng.nextInt(3)},${1 + rng.nextInt(4)},2," +
-        s"${30 + rng.nextInt(120)},${100 + rng.nextInt(2000)},${1 + rng.nextInt(4)}"
-    }
+  def writeScaled(dir: Path, n: Int,
+                  spark: Option[org.apache.spark.sql.SparkSession] = None): Pipeline.Inputs = {
     val lfbCsv = dir.resolve("lfb-calls.csv")
-    writeLines(lfbCsv, Iterator(lfbHeader) ++ lfbRows)
+    spark match {
+      case Some(s) if n >= 1000000 =>
+        writeScaledLfbSpark(s, lfbCsv.toString, n.toLong)
+      case _ =>
+        writeLines(lfbCsv,
+          Iterator(lfbHeader) ++ (0 until n).iterator.map(i => scaledLfbRow(i.toLong)))
+    }
+    writeScaledAux(dir)
+  }
 
+  /** The three non-LFB scaled inputs (air quality, weather, well-being) —
+    * all bounded by the date/ward grid, never by `n`, so they stay
+    * driver-side. Factored out so the chunked corpus driver
+    * (ChunkedExtract) can write them once alongside its LFB slices.
+    */
+  private[warehouse] def writeScaledAux(dir: Path): Pipeline.Inputs = {
+    val rng = new scala.util.Random(42)
+    val lfbCsv = dir.resolve("lfb-calls.csv")
     val species = Seq("CO", "NO", "NO2", "NOX", "O3", "PM1", "PM10", "PM2.5")
     val aqHeader = "Site,Species,ReadingDateTime,Value,Units,Provisional_or_Ratified"
     val aqPaths = (0 until 3).map { s =>

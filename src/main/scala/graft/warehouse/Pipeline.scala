@@ -54,6 +54,48 @@ object Pipeline {
     "cleanse", "dimension builds", "dimension checks", "dimension loads",
     "fact load", "post-load checks", "aggregates")
 
+  /** Catalog tables the "dimension loads" stage writes, in load order —
+    * the SINGLE source of truth shared by the stage body (which runs
+    * [[dimLoaders]] and requires its keys match this list) and the
+    * cross-JVM resume probe in [[run]] (which re-enters at "dimension
+    * loads" when ANY of them is missing from this JVM's catalog). A new
+    * dim added to one side but not the other fails loudly at the require,
+    * instead of silently decoupling the heal from the stage.
+    */
+  val dimTables: Seq[String] = Seq("date_dim", "ward", "incident_types",
+    "location_type", "weather", "air_quality", "well_being")
+
+  /** The "dimension loads" stage body, keyed by the catalog table each
+    * loader writes (etl/load/load_*_dim.py). */
+  private def dimLoaders(spark: SparkSession, paths: Paths): Seq[(String, () => Unit)] = Seq(
+    "date_dim" -> (() => Jobs.loadDimTable(spark, paths.dateDim, "date_dim",
+      Model.dateDimSchema.fields.map(f => f.name -> f.name).toSeq,
+      partitionBy = Some("Year"), clusterBy = Seq("Date"))),
+    "ward" -> (() => Jobs.loadDimTable(spark, paths.wardDim, "ward",
+      Seq("WardCode", "WardName", "BoroughName", "BoroughCode", "WardID").map(c => c -> c),
+      partitionBy = Some("BoroughCode"), clusterBy = Seq("WardID", "WardName"))),
+    "incident_types" -> (() => Jobs.loadDimTable(spark, paths.incidentTypeDim, "incident_types",
+      Seq("IncidentType", "IncidentDescription", "IncidentTypeKey").map(c => c -> c),
+      partitionBy = None, clusterBy = Seq("IncidentTypeKey"))),
+    "location_type" -> (() => Jobs.loadDimTable(spark, paths.locationTypeDim, "location_type",
+      Seq("PropertyCategory", "PropertyType", "LocationTypeKey").map(c => c -> c),
+      partitionBy = None, clusterBy = Seq("LocationTypeKey"))),
+    "weather" -> (() => Jobs.loadDimTable(spark, paths.weatherClean, "weather",
+      Model.weatherDimRename, partitionBy = Some("TemperatureCategory"),
+      clusterBy = Seq("WeatherKey", "WindDirection"),
+      dropCols = Seq("date"), distinct = true)),
+    "air_quality" -> (() => Jobs.loadDimTable(spark, paths.aqClean, "air_quality",
+      Model.aqDimColumns.map(c => c -> c), partitionBy = None,
+      clusterBy = Seq("AirQualityKey", "PM10Level", "PM2_5Level", "NO2Level"),
+      dropCols = Seq("ReadingDateTime"), distinct = true,
+      cacheTable = true)), // reference caches this dim (load_air_quality_dim.py:56)
+    "well_being" -> (() => {
+      val wbCols = spark.read.parquet(paths.wbDim).columns
+      Jobs.loadDimTable(spark, paths.wbDim, "well_being",
+        (wbCols.filterNot(Seq("Year", "WardCode").contains)).map(c => c -> c).toSeq,
+        partitionBy = None, clusterBy = Seq("WellBeingID"))
+    }))
+
   /** Runs the full DAG; returns per-stage wall-clock seconds in DAG order
     * (the ScaleProbe-style row: which stage pays when the corpus grows).
     * `fromStage` skips every stage strictly before it (see [[stageOrder]]);
@@ -74,19 +116,26 @@ object Pipeline {
     // parquet in seconds. A persistent-metastore deployment resumes
     // exactly where asked; this is the in-memory catalog's repair.
     val dimIdx = stageOrder.indexOf("dimension loads")
+    val missingDims = dimTables.filterNot(spark.catalog.tableExists)
     val fromIdx =
-      if (askedIdx > dimIdx && !spark.catalog.tableExists("ward")) {
-        println(s"== resume: catalog has no 'ward' in this JVM; " +
-          s"entering at 'dimension loads' to rebuild it (asked: '$fromStage')")
+      if (askedIdx > dimIdx && missingDims.nonEmpty) {
+        println(s"== resume: catalog is missing dim table(s) " +
+          s"${missingDims.mkString(", ")} in this JVM; entering at " +
+          s"'dimension loads' to rebuild them (asked: '$fromStage')")
         dimIdx
       } else askedIdx
     val stages = Seq.newBuilder[(String, Double)]
-    def staged(name: String)(body: => Unit): Unit =
+    def staged(name: String)(body: => Unit): Unit = {
+      // A stage name absent from stageOrder would make indexOf -1 — never
+      // >= fromIdx — and the stage would silently never run; fail loudly.
+      require(stageOrder.contains(name),
+        s"stage '$name' is not in Pipeline.stageOrder — add it there")
       if (stageOrder.indexOf(name) >= fromIdx) {
         val t0 = System.nanoTime()
         body
         stages += name -> (System.nanoTime() - t0) / 1e9
       }
+    }
 
     // --- extract stage (4 parallel tasks in the reference) ---
     staged("extract") {
@@ -151,31 +200,11 @@ object Pipeline {
 
     // --- dimension loads (etl/load/load_*_dim.py) ---
     staged("dimension loads") {
-    Jobs.loadDimTable(spark, paths.dateDim, "date_dim",
-      Model.dateDimSchema.fields.map(f => f.name -> f.name).toSeq,
-      partitionBy = Some("Year"), clusterBy = Seq("Date"))
-    Jobs.loadDimTable(spark, paths.wardDim, "ward",
-      Seq("WardCode", "WardName", "BoroughName", "BoroughCode", "WardID").map(c => c -> c),
-      partitionBy = Some("BoroughCode"), clusterBy = Seq("WardID", "WardName"))
-    Jobs.loadDimTable(spark, paths.incidentTypeDim, "incident_types",
-      Seq("IncidentType", "IncidentDescription", "IncidentTypeKey").map(c => c -> c),
-      partitionBy = None, clusterBy = Seq("IncidentTypeKey"))
-    Jobs.loadDimTable(spark, paths.locationTypeDim, "location_type",
-      Seq("PropertyCategory", "PropertyType", "LocationTypeKey").map(c => c -> c),
-      partitionBy = None, clusterBy = Seq("LocationTypeKey"))
-    Jobs.loadDimTable(spark, paths.weatherClean, "weather",
-      Model.weatherDimRename, partitionBy = Some("TemperatureCategory"),
-      clusterBy = Seq("WeatherKey", "WindDirection"),
-      dropCols = Seq("date"), distinct = true)
-    Jobs.loadDimTable(spark, paths.aqClean, "air_quality",
-      Model.aqDimColumns.map(c => c -> c), partitionBy = None,
-      clusterBy = Seq("AirQualityKey", "PM10Level", "PM2_5Level", "NO2Level"),
-      dropCols = Seq("ReadingDateTime"), distinct = true,
-      cacheTable = true) // reference caches this dim (load_air_quality_dim.py:56)
-    val wbCols = spark.read.parquet(paths.wbDim).columns
-    Jobs.loadDimTable(spark, paths.wbDim, "well_being",
-      (wbCols.filterNot(Seq("Year", "WardCode").contains)).map(c => c -> c).toSeq,
-      partitionBy = None, clusterBy = Seq("WellBeingID"))
+      val loaders = dimLoaders(spark, paths)
+      require(loaders.map(_._1) == dimTables,
+        s"dimLoaders keys ${loaders.map(_._1)} out of sync with " +
+          s"Pipeline.dimTables $dimTables — the resume probe depends on them matching")
+      loaders.foreach { case (_, load) => load() }
     }
 
     // --- fact load ---

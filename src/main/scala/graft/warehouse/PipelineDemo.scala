@@ -18,49 +18,27 @@ import org.apache.spark.sql.SparkSession
   * repaying corpus generation + extract + cleanse.
   */
 object PipelineDemo {
-  def main(args: Array[String]): Unit = {
-    val rowsArg = args.sliding(2).collectFirst {
-      case Array("--rows", n) => n.toInt
-    }
-    val fromStage = args.sliding(2).collectFirst {
-      case Array("--from", s) => s
-    }
-    // Positional workDir = first arg that is neither a --flag nor a flag's value.
-    val flagValues = args.zip(args.drop(1)).collect {
-      case (f, v) if f.startsWith("--") => v
-    }.toSet
-    val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
-    java.nio.file.Files.createDirectories(base)
-    // A scaled run records its row count in the workDir so a resume sizes
-    // the session like the original run did — `--from` without `--rows`
-    // must NOT fall back to the tiny-fixture profile (local[4], 4 shuffle
-    // partitions), which would hand the retry ~37M wide rows per task at
-    // 150M: the exact spill cliff the restart feature exists to get past.
-    val rowsMarker = base.resolve(".rows")
-    val rows = rowsArg.orElse {
-      if (fromStage.isDefined && java.nio.file.Files.exists(rowsMarker))
-        Some(new String(java.nio.file.Files.readAllBytes(rowsMarker),
-          "UTF-8").trim.toInt)
-      else None
-    }
-    if (rowsArg.isDefined && fromStage.isEmpty)
-      java.nio.file.Files.write(rowsMarker,
-        rowsArg.get.toString.getBytes("UTF-8"))
+
+  /** The scaled-run session recipe, shared with the chunked corpus driver
+    * (ChunkedExtract) so a 500M-row rung and a `--from` resume size
+    * themselves identically. One shuffle partition per core is right until
+    * a partition's sort working set outgrows memory: at 15M wide fact rows
+    * / 32 partitions the fact build's sorts and min_by agg spill and the
+    * stage goes super-linear (SCALE.md round 14 ladder). Scaled runs
+    * therefore size partitions by ROWS (~250k fact rows each — wide-row
+    * working sets a task holds comfortably) and let AQE coalesce the ones
+    * that end up small; `SPARK_GRAFT_SHUFFLE_PARTITIONS` pins it for
+    * experiments.
+    */
+  private[warehouse] def buildSession(base: java.nio.file.Path,
+                                      rows: Option[Int],
+                                      fromMarker: Boolean): SparkSession = {
     val cores =
       if (rows.isDefined)
         sys.env.get("SPARK_GRAFT_CPUS").map(v => v.toIntOption.getOrElse(
           sys.error(s"SPARK_GRAFT_CPUS must be an integer, got '$v'")).toString)
           .getOrElse("16")
       else "4"
-    // One shuffle partition per core is right until a partition's sort
-    // working set outgrows memory: at 15M wide fact rows / 32 partitions
-    // the fact build's sorts and min_by agg spill and the stage goes
-    // super-linear (SCALE.md round 14 ladder). Scaled runs therefore size
-    // partitions by ROWS (~250k fact rows each — wide-row working sets a
-    // task holds comfortably) and let AQE coalesce the ones that end up
-    // small; the override env pins it for experiments.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       rows match {
         // rowSizedPartitions owns the measured ~250k-rows/task threshold.
@@ -96,8 +74,45 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
     println(s"== session local[$cores], shuffle partitions $shufflePartitions" +
       rows.fold("")(n => s", sized for $n rows" +
-        (if (rowsArg.isEmpty) " (from workDir .rows marker)" else "")))
+        (if (fromMarker) " (from workDir .rows marker)" else "")))
+    spark
+  }
 
+  def main(args: Array[String]): Unit = {
+    val rowsArg = args.sliding(2).collectFirst {
+      case Array("--rows", n) => n.toInt
+    }
+    val fromStage = args.sliding(2).collectFirst {
+      case Array("--from", s) => s
+    }
+    // Positional workDir = first arg that is neither a --flag nor a flag's value.
+    val flagValues = args.zip(args.drop(1)).collect {
+      case (f, v) if f.startsWith("--") => v
+    }.toSet
+    val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_pipeline_"))
+    java.nio.file.Files.createDirectories(base)
+    // A scaled run records its row count in the workDir so a resume sizes
+    // the session like the original run did — `--from` without `--rows`
+    // must NOT fall back to the tiny-fixture profile (local[4], 4 shuffle
+    // partitions), which would hand the retry ~37M wide rows per task at
+    // 150M: the exact spill cliff the restart feature exists to get past.
+    val rowsMarker = base.resolve(".rows")
+    val rows = rowsArg.orElse {
+      if (fromStage.isDefined && java.nio.file.Files.exists(rowsMarker))
+        Some(new String(java.nio.file.Files.readAllBytes(rowsMarker),
+          "UTF-8").trim.toInt)
+      else None
+    }
+    // Written for EVERY explicit --rows, resume or not: a resume that
+    // deliberately overrides --rows must not leave a stale marker behind
+    // for a later --from-only resume to size the session with.
+    if (rowsArg.isDefined)
+      java.nio.file.Files.write(rowsMarker,
+        rowsArg.get.toString.getBytes("UTF-8"))
+    val spark = buildSession(base, rows,
+      fromMarker = rows.isDefined && rowsArg.isEmpty)
     val inputs = (rows, fromStage) match {
       // Resume: the earlier run already wrote the inputs (and may have
       // pruned the consumed CSVs to reclaim disk — fine, the skipped
@@ -110,7 +125,7 @@ object PipelineDemo {
         Pipeline.Inputs(base.resolve("lfb-calls.csv").toString, aq,
           base.resolve("weather.csv").toString,
           base.resolve("well-being.csv").toString)
-      case (Some(n), None) => Fixtures.writeScaled(base, n)
+      case (Some(n), None) => Fixtures.writeScaled(base, n, Some(spark))
       case (None, None)    => Fixtures.write(base)
     }
     val paths = Pipeline.Paths(base.resolve("staging").toString)

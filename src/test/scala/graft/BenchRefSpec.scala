@@ -34,5 +34,12 @@ class BenchRefSpec extends AnyFunSuite {
       .filterNot(_.startsWith("_")).filterNot(registered)
     assert(stale.isEmpty,
       s"stale sentinel references for unregistered gates: ${stale.mkString(", ")}")
+    // The machine-drift canary needs a committed reference too, or drift
+    // reporting is off for exactly the run where it matters (a rebaseline
+    // that forgot the canary would make the next round's uniform-elevation
+    // adjudication fall back to arguing from history again).
+    assert(Option(refs.get("_canary")).exists(_.isInstanceOf[Number]),
+      "bench_reference.json is missing the `_canary` drift-canary reference " +
+        "(regenerate the file with a Bench run's canary MIN)")
   }
 }

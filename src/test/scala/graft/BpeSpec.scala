@@ -102,6 +102,17 @@ class BpeSpec extends SparkSpec {
     assert(r2.toSeq == (11 to 20), s"resumed run re-trained rounds: $r2")
     assert(m20.take(10) == m10)
 
+    // State hygiene: each commit prunes dicts older than round N-1, so a
+    // 20-round train leaves exactly the newest two rounds' word-dicts on
+    // state storage (at production round counts the unpruned alternative
+    // is tens of thousands of full corpus-dict copies). Merge rules — one
+    // row per round — are all retained.
+    def dictRounds(): Seq[Int] =
+      new java.io.File(s"$state/dict").listFiles()
+        .filter(_.getName.startsWith("r="))
+        .map(_.getName.stripPrefix("r=").toInt).toSeq.sorted
+    assert(dictRounds() == Seq(19, 20), s"dict rounds on disk: ${dictRounds()}")
+
     // identical to a cold 20-round run (the JVM-lifetime InterStage path)
     val (cold, coldFin) =
       graft.queries.TextQueries.bpeTrainCheckpointed(spark, d, 20)
@@ -109,12 +120,17 @@ class BpeSpec extends SparkSpec {
     assert(fin20.exceptAll(coldFin).isEmpty && coldFin.exceptAll(fin20).isEmpty)
 
     // asking for FEWER rounds than persisted returns the exact prefix and
-    // that round's dict, training nothing
+    // that round's dict, training nothing. Round 5's dict was PRUNED
+    // (only 19 and 20 remain), so this exercises bpeReplay: the dict is
+    // rebuilt by applying the committed rules to a fresh init — and must
+    // equal a live 5-round train's symbol table exactly.
     val (m5, fin5) = graft.queries.TextQueries.bpeTrainCheckpointed(
       spark, d, 5, (r, _) => fail(s"round $r re-trained on a full prefix"),
       Some(state))
     assert(m5 == m10.take(5))
-    assert(fin5.count() > 0)
+    val (_, live5) = graft.queries.TextQueries.bpeTrainCheckpointed(spark, d, 5)
+    assert(fin5.exceptAll(live5).isEmpty && live5.exceptAll(fin5).isEmpty,
+      "replayed round-5 dict differs from a live 5-round train")
 
     // A crash mid-merge-write leaves merges/r=N existing but uncommitted
     // (FileOutputCommitter creates the dir before job commit; _SUCCESS is
@@ -129,6 +145,8 @@ class BpeSpec extends SparkSpec {
       spark, d, 20, (r, _) => { r3 += r; () }, Some(state))
     assert(r3.toSeq == Seq(20), s"expected exactly round 20 to re-train: $r3")
     assert(m20b == m20)
+    // the crash-retrain path re-prunes: still exactly the newest two dicts
+    assert(dictRounds() == Seq(19, 20), s"dict rounds on disk: ${dictRounds()}")
 
     // corpus guard: the same state dir under a different corpus fails loudly
     val e = intercept[IllegalArgumentException] {

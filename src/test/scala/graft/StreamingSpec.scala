@@ -548,6 +548,86 @@ class StreamingSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("rebucketScd2")))
   }
 
+  test("rebucket + large-batch state writes are bucket-aligned: O(1) files per bucket") {
+    // The failure shape this pins: partitionBy("bucket") with no
+    // repartition hands every upstream task rows for ~every hash bucket,
+    // fanning out tasks x buckets small files (or paying the committer's
+    // per-task sort) at exactly the 100-TB state size rebucket exists for.
+    // The write-task row budget is lowered so a spec-sized history drives
+    // the alignment path the same way 250k-row tasks would at scale.
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2fa_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2fa_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2fa_ckpt_").toString
+    spark.conf.set("spark.graft.scd2.rowsPerWriteTask", "500")
+    try {
+      val all = (1 to 4000).map(u =>
+        (u.toLong, 1000L + u, u.toLong, (u % 100).toLong * 25))
+      // many source tasks, so an unaligned write would fan out per task
+      mkEvents(all).repartition(16).write.mode("append").parquet(src)
+      EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 4)
+      val before = EventStreams.readScd2(spark, state).collect().toSet
+
+      def filesPerBucket(dir: String): Map[String, Int] = {
+        val d = new java.io.File(dir)
+        assert(d.isDirectory, s"missing $dir")
+        d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(b => b.getName ->
+            b.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      }
+      // The ingest write itself (4000 rows >> 500/task = 8 write tasks)
+      // must keep each of the 4 bucket dirs at O(1) files, not 8 each.
+      val gen0 = filesPerBucket(s"$state/batch=0/segments")
+      assert(gen0.nonEmpty && gen0.values.max <= 3,
+        s"ingest write fanned out: $gen0")
+
+      EventStreams.rebucketScd2(spark, state, 32)
+      assert(EventStreams.readScd2(spark, state).collect().toSet == before,
+        "rebucket changed the maintained history")
+      // 8 range-partitioned write tasks over 32 buckets: a bucket's rows
+      // live in one contiguous slice, so 1 file each (2 at a task seam) —
+      // an unaligned write would have up to 8 per bucket.
+      for (kind <- Seq("segments", "seen")) {
+        val fp = filesPerBucket(s"$state/batch=1/$kind")
+        assert(fp.nonEmpty && fp.values.max <= 2,
+          s"rebucket $kind write fanned out: $fp")
+      }
+    } finally spark.conf.unset("spark.graft.scd2.rowsPerWriteTask")
+  }
+
+  test("rebucketScd2 stamps the owning checkpoint's id into a legacy pre-appId manifest") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2lg_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2lg_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2lg_ckpt_").toString
+    mkEvents(Seq((1L, 1000L, 1L, 10L), (2L, 2000L, 2L, 30L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 8)
+    // age the state into the pre-appId format (same move as the bc test)
+    val p = new org.apache.hadoop.fs.Path(s"$state/batch=0/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val out = fs.create(p, true)
+    try out.write(json.replaceAll(""""appId":"[^"]*",""", "").getBytes("UTF-8"))
+    finally out.close()
+    assert(EventStreams.readManifest(spark, state, 0L).appId == "")
+    // maintenance WITHOUT the checkpoint keeps the manifest legacy (appId
+    // unknown); WITH it, the rewrite stamps the owning query id, closing
+    // the reset-guard's degraded window for maintenance-only states.
+    EventStreams.rebucketScd2(spark, state, 16)
+    assert(EventStreams.readManifest(spark, state, 1L).appId == "")
+    EventStreams.rebucketScd2(spark, state, 32, checkpointDir = Some(ckpt))
+    val stamped = EventStreams.readManifest(spark, state, 2L).appId
+    assert(stamped.nonEmpty, "expected the checkpoint's query id to be stamped")
+    // and the stamp is the REAL owner id: ingest from the same checkpoint
+    // still works (appId equality path), history intact
+    mkEvents(Seq((3L, 3000L, 1L, 60L))).coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 32)
+    assert(EventStreams.readManifest(spark, state,
+      EventStreams.manifestIds(spark, state).max).appId == stamped)
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString

@@ -140,6 +140,60 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("lfb_call").count() == 6)
   }
 
+  test("resume self-heal triggers for ANY missing dim table (structural probe)") {
+    ranOnce
+    val ghost = Pipeline.Inputs("/nonexistent/lfb.csv", Seq("/nonexistent/aq.csv"),
+      "/nonexistent/weather.csv", "/nonexistent/wb.csv")
+    // Establish a full catalog, then drop one NON-ward dim: the former
+    // hardcoded tableExists("ward") probe would have sailed past the heal
+    // and died on spark.table("weather") inside the fact build. The probe
+    // now derives from Pipeline.dimTables — the same list the stage's
+    // loaders are required to match — so every dim is covered.
+    Pipeline.run(spark, ghost, paths, fromStage = "dimension loads")
+    for (dropped <- Seq("weather", "well_being")) {
+      spark.sql(s"DROP TABLE IF EXISTS $dropped")
+      val stages = Pipeline.run(spark, ghost, paths, fromStage = "fact load")
+      assert(stages.map(_._1).headOption.contains("dimension loads"),
+        s"dropping '$dropped' did not trigger the dimension-loads heal: " +
+          stages.map(_._1))
+      assert(spark.table("lfb_call").count() == 6)
+    }
+    Pipeline.dimTables.foreach(t =>
+      assert(spark.catalog.tableExists(t), s"dim '$t' missing after heal"))
+  }
+
+  test("parallel LFB generator produces the driver writer's corpus exactly") {
+    // Per-row seeding makes the corpus a pure function of the row id: the
+    // 32-task Spark generator (header at the head of every part file) and
+    // the sequential driver writer must read back as the SAME rows under
+    // the same CSV options the extract stage uses.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixgen_")
+    val n = 5000
+    val dDir = dir.resolve("driver")
+    java.nio.file.Files.createDirectories(dDir)
+    Fixtures.writeScaled(dDir, n) // sequential driver path (no session)
+    val sPath = dir.resolve("sparkgen").toString
+    Fixtures.writeScaledLfbSpark(spark, sPath, n.toLong)
+    val a = spark.read.option("header", "true")
+      .csv(dDir.resolve("lfb-calls.csv").toString)
+    val b = spark.read.option("header", "true").csv(sPath)
+    assert(b.count() == n)
+    assert(a.schema == b.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "Spark-generated corpus differs from the driver-written one")
+    assert(b.select("IncidentNumber").distinct().count() == n)
+    // chunked generation (the storage-constrained gen->extract->prune
+    // loop) covers the id space without overlap
+    val c1 = dir.resolve("chunk1").toString
+    val c2 = dir.resolve("chunk2").toString
+    Fixtures.writeScaledLfbSpark(spark, c1, 2500L)
+    Fixtures.writeScaledLfbSpark(spark, c2, 2500L, startId = 2500L)
+    val chunks = spark.read.option("header", "true").csv(c1, c2)
+    assert(chunks.count() == n &&
+      chunks.select("IncidentNumber").distinct().count() == n)
+    assert(chunks.exceptAll(b).isEmpty && b.exceptAll(chunks).isEmpty)
+  }
+
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
     ranOnce
     // Simulate the crashed-run restart state: the managed-table directory
