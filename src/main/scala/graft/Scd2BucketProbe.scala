@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * the knob trades one against the other and the table is the sizing
   * guide.
   *
-  * Usage: runMain graft.Scd2BucketProbe [sfDir] [copies] [landings] [Bs]
+  * Usage: runMain graft.Scd2BucketProbe [sfDir] [copies] [landings] [Bs] [rebucketTo]
   */
 object Scd2BucketProbe {
   def main(args: Array[String]): Unit = {
@@ -73,6 +73,26 @@ object Scd2BucketProbe {
       println(f"[s2bprobe] B=$b%3d SUMMARY: full-touch mean(last ${landings - 1}) " +
         f"${ts.drop(1).sum / (landings - 1)}%.1f s, state files ${countFiles(state)}, " +
         f"latest-batch files ${countFiles(s"$state/batch=$latest")}")
+
+      // Optional 5th arg: migrate this state to B' and report the
+      // amortized-rare OPTIMIZE's cost + committer shape (the write is
+      // range-aligned on (bucket, user_id), so files-per-bucket must stay
+      // O(1) however many tasks rewrote the history).
+      args.lift(4).map(_.trim.toInt).foreach { b2 =>
+        val t0 = System.nanoTime()
+        EventStreams.rebucketScd2(spark, state, b2)
+        val t = (System.nanoTime() - t0) / 1e9
+        val gen = EventStreams.manifestIds(spark, state).max
+        val perBucket = Option(new java.io.File(s"$state/batch=$gen/segments")
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+        val hist = EventStreams.readScd2(spark, state).count()
+        println(f"[s2bprobe] B=$b%3d -> $b2 REBUCKET @$hist-row history: " +
+          f"$t%.1f s, occupied buckets ${perBucket.length}, files/bucket " +
+          f"max ${perBucket.max} mean ${perBucket.sum.toDouble / perBucket.length}%.2f, " +
+          f"generation files ${countFiles(s"$state/batch=$gen")}")
+      }
     }
     spark.stop()
   }

@@ -567,12 +567,12 @@ object EventStreams {
             if (ps.isEmpty) 0L else spark.read.parquet(ps: _*).count()
           }
           bucketAligned(segs.withColumn("bucket", bucketCol),
-              priorRows("segments") + batchRows)
+              priorRows("segments") + batchRows, buckets)
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(s"$stateDir/batch=$genId/segments")
           bucketAligned(
               seen.withColumn("bucket", pmod(hash(col("user_id")), lit(buckets))),
-              priorRows("seen") + batchRows)
+              priorRows("seen") + batchRows, buckets)
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(s"$stateDir/batch=$genId/seen")
           val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
@@ -682,25 +682,38 @@ object EventStreams {
     * files (a 640-task × 256-bucket history ≈ 160k files — exactly the
     * 100-TB state size the rebucket path exists for) or pays a per-task
     * sort over the unclustered partition column (the measured spill term).
-    * Leading the range key with `bucket` gives each write task a contiguous
-    * bucket slice — 1-2 open writers per task, O(1) files per bucket —
-    * and `user_id` keeps rows clustered for the per-user merge that reads
-    * them back. `estRows` sizes the partition count (~250k rows/task, the
-    * measured spill threshold); an upper-bound estimate only makes tasks
-    * smaller. A write that fits one task skips the extra shuffle, keeping
-    * the ordinary per-landing plan exactly as the r14 ladder measured it.
+    * The alignment shuffle is a HASH repartition on (bucket, salt) with
+    * salt = hash(user_id) mod ceil(parts/buckets) — each (bucket, salt)
+    * group lands wholly in one task, so a bucket spans at most
+    * ceil(parts/buckets) files (1 whenever tasks outnumber rows-per-task
+    * groups less than buckets) while parallelism stays `parts` even when
+    * parts >> buckets (the 100-TB rebucket shape). Range partitioning was
+    * measured and rejected here: repartitionByRange SAMPLES its child,
+    * re-executing the upstream merge plan once more per landing (+~40% on
+    * the probe's full-touch landings); the salted hash is sample-free and
+    * deterministic. `sortWithinPartitions` keeps one open writer at a time
+    * per task and clusters user_id for the per-bucket readers. `estRows`
+    * sizes the partition count (~250k rows/task, the measured spill
+    * threshold); an upper-bound estimate only makes tasks smaller. A write
+    * that fits one task skips the extra shuffle, keeping the ordinary
+    * per-landing plan exactly as the r14 ladder measured it.
     * `spark.graft.scd2.rowsPerWriteTask` overrides the 250k default — the
     * measured threshold is for WIDE fact rows; scd2 state rows are narrow,
     * so an operator can raise it (and the spec lowers it to drive the
     * alignment path at test scale).
     */
-  private def bucketAligned(df: DataFrame, estRows: Long): DataFrame = {
+  private def bucketAligned(df: DataFrame, estRows: Long,
+                            buckets: Int): DataFrame = {
     val perTask = df.sparkSession.conf
       .get("spark.graft.scd2.rowsPerWriteTask", "250000").toLong
     val parts = graft.ops.Relational.rowSizedPartitions(estRows, perTask)
     if (parts <= 1) df
-    else df.repartitionByRange(parts, col("bucket"), col("user_id"))
-      .sortWithinPartitions(col("bucket"), col("user_id"))
+    else {
+      val salt = (parts + buckets - 1) / buckets
+      df.repartition(parts, col("bucket"),
+          pmod(hash(col("user_id")), lit(salt)))
+        .sortWithinPartitions(col("bucket"), col("user_id"))
+    }
   }
 
   def rebucketScd2(spark: SparkSession, stateDir: String, newBuckets: Int,
@@ -718,7 +731,8 @@ object EventStreams {
     for (kind <- Seq("segments", "seen")) {
       val snap = spark.read.parquet(paths(kind): _*)
       // count() over parquet is a footer-metadata read, not a data scan
-      bucketAligned(snap.withColumn("bucket", bucketCol), snap.count())
+      bucketAligned(snap.withColumn("bucket", bucketCol), snap.count(),
+          newBuckets)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$stateDir/batch=$genId/$kind")
     }

@@ -583,9 +583,9 @@ class StreamingSpec extends SparkSpec {
       EventStreams.rebucketScd2(spark, state, 32)
       assert(EventStreams.readScd2(spark, state).collect().toSet == before,
         "rebucket changed the maintained history")
-      // 8 range-partitioned write tasks over 32 buckets: a bucket's rows
-      // live in one contiguous slice, so 1 file each (2 at a task seam) —
-      // an unaligned write would have up to 8 per bucket.
+      // 8 write tasks over 32 buckets (salt = 1): each (bucket, salt)
+      // group hashes wholly into one task, so 1 file per bucket — an
+      // unaligned write would have up to 8 per bucket.
       for (kind <- Seq("segments", "seen")) {
         val fp = filesPerBucket(s"$state/batch=1/$kind")
         assert(fp.nonEmpty && fp.values.max <= 2,
