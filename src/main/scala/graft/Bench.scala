@@ -72,7 +72,7 @@ object Bench {
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 1L << 29, 1L, 32)
-        // bit_xor, not sum: an ANSI-mode sum of 2^27 uniform longs overflows
+        // bit_xor, not sum: an ANSI-mode sum of 2^29 uniform longs overflows
         .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7, id * 31)))")
         .collect()
       (System.nanoTime() - t0) / 1e9

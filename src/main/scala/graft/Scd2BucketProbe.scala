@@ -76,8 +76,9 @@ object Scd2BucketProbe {
 
       // Optional 5th arg: migrate this state to B' and report the
       // amortized-rare OPTIMIZE's cost + committer shape (the write is
-      // range-aligned on (bucket, user_id), so files-per-bucket must stay
-      // O(1) however many tasks rewrote the history).
+      // salted-HASH-aligned on (bucket, user_id-salt) — see
+      // EventStreams.bucketAligned — so files-per-bucket must stay O(1)
+      // however many tasks rewrote the history).
       args.lift(4).map(_.trim.toInt).foreach { b2 =>
         val t0 = System.nanoTime()
         EventStreams.rebucketScd2(spark, state, b2)
@@ -88,10 +89,14 @@ object Scd2BucketProbe {
           .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
           .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
         val hist = EventStreams.readScd2(spark, state).count()
-        println(f"[s2bprobe] B=$b%3d -> $b2 REBUCKET @$hist-row history: " +
-          f"$t%.1f s, occupied buckets ${perBucket.length}, files/bucket " +
-          f"max ${perBucket.max} mean ${perBucket.sum.toDouble / perBucket.length}%.2f, " +
-          f"generation files ${countFiles(s"$state/batch=$gen")}")
+        if (perBucket.isEmpty)
+          println(f"[s2bprobe] B=$b%3d -> $b2 REBUCKET @$hist-row history: " +
+            f"$t%.1f s, NO bucket dirs under batch=$gen/segments (empty state?)")
+        else
+          println(f"[s2bprobe] B=$b%3d -> $b2 REBUCKET @$hist-row history: " +
+            f"$t%.1f s, occupied buckets ${perBucket.length}, files/bucket " +
+            f"max ${perBucket.max} mean ${perBucket.sum.toDouble / perBucket.length}%.2f, " +
+            f"generation files ${countFiles(s"$state/batch=$gen")}")
       }
     }
     spark.stop()

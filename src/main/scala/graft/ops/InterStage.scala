@@ -20,14 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object InterStage {
 
+  /** Recursive local delete — the one copy (scratch hooks, consumed-CSV
+    * pruning in ChunkedExtract) instead of one per call site. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively)); f.delete(); ()
+  }
+
   private lazy val root: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_interstage_")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
+    sys.addShutdownHook { deleteRecursively(p.toFile) }
     p
   }
 
@@ -66,12 +67,7 @@ object InterStage {
     */
   private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
   locally {
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      scratch.forEach(p => rm(p.toFile))
-    }
+    sys.addShutdownHook { scratch.forEach(p => deleteRecursively(p.toFile)) }
     ()
   }
   def scratchDir(prefix: String): String = {

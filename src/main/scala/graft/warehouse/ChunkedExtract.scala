@@ -23,8 +23,10 @@ object ChunkedExtract {
   def main(args: Array[String]): Unit = {
     val rows = args.sliding(2).collectFirst { case Array("--rows", n) => n.toInt }
       .getOrElse(sys.error("ChunkedExtract requires --rows <n>"))
+    require(rows >= 1, s"--rows must be >= 1, got $rows")
     val chunks = args.sliding(2).collectFirst { case Array("--chunks", k) => k.toInt }
       .getOrElse(math.max(1, math.ceil(rows / 1.0e8).toInt)) // ~100M-row slices
+    require(chunks >= 1, s"--chunks must be >= 1, got $chunks")
     val flagValues = args.zip(args.drop(1)).collect {
       case (f, v) if f.startsWith("--") => v
     }.toSet
@@ -45,12 +47,7 @@ object ChunkedExtract {
     def freeGb: Double = base.toFile.getUsableSpace / 1e9
     val per = math.ceil(rows.toDouble / chunks).toLong
     val csv = base.resolve("lfb-calls.csv")
-    def rmCsv(): Unit = {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(csv.toFile)
-    }
+    def rmCsv(): Unit = graft.ops.InterStage.deleteRecursively(csv.toFile)
     val t00 = System.nanoTime()
     for (c <- 0 until chunks) {
       val start = c * per

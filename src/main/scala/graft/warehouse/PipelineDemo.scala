@@ -107,7 +107,11 @@ object PipelineDemo {
     }
     // Written for EVERY explicit --rows, resume or not: a resume that
     // deliberately overrides --rows must not leave a stale marker behind
-    // for a later --from-only resume to size the session with.
+    // for a later --from-only resume to size the session with. The
+    // contract this encodes: `--rows` on a resume is an explicit re-size
+    // declaration and PERSISTS — pass it only with the staged corpus's
+    // real row count (or a deliberate new sizing); a wrong override
+    // mis-sizes every later --from-only resume until corrected.
     if (rowsArg.isDefined)
       java.nio.file.Files.write(rowsMarker,
         rowsArg.get.toString.getBytes("UTF-8"))
