@@ -35,8 +35,68 @@ object Jobs {
     existing match {
       case Some(ex) =>
         val keyDf0 = ex.select(keys.map(col): _*).distinct()
-        val keyDf = if (broadcastExisting) broadcast(keyDf0) else keyDf0
-        df.join(keyDf, keys, "left_anti").write.mode("append").parquet(outPath)
+        // Three shapes for "append only new keys", chosen by size:
+        //  - J3 broadcast hint: caller knows the accumulated keys are small.
+        //  - classic shuffle anti-join below `bloomThreshold` existing rows
+        //    (the shape every gate measures; footer-count probe, no scan).
+        //  - Bloom-prefiltered (the x1b shape) past it: a Bloom over the
+        //    existing keys (treeAggregate — scan, no shuffle, no distinct)
+        //    drops landing rows that cannot be duplicates at the scan via
+        //    the codegen'd probe; the surviving ~fpp tail's keys
+        //    broadcast-semi-join against existing to find the TRUE
+        //    duplicate keys, which broadcast-anti-join the landing. Bloom
+        //    false positives die in the exact joins, so the appended rows
+        //    are identical to the classic plan's (spec-pinned), and the
+        //    landing/accumulated keys never shuffle — per-landing cost is
+        //    independent of the accumulated key-set size. The price is one
+        //    extra parse of the landing and a second scan of existing, and
+        //    that trade was MEASURED AGAINST, not assumed: at every rung
+        //    this box reaches (up to 400M accumulated keys, SCALE.md r16)
+        //    the classic shuffle is cheaper than the re-parse, so the
+        //    default threshold keeps the path OFF below 2B rows — opt in
+        //    via the conf on clusters where the accumulated-key exchange,
+        //    not the parse, is the binding term. A duplicate-heavy landing
+        //    (a full re-delivery) would blow the broadcast, so survivors
+        //    past `maxBroadcastKeys` fall back to the classic shuffle
+        //    join — correctness never depends on the estimate.
+        val bloomThreshold = spark.conf
+          .get("spark.graft.extract.bloomThreshold", "2000000000").toLong
+        lazy val exRows = ex.count() // parquet footer metadata, no data scan
+        if (broadcastExisting) {
+          df.join(broadcast(keyDf0), keys, "left_anti")
+            .write.mode("append").parquet(outPath)
+        } else if (exRows < bloomThreshold) {
+          df.join(keyDf0, keys, "left_anti")
+            .write.mode("append").parquet(outPath)
+        } else {
+          // xxhash64 composite key (the probe expression takes bigint, the
+          // x1b convention): a hash collision - or null components hashing
+          // alike - only ADDS false positives, which the exact joins
+          // remove; it can never drop a match.
+          val ckey = xxhash64(keys.map(c => col(c).cast("string")): _*)
+          val bloom = ex.select(ckey.as("_k"))
+            .stat.bloomFilter("_k", math.max(exRows, 1000L), 0.01)
+          // Materialized once: the guard count, the semi join, and the
+          // broadcast all reuse the tiny parquet instead of re-parsing the
+          // landing CSV per consumer (the landing is scanned exactly twice
+          // total — survivor pass + final write — vs once classically).
+          val survPath = graft.ops.InterStage.scratchDir("graft_extract_surv_") + "/k"
+          df.where(graft.functions.BloomMightContainF(ckey, bloom))
+            .select(keys.map(col): _*).distinct()
+            .write.mode("overwrite").parquet(survPath)
+          val survivorKeys = spark.read.parquet(survPath)
+          val maxBroadcast = spark.conf
+            .get("spark.graft.extract.maxBroadcastKeys", "4000000").toLong
+          if (survivorKeys.count() > maxBroadcast)
+            df.join(keyDf0, keys, "left_anti")
+              .write.mode("append").parquet(outPath)
+          else {
+            val dupKeys = ex.select(keys.map(col): _*)
+              .join(broadcast(survivorKeys), keys, "left_semi").distinct()
+            df.join(broadcast(dupKeys), keys, "left_anti")
+              .write.mode("append").parquet(outPath)
+          }
+        }
       case None => df.write.mode("overwrite").parquet(outPath)
     }
   }

@@ -194,6 +194,53 @@ class PipelineSpec extends SparkSpec {
     assert(chunks.exceptAll(b).isEmpty && b.exceptAll(chunks).isEmpty)
   }
 
+  test("bloom-prefiltered incremental extract equals the classic anti-join append") {
+    // The 100-TB K2 shape: past `bloomThreshold` accumulated rows the
+    // extract prefilters the landing scan-side with a Bloom over existing
+    // keys and resolves duplicates via broadcast joins — appended rows
+    // must be IDENTICAL to the classic shuffle anti-join's.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomex_")
+    def csv(name: String, rows: Seq[String]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, ("k,v" +: rows).mkString("\n"))
+      p.toString
+    }
+    val v1 = csv("v1.csv", (1 to 50).map(i => s"K$i,a$i"))
+    // second landing: 30 duplicate keys (new payload) + 25 new keys
+    val v2 = csv("v2.csv", ((21 to 50) ++ (51 to 75)).map(i => s"K$i,b$i"))
+    def run(out: String, bloom: Boolean): Set[(String, String)] = {
+      if (bloom) spark.conf.set("spark.graft.extract.bloomThreshold", "1")
+      try {
+        Jobs.extract(spark, v1, out, Seq("k"))
+        Jobs.extract(spark, v2, out, Seq("k"))
+        // full re-delivery (every key a duplicate): appends nothing
+        Jobs.extract(spark, v2, out, Seq("k"))
+        spark.read.parquet(out).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      } finally spark.conf.unset("spark.graft.extract.bloomThreshold")
+    }
+    val classic = run(dir.resolve("classic").toString, bloom = false)
+    val bloomed = run(dir.resolve("bloom").toString, bloom = true)
+    assert(bloomed == classic, "bloom path diverged from the classic append")
+    assert(classic.size == 75)
+    // duplicate keys keep the FIRST landing's payload (K2 semantics)
+    assert(classic.contains(("K21", "a21")) && classic.contains(("K51", "b51")))
+    // dup-heavy guard: survivors past maxBroadcastKeys fall back to the
+    // classic shuffle join and stay exact
+    val fb = dir.resolve("fallback").toString
+    spark.conf.set("spark.graft.extract.bloomThreshold", "1")
+    spark.conf.set("spark.graft.extract.maxBroadcastKeys", "1")
+    try {
+      Jobs.extract(spark, v1, fb, Seq("k"))
+      Jobs.extract(spark, v2, fb, Seq("k"))
+      assert(spark.read.parquet(fb).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet == classic)
+    } finally {
+      spark.conf.unset("spark.graft.extract.bloomThreshold")
+      spark.conf.unset("spark.graft.extract.maxBroadcastKeys")
+    }
+  }
+
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
     ranOnce
     // Simulate the crashed-run restart state: the managed-table directory
