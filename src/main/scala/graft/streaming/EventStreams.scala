@@ -560,11 +560,21 @@ object EventStreams {
           // The rewrite's size is touched-bucket HISTORY + landing, not the
           // landing alone (a backfill-sized batch touching every bucket
           // rewrites the whole history), so the write is sized by that
-          // bound — prior rows come from parquet footers, no data scan —
-          // and bucket-aligned past one task's worth (see bucketAligned).
+          // bound. Prior rows come from the previous manifest's per-bucket
+          // row stamps (a driver-side map lookup — no Spark job); a legacy
+          // manifest without stamps pays the footer-count job once more,
+          // and this commit stamps full coverage so the next one won't.
           def priorRows(kind: String): Long = {
-            val ps = prior(kind)
-            if (ps.isEmpty) 0L else spark.read.parquet(ps: _*).count()
+            val stamped = prevMan.flatMap { m =>
+              val rows = if (kind == "segments") m.segRows else m.seenRows
+              val holders = touched.filter(m.entries.contains)
+              if (holders.forall(rows.contains)) Some(holders.map(rows).sum)
+              else None
+            }
+            stamped.getOrElse {
+              val ps = prior(kind)
+              if (ps.isEmpty) 0L else spark.read.parquet(ps: _*).count()
+            }
           }
           bucketAligned(segs.withColumn("bucket", bucketCol),
               priorRows("segments") + batchRows, buckets)
@@ -577,8 +587,24 @@ object EventStreams {
             .parquet(s"$stateDir/batch=$genId/seen")
           val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
             touched.map(_ -> genId)
+          // Row stamps for the NEW manifest: touched buckets from the
+          // footers of the files just written; untouched buckets carry
+          // their previous stamp forward, or — legacy upgrade, one-time —
+          // are footer-read from their current holder dirs.
+          def stampRows(kind: String, prevRows: Map[Int, Long]): Map[Int, Long] = {
+            val fresh = footerRowsByBucket(spark, s"$stateDir/batch=$genId/$kind")
+            val carried = entries.filterNot { case (b, _) => fresh.contains(b) }
+            val (known, missing) = carried.partition { case (b, _) => prevRows.contains(b) }
+            val upgraded = missing.groupBy(_._2).flatMap { case (mid, es) =>
+              val all = footerRowsByBucket(spark, s"$stateDir/batch=$mid/$kind")
+              es.keys.map(b => b -> all.getOrElse(b, 0L))
+            }
+            fresh ++ known.map { case (b, _) => b -> prevRows(b) } ++ upgraded
+          }
           writeManifest(spark, stateDir, genId,
-            Scd2Manifest(buckets, batchId, entries, qid)) // commit point
+            Scd2Manifest(buckets, batchId, entries, qid,
+              stampRows("segments", prevMan.map(_.segRows).getOrElse(Map.empty)),
+              stampRows("seen", prevMan.map(_.seenRows).getOrElse(Map.empty)))) // commit point
           pruneScd2(spark, stateDir, genId, prevId)
         }
       }
@@ -702,16 +728,23 @@ object EventStreams {
     * so an operator can raise it (and the spec lowers it to drive the
     * alignment path at test scale).
     */
-  private def bucketAligned(df: DataFrame, estRows: Long,
-                            buckets: Int): DataFrame = {
+  private[graft] def bucketAligned(df: DataFrame, estRows: Long,
+                                   buckets: Int): DataFrame = {
     val perTask = df.sparkSession.conf
       .get("spark.graft.scd2.rowsPerWriteTask", "250000").toLong
     val parts = graft.ops.Relational.rowSizedPartitions(estRows, perTask)
     if (parts <= 1) df
     else {
       val salt = (parts + buckets - 1) / buckets
+      // The salt hash carries an extra constant column, making it
+      // independent of the bucket hash `pmod(hash(user_id), buckets)`.
+      // Salting with the SAME hash would yield only lcm(buckets, salt)
+      // distinct (bucket, salt) groups — when gcd(buckets, salt) > 1
+      // (power-of-two buckets with an even salt, the typical large-rebucket
+      // shape) the salt adds zero groups and parallelism collapses to
+      // <= buckets instead of staying `parts`.
       df.repartition(parts, col("bucket"),
-          pmod(hash(col("user_id")), lit(salt)))
+          pmod(hash(col("user_id"), lit(1)), lit(salt)))
         .sortWithinPartitions(col("bucket"), col("user_id"))
     }
   }
@@ -730,17 +763,25 @@ object EventStreams {
     val bucketCol = pmod(hash(col("user_id")), lit(newBuckets))
     for (kind <- Seq("segments", "seen")) {
       val snap = spark.read.parquet(paths(kind): _*)
-      // count() over parquet is a footer-metadata read, not a data scan
-      bucketAligned(snap.withColumn("bucket", bucketCol), snap.count(),
+      // write sizing: manifest row stamps when fully covered (driver-side
+      // lookup), else the footer-metadata count() job (legacy manifests)
+      val stamps = if (kind == "segments") m.segRows else m.seenRows
+      val estRows =
+        if (m.entries.keysIterator.forall(stamps.contains))
+          m.entries.keysIterator.map(stamps).sum
+        else snap.count()
+      bucketAligned(snap.withColumn("bucket", bucketCol), estRows,
           newBuckets)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$stateDir/batch=$genId/$kind")
     }
-    // Manifest entries list only buckets that EXIST on disk (partitionBy
-    // emits no dir for an empty bucket, and readers existence-check every
-    // entry) — the occupied set is ≤ newBuckets ints, driver-safe.
-    val occupied = spark.read.parquet(s"$stateDir/batch=$genId/seen")
-      .select(col("bucket")).distinct().collect().map(_.getInt(0)).sorted
+    // Row stamps for the rewritten state — the same footer sweep also
+    // yields the occupied set: manifest entries list only buckets that
+    // EXIST on disk (partitionBy emits no dir for an empty bucket, and
+    // readers existence-check every entry); ≤ newBuckets ints, driver-safe.
+    val segRows = footerRowsByBucket(spark, s"$stateDir/batch=$genId/segments")
+    val seenRows = footerRowsByBucket(spark, s"$stateDir/batch=$genId/seen")
+    val occupied = (segRows.keySet ++ seenRows.keySet).toSeq.sorted
     // txn carries forward: maintenance applies no streaming batch. appId
     // carries forward too — EXCEPT for a legacy pre-appId manifest (empty
     // appId), where the checkpoint-reset guard is silently degraded (an
@@ -752,10 +793,32 @@ object EventStreams {
     // knowing it), never a freshly reset one.
     val appId =
       if (m.appId.nonEmpty) m.appId
-      else checkpointDir.map(checkpointQueryId(spark, _)).getOrElse("")
+      else checkpointDir.map { dir =>
+        // Ownership sanity check before stamping: the checkpoint that
+        // PRODUCED this state must have progressed at least to the
+        // manifest's txn watermark (its offsets log records every started
+        // batch). A freshly reset checkpoint has no such progress, so
+        // stamping it here would wedge the real owner's next ingest on the
+        // appId-mismatch guard — refuse loudly at maintenance time instead.
+        val cand = checkpointQueryId(spark, dir)
+        val progressed = checkpointMaxOffsetBatch(spark, dir).exists(_ >= m.txn)
+        if (cand.isEmpty || !progressed) {
+          System.err.println(s"[scd2] rebucketScd2: NOT stamping query id " +
+            s"'$cand' from $dir — its offsets log has not reached the " +
+            s"manifest's txn watermark ${m.txn}, so it cannot be the " +
+            "checkpoint that produced this state. Pass the original " +
+            "checkpoint (manifest stays legacy/unstamped).")
+          ""
+        } else {
+          System.err.println(s"[scd2] rebucketScd2: stamping owning query " +
+            s"id '$cand' (from $dir, progressed through txn >= ${m.txn}) " +
+            s"into the legacy manifest under $stateDir")
+          cand
+        }
+      }.getOrElse("")
     writeManifest(spark, stateDir, genId,
       Scd2Manifest(newBuckets, m.txn, occupied.map(_ -> genId).toMap,
-        appId)) // commit
+        appId, segRows, seenRows)) // commit
     pruneScd2(spark, stateDir, genId, Some(prevId))
   }
 
@@ -770,9 +833,20 @@ object EventStreams {
     * the field existed deserialize with txn = generation id (the two were
     * identical then).
     */
+  /** `segRows`/`seenRows` carry the ACTUAL parquet row count per bucket
+    * (from the footers of the files the committing write produced), so the
+    * next landing sizes its bucket-aligned write from a manifest lookup
+    * instead of launching two footer-count Spark jobs per landing — the
+    * residual full-touch overhead the r16 probe measured. Manifests
+    * written before the fields existed deserialize them empty; the reader
+    * falls back to the count job and the next commit stamps full coverage
+    * (one-time footer sweep of the carried buckets).
+    */
   private[graft] final case class Scd2Manifest(buckets: Int, txn: Long,
                                                    entries: Map[Int, Long],
-                                                   appId: String = "")
+                                                   appId: String = "",
+                                                   segRows: Map[Int, Long] = Map.empty,
+                                                   seenRows: Map[Int, Long] = Map.empty)
 
   private def manifestFile(stateDir: String, id: Long) =
     new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id/manifest.json")
@@ -801,6 +875,20 @@ object EventStreams {
     }
   }
 
+  /** Highest streaming batch id the checkpoint has STARTED (its offsets
+    * log) — the progress witness `rebucketScd2` checks before stamping a
+    * query id into a legacy manifest. None when the checkpoint has never
+    * run a batch (e.g. freshly reset).
+    */
+  private def checkpointMaxOffsetBatch(spark: SparkSession,
+                                       checkpointDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/offsets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption).maxOption
+  }
+
   private[graft] def manifestIds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -817,25 +905,71 @@ object EventStreams {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     import scala.jdk.CollectionConverters._
+    def intMap(field: String): Map[Int, Long] =
+      Option(node.get(field)).map(_.properties().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty)
     val entries = node.get("entries").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
     val txn = Option(node.get("txn")).map(_.asLong).getOrElse(id)
     val appId = Option(node.get("appId")).map(_.asText).getOrElse("")
-    Scd2Manifest(node.get("buckets").asInt(), txn, entries, appId)
+    Scd2Manifest(node.get("buckets").asInt(), txn, entries, appId,
+      intMap("segRows"), intMap("seenRows"))
   }
 
   private def writeManifest(spark: SparkSession, stateDir: String, id: Long,
                             m: Scd2Manifest): Unit = {
     val p = manifestFile(stateDir, id)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = m.entries.toSeq.sorted
-      .map { case (b, mid) => s""""$b":$mid""" }.mkString("{", ",", "}")
+    def intMap(m: Map[Int, Long]): String = m.toSeq.sorted
+      .map { case (b, v) => s""""$b":$v""" }.mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(
       (s"""{"buckets":${m.buckets},"txn":${m.txn},"appId":"${m.appId}",""" +
-        s""""entries":$entries}""")
+        s""""segRows":${intMap(m.segRows)},"seenRows":${intMap(m.seenRows)},""" +
+        s""""entries":${intMap(m.entries)}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Parquet row counts per `bucket=<b>` subdir of one state kind dir —
+    * driver-side footer reads (a handful of bytes per file; the aligned
+    * write keeps files-per-bucket O(1)), parallel across files so a
+    * full-touch landing's sweep is bounded by the pool, not file count.
+    * This is what the manifest's row stamps are computed from at commit:
+    * per-landing it replaces a Spark count JOB (scheduler latency + task
+    * launch per landing) with direct footer IO on the driver.
+    */
+  private def footerRowsByBucket(spark: SparkSession,
+                                 kindDir: String): Map[Int, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(kindDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    val files = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .flatMap { bd =>
+        val b = bd.getPath.getName.stripPrefix("bucket=").toInt
+        fs.listStatus(bd.getPath).toSeq
+          .filter(st => st.getPath.getName.endsWith(".parquet"))
+          .map(b -> _)
+      }
+    if (files.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, files.size))
+    try {
+      val futs = files.map { case (b, st) =>
+        b -> pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+        })
+      }
+      futs.groupMapReduce(_._1)(_._2.get())(_ + _)
+    } finally pool.shutdown()
   }
 
   /** Prune for the bucketed SCD2 state: keep the just-committed batch, the

@@ -27,6 +27,11 @@ object ChunkedExtract {
     val chunks = args.sliding(2).collectFirst { case Array("--chunks", k) => k.toInt }
       .getOrElse(math.max(1, math.ceil(rows / 1.0e8).toInt)) // ~100M-row slices
     require(chunks >= 1, s"--chunks must be >= 1, got $chunks")
+    // More chunks than rows would leave later chunks with cnt <= 0:
+    // header-only CSVs generated, "extracted" (0 rows), and logged as real
+    // slices — wasteful and confusing, so reject the shape up front.
+    require(chunks <= rows,
+      s"--chunks ($chunks) must not exceed --rows ($rows)")
     val flagValues = args.zip(args.drop(1)).collect {
       case (f, v) if f.startsWith("--") => v
     }.toSet

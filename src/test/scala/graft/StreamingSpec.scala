@@ -628,6 +628,122 @@ class StreamingSpec extends SparkSpec {
       EventStreams.manifestIds(spark, state).max).appId == stamped)
   }
 
+  test("bucketAligned salt is decorrelated from the bucket hash: parallelism ~= parts") {
+    // The collapse shape this pins: salt = pmod(hash(user_id), salt) is a
+    // function of the SAME hash as bucket = pmod(hash(user_id), buckets),
+    // so distinct (bucket, salt) groups = lcm(buckets, salt). With
+    // buckets = 8, parts = 64 => salt = 8, gcd = 8: the correlated salt
+    // yields only lcm(8, 8) = 8 groups — every bucket's whole history in
+    // ONE write task, parallelism <= buckets instead of ~parts. The
+    // decorrelated salt (independent hash seed) yields ~64 groups.
+    spark.conf.set("spark.graft.scd2.rowsPerWriteTask", "100")
+    try {
+      val buckets = 8
+      val df = spark.range(6400).select(
+        col("id").as("user_id"),
+        pmod(hash(col("id")), lit(buckets)).as("bucket"))
+      val aligned = EventStreams.bucketAligned(df, estRows = 6400L, buckets)
+      val nonEmpty = aligned.select(spark_partition_id().as("p"))
+        .distinct().count()
+      // 64 independent (bucket, salt) groups hash into 64 partitions:
+      // balls-into-bins expectation ~40 non-empty; the correlated-salt bug
+      // caps it at 8. Assert well above the bug and near the expectation.
+      assert(nonEmpty >= 24,
+        s"salt correlated with bucket hash: only $nonEmpty non-empty " +
+          "partitions for parts=64, buckets=8 (bug caps at 8)")
+    } finally spark.conf.unset("spark.graft.scd2.rowsPerWriteTask")
+  }
+
+  test("rebucketScd2 refuses to stamp a checkpoint that never produced the state") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2ns_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2ns_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2ns_ckpt_").toString
+    mkEvents(Seq((1L, 1000L, 1L, 10L), (2L, 2000L, 2L, 30L)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 8)
+    // age the state into the pre-appId format
+    val p = new org.apache.hadoop.fs.Path(s"$state/batch=0/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val out = fs.create(p, true)
+    try out.write(json.replaceAll(""""appId":"[^"]*",""", "").getBytes("UTF-8"))
+    finally out.close()
+    // A RESET checkpoint: has a metadata file (query id regenerated) but no
+    // offsets progress — it cannot be the checkpoint that produced txn 0.
+    // Stamping its id would wedge the real owner's next ingest on the
+    // appId-mismatch guard; the rewrite must refuse and stay legacy.
+    val resetCkpt = java.nio.file.Files
+      .createTempDirectory("graft_scd2ns_reset_").toString
+    val mp = new org.apache.hadoop.fs.Path(s"$resetCkpt/metadata")
+    val mo = fs.create(mp, true)
+    try mo.write("""{"id":"00000000-dead-beef-0000-000000000000"}"""
+      .getBytes("UTF-8"))
+    finally mo.close()
+    EventStreams.rebucketScd2(spark, state, 16, checkpointDir = Some(resetCkpt))
+    assert(EventStreams.readManifest(spark, state, 1L).appId == "",
+      "a checkpoint with no batch progress must not be stamped as owner")
+    // and the REAL owner (offsets progressed through txn 0) still stamps
+    EventStreams.rebucketScd2(spark, state, 32, checkpointDir = Some(ckpt))
+    assert(EventStreams.readManifest(spark, state, 2L).appId.nonEmpty)
+  }
+
+  test("scd2 manifest row stamps: sized from the manifest, legacy manifests upgraded") {
+    val src = java.nio.file.Files.createTempDirectory("graft_scd2rs_src_").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_scd2rs_state_").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2rs_ckpt_").toString
+    mkEvents((1 to 40).map(u => (u.toLong, 1000L + u, u.toLong, (u % 4).toLong * 25)))
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 4)
+    def manifest(id: Long) = EventStreams.readManifest(spark, state, id)
+    def actualRows(id: Long, kind: String): Map[Int, Long] =
+      spark.read.parquet(s"$state/batch=$id/$kind")
+        .groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // gen 0: stamps cover every entry and equal the real per-bucket counts
+    val m0 = manifest(0L)
+    assert(m0.segRows == actualRows(0L, "segments"), "segRows stamp wrong")
+    assert(m0.seenRows == actualRows(0L, "seen"), "seenRows stamp wrong")
+    assert(m0.entries.keySet.subsetOf(m0.segRows.keySet))
+    // age the manifest into the pre-stamp format (drop the rows fields)
+    val p = new org.apache.hadoop.fs.Path(s"$state/batch=0/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val out = fs.create(p, true)
+    try out.write(json
+      .replaceAll(""""segRows":\{[^}]*\},"seenRows":\{[^}]*\},""", "")
+      .getBytes("UTF-8"))
+    finally out.close()
+    assert(manifest(0L).segRows.isEmpty && manifest(0L).seenRows.isEmpty)
+    // a landing over the legacy manifest still ingests correctly (falls
+    // back to the count job) and its commit stamps FULL coverage — the
+    // untouched buckets' one-time footer upgrade included
+    mkEvents(Seq((100L, 5000L, 1L, 75L))).coalesce(1)
+      .write.mode("append").parquet(src)
+    EventStreams.scd2Ingest(spark, src, state, ckpt, buckets = 4)
+    val m1 = manifest(1L)
+    assert(m1.entries.keySet == m0.entries.keySet)
+    val expected = m1.entries.map { case (b, mid) =>
+      b -> actualRows(mid, "segments").getOrElse(b, 0L) }
+    assert(m1.segRows == expected,
+      s"legacy upgrade did not stamp full coverage: ${m1.segRows} vs $expected")
+    assert(m1.entries.keySet.forall(m1.seenRows.contains))
+    // rebucket consumes and re-produces stamps
+    EventStreams.rebucketScd2(spark, state, 8)
+    val m2 = manifest(2L)
+    assert(m2.entries.keySet.forall(b =>
+      m2.segRows.contains(b) && m2.seenRows.contains(b)))
+    assert(m2.segRows.values.sum == m1.segRows.values.sum,
+      "rebucket changed total segment rows")
+    assert(EventStreams.readScd2(spark, state).count() ==
+      m2.segRows.values.sum)
+  }
+
   test("streaming semantic ingest equals batch e11 and survives restart") {
     import graft.streaming.VecStreams
     val src = java.nio.file.Files.createTempDirectory("graft_sem_src_").toString
