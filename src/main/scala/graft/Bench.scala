@@ -49,6 +49,14 @@ import java.nio.file.{Files, Paths}
   * capacity planning reads the full one.
   */
 object Bench {
+  /** Canary-normalized contention-sentinel bar: 2× reference, scaled by
+    * the measured machine drift within [1.0, 1.5]. Pure so BenchRefSpec
+    * can pin the band: no drift reading keeps the raw 2× bar; a fast box
+    * never tightens it; ambient slowness loosens it at most to 3×.
+    */
+  private[graft] def normalizedBar(drift: Option[Double]): Double =
+    2.0 * drift.map(d => math.min(math.max(d, 1.0), 1.5)).getOrElse(1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -180,9 +188,17 @@ object Bench {
     // adjudication rule reads a low rerun as "contention"): record -1 for
     // a re-run that failed, so the artifact says "re-run crashed", not
     // "re-run was quick".
+    // The sentinel bar is canary-normalized (the r16 lesson: on a box the
+    // canary clocked 1.36× slow, a genuinely-1.5× query would sentinel at
+    // the same raw bar as on an idle machine). Drift multiplies the 2× bar,
+    // CAPPED at 1.5 so a real regression cannot hide behind extreme ambient
+    // load, and floored at 1.0 so a faster-than-reference box never
+    // tightens the committed bar.
+    val sentinelBar: Double = normalizedBar(drift)
     val reruns: Map[String, Double] = results.collect {
-      case (name, _, mn, _, true) if refs.get(name).exists(r => mn > 2 * r) =>
-        System.err.println(f"[bench] sentinel: $name min $mn%.2f s > 2x reference ${refs(name)}%.2f s — re-running")
+      case (name, _, mn, _, true) if refs.get(name).exists(r => mn > sentinelBar * r) =>
+        System.err.println(f"[bench] sentinel: $name min $mn%.2f s > $sentinelBar%.2fx " +
+          f"reference ${refs(name)}%.2f s (2x, canary-normalized) — re-running")
         val (t, ok) = timeOnce(name, registryMap(name).fn)
         name -> (if (ok) t else -1.0)
     }.toMap
@@ -197,7 +213,7 @@ object Bench {
     // REAL regression: it keeps its flagged number and is named in
     // `sentinelFailed` so a green `failed` list can't absorb it.
     def cleared(name: String): Option[Double] = reruns.get(name)
-      .filter(t => t >= 0 && refs.get(name).exists(r => t <= 2 * r))
+      .filter(t => t >= 0 && refs.get(name).exists(r => t <= sentinelBar * r))
     val adj: Map[String, Double] = results.map { case (name, _, mn, _, _) =>
       name -> cleared(name).getOrElse(mn)
     }.toMap
@@ -256,6 +272,7 @@ object Bench {
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""canary":$canarySec,"canaryRef":${canaryRef.getOrElse("null")},""" +
             s""""canaryDrift":${drift.map(d => j(d)).getOrElse("null")},""" +
+            s""""sentinelBar":${j(sentinelBar)},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
             s""""unguarded":${if (sentinelOn) unguarded.map("\"" + _ + "\"").mkString("[", ",", "]") else "null"},""" +

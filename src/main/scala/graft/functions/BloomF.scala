@@ -64,3 +64,150 @@ object BloomMightContainF {
     ColumnBridge.toColumn(BloomMightContainF(ColumnBridge.toExpr(c), bytes))
   }
 }
+
+/** Membership probe against a PARTITIONED Bloom filter bank — the shape
+  * `BloomMightContainF` cannot reach: a single filter over n keys is one
+  * `byte[]` (JVM max ~2.1 GB, i.e. ~1.79 B keys at 1% fpp — the exact
+  * regime a 100-TB decontamination/extract filter lives in) and rides the
+  * task binary. Here the key space is split by `floorMod(key, k)` into k
+  * sub-filters, each under a byte cap, and the bank ships as ONE managed
+  * `Broadcast` (torrent-chunked, cached once per executor) that the
+  * generated code reads lazily — same one-virtual-call-per-row codegen
+  * shape as the single-filter probe.
+  *
+  * The probe key must be the same bigint the bank was built over
+  * (xxhash64 of the join key, by the extract/x1b convention); the
+  * dispatch `floorMod` matches the builder's `pmod`, so a key always
+  * probes the sub-filter that indexed it. False positives remain ≤ fpp
+  * per sub-filter; false negatives remain impossible.
+  */
+case class BloomBankMightContainF(child: Expression,
+    bank: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])
+    extends UnaryExpression {
+
+  @transient private lazy val bfs: Array[BloomFilter] = bank.value
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bank_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects bigint, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val key = v.asInstanceOf[Long]
+    bfs(java.lang.Math.floorMod(key, bfs.length.toLong).toInt)
+      .mightContainLong(key)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Reference the (small) Broadcast handle, not the filters: the bank is
+    // fetched torrent-style once per executor and the deserialized array
+    // is cached in the block manager; the lazy assignment below costs one
+    // predictable null check per row after the first.
+    val bankRef = ctx.addReferenceObj("bloomBank", bank,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bfsVar = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter[]", "bloomBankFilters")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($bfsVar == null) {
+        $bfsVar = (org.apache.spark.util.sketch.BloomFilter[]) $bankRef.value();
+      }
+      ${ev.value} = $bfsVar[(int) java.lang.Math.floorMod($c, (long) $bfsVar.length)]
+        .mightContainLong($c);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomBankMightContainF {
+  def apply(c: Column,
+            bank: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]): Column =
+    ColumnBridge.toColumn(BloomBankMightContainF(ColumnBridge.toExpr(c), bank))
+}
+
+/** Builder + feasibility guard for the partitioned Bloom filter bank.
+  *
+  * Sizing math (recorded because the single-filter path OOMs silently in
+  * exactly its target regime): optimal bits = -n·ln(fpp)/ln²2, so at
+  * n = 2 B keys and fpp = 0.01 the filter is ~19.2 Gbit ≈ 2.29 GiB —
+  * over the JVM's max array size as one `byte[]`, and 2–3× that
+  * transiently on the driver (built value + broadcast block). The bank
+  * splits it into k = ceil(total/partBytes) sub-filters (each under
+  * `spark.graft.bloom.partBytes`, default 256 MiB) and the guard refuses
+  * — loudly, returning Left — when the TOTAL exceeds
+  * `spark.graft.bloom.maxBytes` (default maxHeap/4, the measured safe
+  * transient share), so the caller falls back to its exact plan instead
+  * of dying in `ByteArrayOutputStream` or an executor OOM.
+  */
+object BloomBankF {
+
+  def optimalBytes(n: Long, fpp: Double): Long = {
+    val bits = BloomFilter.optimalNumOfBits(math.max(n, 1L), fpp)
+    bits / 8 + (if (bits % 8 > 0) 1 else 0)
+  }
+
+  /** Build k hash-partitioned sub-filters over `keys` (one non-null bigint
+    * column). k = 1 builds scan-only via `stat.bloomFilter` (treeAggregate,
+    * no shuffle); k > 1 exchanges the 8-byte keys once, hash-partitioned on
+    * `pmod(key, k)`, and builds each sub-filter reduce-side so no task ever
+    * allocates more than a few `partBytes`-sized filters — the per-task
+    * full-size allocation is what makes a single huge `stat.bloomFilter`
+    * infeasible long before the byte[] limit. Returns Left(reason) when the
+    * total filter size exceeds the driver budget.
+    */
+  def build(keys: org.apache.spark.sql.DataFrame, n: Long, fpp: Double):
+      Either[String, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]] = {
+    val spark = keys.sparkSession
+    require(keys.schema.fields.length == 1 &&
+      keys.schema.fields(0).dataType == LongType,
+      s"BloomBankF.build expects one bigint column, got ${keys.schema.simpleString}")
+    val partBytes = spark.conf
+      .get("spark.graft.bloom.partBytes", (256L << 20).toString).toLong
+    val maxBytes = spark.conf.get("spark.graft.bloom.maxBytes",
+      (Runtime.getRuntime.maxMemory() / 4).toString).toLong
+    val total = optimalBytes(n, fpp)
+    if (total > maxBytes)
+      return Left(f"estimated filter size $total%,d B for $n%,d keys at " +
+        f"fpp=$fpp exceeds the driver budget $maxBytes%,d B " +
+        "(spark.graft.bloom.maxBytes)")
+    val k = math.max(1L, (total + partBytes - 1) / partBytes).toInt
+    val keyCol = keys.schema.fields(0).name
+    val bank: Array[BloomFilter] =
+      if (k == 1) Array(keys.stat.bloomFilter(keyCol, math.max(n, 1000L), fpp))
+      else {
+        val perN = math.max(n / k, 1000L)
+        val grouped = keys
+          .select(org.apache.spark.sql.functions.col(keyCol).as("_k"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col(keyCol),
+              org.apache.spark.sql.functions.lit(k.toLong)).as("_p"))
+          .repartition(k, org.apache.spark.sql.functions.col("_p"))
+        val built = grouped.queryExecution.toRdd.mapPartitions { it =>
+          // reduce-side build: every key of a dispatch group lands in one
+          // partition (hash partitioning on _p), so a partition holds
+          // whole groups — usually one, a few under hash collision
+          val local = scala.collection.mutable.LongMap.empty[BloomFilter]
+          it.foreach { row =>
+            val key = row.getLong(0)
+            val p = row.getLong(1)
+            local.getOrElseUpdate(p, BloomFilter.create(perN, fpp))
+              .putLong(key)
+          }
+          local.iterator.map { case (p, bf) => (p.toInt, bf) }
+        }.collect()
+        val byPart = built.groupBy(_._1)
+        Array.tabulate(k) { i =>
+          byPart.get(i).map(_.map(_._2).reduce { (a, b) =>
+            a.mergeInPlace(b); a
+          }).getOrElse(BloomFilter.create(1000L, fpp)) // empty dispatch group
+        }
+      }
+    Right(spark.sparkContext.broadcast(bank))
+  }
+}

@@ -74,27 +74,51 @@ object Jobs {
           // alike - only ADDS false positives, which the exact joins
           // remove; it can never drop a match.
           val ckey = xxhash64(keys.map(c => col(c).cast("string")): _*)
-          val bloom = ex.select(ckey.as("_k"))
-            .stat.bloomFilter("_k", math.max(exRows, 1000L), 0.01)
-          // Materialized once: the guard count, the semi join, and the
-          // broadcast all reuse the tiny parquet instead of re-parsing the
-          // landing CSV per consumer (the landing is scanned exactly twice
-          // total — survivor pass + final write — vs once classically).
-          val survPath = graft.ops.InterStage.scratchDir("graft_extract_surv_") + "/k"
-          df.where(graft.functions.BloomMightContainF(ckey, bloom))
-            .select(keys.map(col): _*).distinct()
-            .write.mode("overwrite").parquet(survPath)
-          val survivorKeys = spark.read.parquet(survPath)
-          val maxBroadcast = spark.conf
-            .get("spark.graft.extract.maxBroadcastKeys", "4000000").toLong
-          if (survivorKeys.count() > maxBroadcast)
-            df.join(keyDf0, keys, "left_anti")
-              .write.mode("append").parquet(outPath)
-          else {
-            val dupKeys = ex.select(keys.map(col): _*)
-              .join(broadcast(survivorKeys), keys, "left_semi").distinct()
-            df.join(broadcast(dupKeys), keys, "left_anti")
-              .write.mode("append").parquet(outPath)
+          // Partitioned filter bank (BloomBankF): a single filter at this
+          // path's own target regime (>= 2B accumulated keys, ~2.3 GiB at
+          // 1% fpp) is over the JVM max-array limit and needs a full-size
+          // allocation PER treeAggregate task; the bank splits it under a
+          // byte cap and ships as one managed broadcast. The guard returns
+          // Left when even the bank exceeds the driver budget — fall back
+          // to the exact classic plan loudly, never OOM.
+          graft.functions.BloomBankF.build(
+              ex.select(ckey.as("_k")), exRows, 0.01) match {
+            case Left(reason) =>
+              System.err.println(s"[extract] Bloom prefilter infeasible — " +
+                s"$reason; falling back to the classic shuffle anti-join " +
+                s"for $outPath")
+              df.join(keyDf0, keys, "left_anti")
+                .write.mode("append").parquet(outPath)
+            case Right(bank) =>
+              try {
+                // Materialized once: the guard count, the semi join, and the
+                // broadcast all reuse the tiny parquet instead of re-parsing
+                // the landing CSV per consumer (the landing is scanned
+                // exactly twice total — survivor pass + final write — vs
+                // once classically).
+                val survRoot = graft.ops.InterStage.scratchDir("graft_extract_surv_")
+                val survPath = survRoot + "/k"
+                df.where(graft.functions.BloomBankMightContainF(ckey, bank))
+                  .select(keys.map(col): _*).distinct()
+                  .write.mode("overwrite").parquet(survPath)
+                val survivorKeys = spark.read.parquet(survPath)
+                val maxBroadcast = spark.conf
+                  .get("spark.graft.extract.maxBroadcastKeys", "4000000").toLong
+                if (survivorKeys.count() > maxBroadcast)
+                  df.join(keyDf0, keys, "left_anti")
+                    .write.mode("append").parquet(outPath)
+                else {
+                  val dupKeys = ex.select(keys.map(col): _*)
+                    .join(broadcast(survivorKeys), keys, "left_semi").distinct()
+                  df.join(broadcast(dupKeys), keys, "left_anti")
+                    .write.mode("append").parquet(outPath)
+                }
+                // The append is durable: reclaim the per-landing survivor
+                // scratch now instead of letting it accumulate until the
+                // JVM shutdown hook (a long-lived orchestrator runs many
+                // landings per JVM).
+                graft.ops.InterStage.deleteRecursively(new java.io.File(survRoot))
+              } finally bank.destroy()
           }
         }
       case None => df.write.mode("overwrite").parquet(outPath)

@@ -42,4 +42,18 @@ class BenchRefSpec extends AnyFunSuite {
       "bench_reference.json is missing the `_canary` drift-canary reference " +
         "(regenerate the file with a Bench run's canary MIN)")
   }
+
+  test("sentinel bar is canary-normalized within [2x, 3x]") {
+    // No drift reading (reference missing/zero): the raw 2x bar.
+    assert(Bench.normalizedBar(None) == 2.0)
+    // Ambient slowness loosens the bar proportionally — r16's 1.364x
+    // drifted box re-runs at 2.73x, so a query that is genuinely ~1.5x
+    // on an idle machine no longer sentinels as if the box were idle.
+    assert(math.abs(Bench.normalizedBar(Some(1.364)) - 2.728) < 1e-9)
+    // Capped at 1.5x drift: a real regression cannot hide behind extreme
+    // contention (the bar never exceeds 3x reference).
+    assert(Bench.normalizedBar(Some(2.5)) == 3.0)
+    // A faster-than-reference box never TIGHTENS the committed bar.
+    assert(Bench.normalizedBar(Some(0.7)) == 2.0)
+  }
 }

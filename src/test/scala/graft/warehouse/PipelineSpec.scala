@@ -241,6 +241,65 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bloom extract: multi-sub-filter bank is byte-identical, infeasible falls back, scratch reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloombk_")
+    def csv(name: String, rows: Seq[String]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, ("k,v" +: rows).mkString("\n"))
+      p.toString
+    }
+    val v1 = csv("v1.csv", (1 to 50).map(i => s"K$i,a$i"))
+    val v2 = csv("v2.csv", ((21 to 50) ++ (51 to 75)).map(i => s"K$i,b$i"))
+    def read(out: String): Set[(String, String)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val classicOut = dir.resolve("classic").toString
+    Jobs.extract(spark, v1, classicOut, Seq("k"))
+    Jobs.extract(spark, v2, classicOut, Seq("k"))
+    val classic = read(classicOut)
+    def survDirs(): Int = new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles()
+      .count(_.getName.startsWith("graft_extract_surv_"))
+    // k > 1: a tiny partBytes forces the bank to split (50 keys at 1% fpp
+    // ~= 60 B -> 3 sub-filters at 24 B cap); appended rows byte-identical
+    spark.conf.set("spark.graft.extract.bloomThreshold", "1")
+    spark.conf.set("spark.graft.bloom.partBytes", "24")
+    val before = survDirs()
+    try {
+      val out = dir.resolve("bank").toString
+      Jobs.extract(spark, v1, out, Seq("k"))
+      Jobs.extract(spark, v2, out, Seq("k"))
+      Jobs.extract(spark, v2, out, Seq("k")) // full re-delivery: no-op
+      assert(read(out) == classic, "bank path diverged from classic append")
+      // the per-landing survivor scratch is reclaimed once the append
+      // commits, not parked until the JVM shutdown hook
+      assert(survDirs() == before,
+        "bloom extract left survivor scratch dirs behind")
+    } finally {
+      spark.conf.unset("spark.graft.bloom.partBytes")
+      spark.conf.unset("spark.graft.extract.bloomThreshold")
+    }
+    // infeasible regime: the total-size guard refuses (Left) and extract
+    // falls back to the classic anti-join — exact result, no OOM
+    import org.apache.spark.sql.functions.xxhash64
+    val keys = spark.range(1000).select(xxhash64(col("id")).as("_k"))
+    val verdict = graft.functions.BloomBankF.build(keys, 1000L, 0.01)
+    assert(verdict.isRight)
+    spark.conf.set("spark.graft.bloom.maxBytes", "64")
+    spark.conf.set("spark.graft.extract.bloomThreshold", "1")
+    try {
+      assert(graft.functions.BloomBankF.build(keys, 1000L, 0.01).isLeft,
+        "guard must refuse when the bank exceeds the driver budget")
+      val out = dir.resolve("guarded").toString
+      Jobs.extract(spark, v1, out, Seq("k"))
+      Jobs.extract(spark, v2, out, Seq("k"))
+      assert(read(out) == classic, "guarded fallback diverged from classic")
+    } finally {
+      spark.conf.unset("spark.graft.bloom.maxBytes")
+      spark.conf.unset("spark.graft.extract.bloomThreshold")
+    }
+  }
+
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
     ranOnce
     // Simulate the crashed-run restart state: the managed-table directory
