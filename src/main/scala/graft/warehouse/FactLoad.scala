@@ -22,8 +22,43 @@ object FactLoad {
   def run(spark: SparkSession, lfbCleanPath: String, locationTypeTable: String,
           wardTable: String, aqCleanPath: String, weatherCleanPath: String,
           wbDimPath: String, outputTable: String): Unit = {
-    val staged = buildJoined(spark, lfbCleanPath, locationTypeTable, wardTable,
-      aqCleanPath, weatherCleanPath, wbDimPath)
+    // Sliced fact build (`spark.graft.fact.slices`, default 1 = the plan
+    // every gate measures): pmod(xxhash64(IncidentNumber), k) partitions
+    // the fact rows into k disjoint slices, each run through the SAME
+    // seven-stage join plan and the same clustered write (append per
+    // slice). Rows are join-independent (dims broadcast; the band join is
+    // per-incident), so the union is exactly the unsliced result
+    // (spec-pinned). This is the chunked-backfill shape for a corpus whose
+    // single-shot shuffle scratch exceeds the disk: peak becomes
+    // max-over-slices instead of whole-corpus — the price is re-scanning
+    // the cleansed input k times (pushed projection, cheap next to the
+    // joins) and k range-clustered file sets per station dir instead of
+    // one (like k compactions pending). `spark.graft.fact.pruneConsumed`
+    // additionally deletes each consumed artifact when its last reader
+    // finishes (cleansed input after staging; each staging slice after
+    // its append) — the measured consumed-artifact lifecycle of the
+    // 500M/1B rungs; leave it off where fact-stage retries matter more
+    // than disk.
+    val slices = spark.conf.get("spark.graft.fact.slices", "1").toInt
+    require(slices >= 1, s"spark.graft.fact.slices must be >= 1, got $slices")
+    val pruneConsumed = spark.conf
+      .get("spark.graft.fact.pruneConsumed", "false").toBoolean
+    val stagingRoot = s"${new org.apache.hadoop.fs.Path(lfbCleanPath).getParent}" +
+      "/fact-staging.parquet"
+    val stagedPaths =
+      if (slices == 1)
+        Seq(buildJoined(spark, lfbCleanPath, locationTypeTable, wardTable,
+          aqCleanPath, weatherCleanPath, wbDimPath, stagingRoot, None))
+      else (0 until slices).map { s =>
+        val p = buildJoined(spark, lfbCleanPath, locationTypeTable, wardTable,
+          aqCleanPath, weatherCleanPath, wbDimPath,
+          s"$stagingRoot/slice-$s", Some((s, slices)))
+        // Phase boundary per slice: reclaim this slice's join shuffles
+        // before the next slice claims its own (see the comment below).
+        System.gc()
+        p
+      }
+    if (pruneConsumed) rmDir(spark, lfbCleanPath)
     // Phase boundary: the join phase's shuffle files (the band-join result's
     // wide sort-merge join-back is ~a compressed copy of the whole corpus)
     // are dead once the staging parquet is committed, but Spark only
@@ -35,7 +70,13 @@ object FactLoad {
     // Measured: without the boundary the two wide shuffles coexist and a
     // 150M-row build filled a 72 GB scratch disk (SCALE.md round 15).
     System.gc()
-    writeClustered(spark, staged, outputTable)
+    writeClustered(spark, stagedPaths, outputTable, pruneConsumed)
+  }
+
+  private def rmDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** Phase 1 — stages 1-7 (key derivation, dim joins, band join, schema
@@ -53,10 +94,15 @@ object FactLoad {
     */
   private def buildJoined(spark: SparkSession, lfbCleanPath: String,
           locationTypeTable: String, wardTable: String, aqCleanPath: String,
-          weatherCleanPath: String, wbDimPath: String): String = {
+          weatherCleanPath: String, wbDimPath: String, stagedPath: String,
+          slice: Option[(Int, Int)]): String = {
 
-    val lfb0 = spark.read.parquet(lfbCleanPath)
+    val lfbAll = spark.read.parquet(lfbCleanPath)
       .select(Model.factStage1Columns.distinct.map(col): _*)
+    // Slice filter on the PK hash: disjoint, exhaustive, deterministic.
+    val lfb0 = slice.fold(lfbAll) { case (s, k) =>
+      lfbAll.where(pmod(xxhash64(col("IncidentNumber")), lit(k.toLong)) === s.toLong)
+    }
     // Normalize TimeOfCall to an "HH:mm:ss" string whatever the ingest
     // inferred (CSV inference may type bare times as timestamps; the
     // reference's unconditional date_format nulls genuine strings).
@@ -145,39 +191,51 @@ object FactLoad {
     val finalDf = renamed.select(Model.factSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
-    val stagedPath = s"${new org.apache.hadoop.fs.Path(lfbCleanPath).getParent}" +
-      "/fact-staging.parquet"
     finalDf.write.mode("overwrite").parquet(stagedPath)
     stagedPath
   }
 
-  /** Phase 2 — the clustered catalog write over the staged joined fact. */
-  private def writeClustered(spark: SparkSession, stagedPath: String,
-                             outputTable: String): Unit = {
-    val staged = spark.read.parquet(stagedPath)
-
-    // Partition by station ground; cluster files by (DateOfCall,
-    // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405). The
-    // station LEADS the range key: Delta's OPTIMIZE ZORDER clusters
-    // WITHIN each partition, and leading with the partition column makes
-    // every write task hold a contiguous station slice — one or two open
-    // parquet writers per task instead of one per station (the 16-task ×
-    // 40-dir writer fan-out was the measured spill term of the 10×
-    // fact build, SCALE.md round 14), fewer+bigger files per dir, and the
-    // (date, cost) sort surviving intact inside each partition.
-    //
-    // The partition COUNT is sized by rows, not cores (the measured ~250k
-    // wide-rows-per-task spill cliff, SCALE.md round 14); over the staged
-    // parquet the count is a footer-metadata read.
-    val writePartitions = Relational.rowSizedPartitions(staged.count())
+  /** Phase 2 — the clustered catalog write over the staged joined fact.
+    * One write job per staging path (a single path in the default plan;
+    * one per slice in sliced mode — overwrite first, append after, so the
+    * table is the exact union). Each job's partition count is row-sized
+    * independently, so the per-task row budget holds whatever the slicing.
+    */
+  private def writeClustered(spark: SparkSession, stagedPaths: Seq[String],
+                             outputTable: String,
+                             pruneConsumed: Boolean): Unit = {
     Relational.prepareManagedOverwrite(spark, outputTable)
-    staged
-      .repartitionByRange(writePartitions,
-        col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
-      .sortWithinPartitions(
-        col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("IncidentStationGround").saveAsTable(outputTable)
+    stagedPaths.zipWithIndex.foreach { case (path, i) =>
+      val staged = spark.read.parquet(path)
+
+      // Partition by station ground; cluster files by (DateOfCall,
+      // NotionalCost) — the Z-ORDER stand-in (load_fact.py:392-405). The
+      // station LEADS the range key: Delta's OPTIMIZE ZORDER clusters
+      // WITHIN each partition, and leading with the partition column makes
+      // every write task hold a contiguous station slice — one or two open
+      // parquet writers per task instead of one per station (the 16-task ×
+      // 40-dir writer fan-out was the measured spill term of the 10×
+      // fact build, SCALE.md round 14), fewer+bigger files per dir, and the
+      // (date, cost) sort surviving intact inside each partition.
+      //
+      // The partition COUNT is sized by rows, not cores (the measured ~250k
+      // wide-rows-per-task spill cliff, SCALE.md round 14); over the staged
+      // parquet the count is a footer-metadata read.
+      val writePartitions = Relational.rowSizedPartitions(staged.count())
+      staged
+        .repartitionByRange(writePartitions,
+          col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
+        .sortWithinPartitions(
+          col("IncidentStationGround"), col("DateOfCall"), col("NotionalCost"))
+        .write.mode(if (i == 0) "overwrite" else "append").format("parquet")
+        .partitionBy("IncidentStationGround").saveAsTable(outputTable)
+      if (stagedPaths.size > 1) {
+        // consumed-artifact lifecycle + per-slice shuffle reclaim (the
+        // same phase-boundary GC the unsliced plan runs once)
+        if (pruneConsumed) rmDir(spark, path)
+        System.gc()
+      }
+    }
 
     // K6: surface the loaded table's metadata, the parquet stand-in for the
     // reference's Delta `DESCRIBE DETAIL` (load_fact.py:408; SURVEY §2.2).

@@ -1,0 +1,85 @@
+package graft.warehouse
+
+/** Fact-stage-only scale rung driver (round 17): push the fact build past
+  * the full-lifecycle disk ceiling (500M, SCALE.md r16) by synthesizing
+  * the CLEANSED staging parquet directly — `Fixtures.writeScaledLfbCleanSpark`,
+  * no CSV or raw parquet ever on disk, spec-pinned equal to the
+  * CSV -> extract -> cleanse path — and resuming the ordinary DAG at
+  * "dimension builds", so dimension builds/checks/loads, the fact load and
+  * every post-load gate run EXACTLY as the full pipeline runs them.
+  *
+  * Two knobs make the rung fit a scratch disk smaller than the single-shot
+  * shuffle footprint (both default-off in the library):
+  * `spark.graft.fact.slices` chunks the seven-stage join AND the clustered
+  * write into k disjoint PK-hash slices (peak scratch = max over slices,
+  * exact same result — PipelineSpec pins equality), and
+  * `spark.graft.fact.pruneConsumed` deletes each consumed artifact when
+  * its last reader finishes (cleansed input after staging; staging slices
+  * after their append) — the measured consumed-artifact lifecycle.
+  *
+  * Usage: runMain graft.warehouse.FactStageProbe <workDir> --rows n [--slices k]
+  */
+object FactStageProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = args.sliding(2).collectFirst { case Array("--rows", n) => n.toLong }
+      .getOrElse(sys.error("FactStageProbe requires --rows <n>"))
+    require(rows >= 1 && rows <= Int.MaxValue, s"--rows out of range: $rows")
+    val slices = args.sliding(2).collectFirst { case Array("--slices", k) => k.toInt }
+      .getOrElse(1)
+    val flagValues = args.zip(args.drop(1)).collect {
+      case (f, v) if f.startsWith("--") => v
+    }.toSet
+    val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(sys.error("FactStageProbe requires a workDir"))
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.write(base.resolve(".rows"),
+      rows.toString.getBytes("UTF-8"))
+
+    val spark = PipelineDemo.buildSession(base, Some(rows.toInt), fromMarker = false)
+    def freeGb: Double = base.toFile.getUsableSpace / 1e9
+    val t00 = System.nanoTime()
+
+    // Aux inputs (grid-bounded, tiny): raw -> clean exactly as the full DAG.
+    val inputs = Fixtures.writeScaledAux(base)
+    val paths = Pipeline.Paths(base.resolve("staging").toString)
+    java.nio.file.Files.createDirectories(base.resolve("staging"))
+    Jobs.aqExtract(spark, inputs.aqCsvs, paths.aqRaw)
+    Jobs.extract(spark, inputs.weatherCsv, paths.weatherRaw, Seq("date"))
+    Jobs.extract(spark, inputs.wbCsv, paths.wbRaw, Seq("Ward", "Year"))
+    Jobs.aqCleanse(spark, paths.aqRaw, paths.aqClean)
+    Jobs.weatherCleanse(spark, paths.weatherRaw, paths.weatherClean)
+    Jobs.wbCleanse(spark, paths.wbRaw, paths.wbClean)
+    println(f"== aux staged ${(System.nanoTime() - t00) / 1e9}%.1f s, free $freeGb%.1f GB")
+
+    val t1 = System.nanoTime()
+    Fixtures.writeScaledLfbCleanSpark(spark, paths.lfbClean, rows)
+    println(f"== direct-clean corpus $rows%,d rows " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s, free $freeGb%.1f GB")
+
+    if (slices > 1) {
+      spark.conf.set("spark.graft.fact.slices", slices.toString)
+      spark.conf.set("spark.graft.fact.pruneConsumed", "true")
+    }
+    val stages = Pipeline.run(spark, inputs, paths, fromStage = "dimension builds")
+    stages.foreach { case (name, sec) =>
+      println(f"== stage $name%-18s $sec%8.1f s")
+    }
+
+    // Committer shape: files per station dir and per write task.
+    val factDir = base.resolve("warehouse/lfb_call").toFile
+    val dirs = Option(factDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("IncidentStationGround="))
+    val filesPerDir = dirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val totalFiles = filesPerDir.sum
+    val tasks = (0 until math.max(slices, 1)).map { _ =>
+      graft.ops.Relational.rowSizedPartitions(rows / math.max(slices, 1))
+    }.sum
+    println(f"== fact committer: $totalFiles files over ${dirs.length} station " +
+      f"dirs (${totalFiles.toDouble / math.max(dirs.length, 1)}%.1f/dir), " +
+      f"~$tasks write tasks in ${math.max(slices, 1)} job(s) = " +
+      f"${totalFiles.toDouble / math.max(tasks, 1)}%.2f files/task")
+    println(f"== total ${(System.nanoTime() - t00) / 1e9}%.1f s, free $freeGb%.1f GB")
+    spark.stop()
+  }
+}

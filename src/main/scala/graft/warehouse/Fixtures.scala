@@ -180,6 +180,49 @@ object Fixtures {
       .write.mode("overwrite").text(path)
   }
 
+  /** Direct-to-clean corpus generation for fact-stage-only scale rungs:
+    * synthesize the SAME CSV lines as [[writeScaledLfbSpark]], but feed
+    * them to the CSV reader as an in-memory Dataset[String] and pipe the
+    * result through the cleanse transform — no CSV, no raw parquet on
+    * disk. At 1B rows the skipped artifacts are ~54 GB of CSV plus ~30 GB
+    * of raw parquet (and the extract stage's accumulated-key anti-joins),
+    * which is exactly the margin a fact-stage rung past the full-lifecycle
+    * disk ceiling needs. Fidelity is structural, not hoped-for: the same
+    * `spark.read.csv` parser with the same options does the typing, with
+    * the schema inferred over the id-range EDGES (ids grow monotonically,
+    * so the largest ids decide int-vs-bigint — a head-only sample would
+    * misinfer), and the same `try_to_date` the extract applies; a spec
+    * pins byte-equality to the CSV -> extract -> cleanse path at small n.
+    */
+  def writeScaledLfbCleanSpark(spark: org.apache.spark.sql.SparkSession,
+                               cleanPath: String, n: Long): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val parts = math.min(
+      math.max(spark.sparkContext.defaultParallelism.toLong, n / 1000000L),
+      20000L).toInt
+    def lines(ranges: (Long, Long)*) = ranges.map { case (a, b) =>
+      spark.range(a, b, 1L,
+          math.max(1, math.min(parts.toLong, b - a).toInt))
+        .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i)))
+    }.reduce(_ union _)
+    // header=true on a Dataset[String] source drops every line equal to
+    // the header, so the per-partition header copies vanish exactly like
+    // the per-file headers the file reader strips.
+    val edge = math.min(100000L, n)
+    val schema = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(lines((0L, edge), (math.max(edge, n - edge), n))).schema
+    val raw = spark.read.option("header", "true").schema(schema)
+      .csv(lines((0L, n)))
+      // same parse the extract applies (Jobs.lfbExtract's dateCol)
+      .withColumn("DateOfCall", expr("try_to_date(DateOfCall, 'dd-MMM-yy')"))
+    Jobs.lfbCleanseDf(raw).write.mode("overwrite").parquet(cleanPath)
+    // self-check: the generator must produce exactly n incidents (a header
+    // filter or range seam bug would silently shrink the rung)
+    val rows = spark.read.parquet(cleanPath).count()
+    require(rows == n, s"direct-clean generator wrote $rows rows, expected $n")
+  }
+
   /** Scaled synthetic inputs: `n` incidents over 2020-2022 across ~600
     * wards, hourly air-quality readings, daily weather, per-(ward, year)
     * well-being — realistic warehouse cardinalities for timing the full

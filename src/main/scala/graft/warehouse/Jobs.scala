@@ -155,14 +155,24 @@ object Jobs {
     * re-inference round trip — SURVEY §1.3), null out invalid USRN/lat/lon,
     * initcap ward names, modernize ward codes via the W1 window.
     */
-  def lfbCleanse(spark: SparkSession, inPath: String, outPath: String): Unit = {
-    var df = spark.read.parquet(inPath).drop(Model.lfbColumnsToDrop: _*)
+  def lfbCleanse(spark: SparkSession, inPath: String, outPath: String): Unit =
+    lfbCleanseDf(spark.read.parquet(inPath))
+      .write.mode("overwrite").parquet(outPath)
+
+  /** The cleanse TRANSFORM alone, over an already-typed raw frame — the
+    * seam that lets the fact-stage scale driver synthesize the cleansed
+    * staging parquet directly from the in-memory generated corpus (no raw
+    * CSV or raw parquet ever touching disk), with spec-pinned equality to
+    * the CSV -> extract -> cleanse path.
+    */
+  private[graft] def lfbCleanseDf(raw: DataFrame): DataFrame = {
+    var df = raw.drop(Model.lfbColumnsToDrop: _*)
     val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
     df = df.na.replace(stringCols.toSeq, Map("NULL" -> null))
     Model.lfbRetype.foreach { case (c, t) =>
       if (df.columns.contains(c)) df = df.withColumn(c, col(c).cast(t))
     }
-    df = df
+    df
       .withColumn("USRN", when(col("USRN") === 0, lit(null)).otherwise(col("USRN")))
       .withColumn("Longitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Longitude")))
       .withColumn("Latitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Latitude")))
@@ -172,7 +182,6 @@ object Jobs {
       .withColumn("IncGeo_WardCode", first("IncGeo_WardCode").over(
         Window.partitionBy("IncGeo_WardName")
           .orderBy(col("DateOfCall").desc, col("IncGeo_WardCode").desc)))
-    df.write.mode("overwrite").parquet(outPath)
   }
 
   /** Air-quality cleanse (reference: etl/transform/aq-cleanse.py): recursive

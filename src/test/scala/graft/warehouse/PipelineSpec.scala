@@ -300,6 +300,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sliced fact build (slices=3, pruned staging) equals the unsliced table") {
+    ranOnce
+    val unsliced = spark.table("lfb_call").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    spark.conf.set("spark.graft.fact.slices", "3")
+    // prune only the slice staging dirs (lfbClean is re-read by other
+    // tests, so leave pruneConsumed's clean deletion off)
+    try {
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_sliced")
+      val sliced = spark.table("lfb_call_sliced").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(sliced.length == unsliced.length)
+      assert(sliced.sameElements(unsliced),
+        "sliced fact build diverged from the unsliced table")
+    } finally {
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.sql("DROP TABLE IF EXISTS lfb_call_sliced")
+    }
+  }
+
+  test("direct-to-clean generator equals the CSV -> extract -> cleanse path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dclean_")
+    val n = 20000L
+    val csv = dir.resolve("lfb.csv").toString
+    val raw = dir.resolve("raw.parquet").toString
+    val cleanA = dir.resolve("cleanA.parquet").toString
+    val cleanB = dir.resolve("cleanB.parquet").toString
+    Fixtures.writeScaledLfbSpark(spark, csv, n)
+    Jobs.lfbExtract(spark, csv, raw)
+    Jobs.lfbCleanse(spark, raw, cleanA)
+    Fixtures.writeScaledLfbCleanSpark(spark, cleanB, n)
+    val a = spark.read.parquet(cleanA)
+    val b = spark.read.parquet(cleanB)
+    assert(a.schema == b.schema,
+      s"direct-clean schema drifted:\n${a.schema.treeString}\nvs\n${b.schema.treeString}")
+    assert(b.count() == n)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "direct-clean corpus differs from the CSV-path cleanse output")
+  }
+
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
     ranOnce
     // Simulate the crashed-run restart state: the managed-table directory
