@@ -1,7 +1,6 @@
 package graft.warehouse
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 import graft.ops.Relational
@@ -172,16 +171,33 @@ object Jobs {
     Model.lfbRetype.foreach { case (c, t) =>
       if (df.columns.contains(c)) df = df.withColumn(c, col(c).cast(t))
     }
-    df
+    val base = df
       .withColumn("USRN", when(col("USRN") === 0, lit(null)).otherwise(col("USRN")))
       .withColumn("Longitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Longitude")))
       .withColumn("Latitude", when(col("Latitude") === 0, lit(null)).otherwise(col("Latitude")))
       .withColumn("IncGeo_WardName", initcap(col("IncGeo_WardName")))
-      // Tie-break on the code itself: two codes sharing the newest date for
-      // one ward name would otherwise stamp nondeterministically run-to-run.
-      .withColumn("IncGeo_WardCode", first("IncGeo_WardCode").over(
-        Window.partitionBy("IncGeo_WardName")
-          .orderBy(col("DateOfCall").desc, col("IncGeo_WardCode").desc)))
+    // Ward modernization: stamp every row with its ward NAME's
+    // newest-dated code (tie-broken on the code itself so two codes
+    // sharing the newest date stamp deterministically). The stamped value
+    // is a per-ward CONSTANT, so the W1 window formulation
+    // (`first().over(partitionBy(name).orderBy(date desc, code desc))`)
+    // — which shuffles and sorts the WHOLE wide corpus into one partition
+    // per ward — is overkill at scale: the 1B direct-clean rung measured
+    // that shuffle + per-ward sort spill alone exceeding the box's
+    // scratch disk. `max(struct(date, code))` per ward is the same value
+    // (struct ordering: field-wise, nulls smallest — exactly desc
+    // nulls-last first()), computed with map-side partial aggregation
+    // over ~600 groups and joined back as a BROADCAST — the corpus never
+    // shuffles. Null-safe join: a null ward name forms a window partition
+    // too, so the join key must match null to null.
+    val newest = base
+      .groupBy(col("IncGeo_WardName").as("_wn"))
+      .agg(max(struct(col("DateOfCall"), col("IncGeo_WardCode"))).as("_m"))
+      .select(col("_wn"), col("_m.IncGeo_WardCode").as("_modernCode"))
+    base
+      .join(broadcast(newest), base("IncGeo_WardName") <=> newest("_wn"), "left")
+      .withColumn("IncGeo_WardCode", col("_modernCode"))
+      .drop("_wn", "_modernCode")
   }
 
   /** Air-quality cleanse (reference: etl/transform/aq-cleanse.py): recursive
