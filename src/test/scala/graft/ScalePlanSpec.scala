@@ -161,6 +161,37 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("cleanse ward stamp plans a broadcast-agg join, never a corpus window shuffle") {
+    // The modernized ward code is a per-ward constant; stamping it with a
+    // window shuffled and sorted the WHOLE wide corpus (the 1B rung's
+    // measured disk killer, SCALE.md r17). The shipped plan aggregates
+    // map-side over ~600 ward groups and broadcast-joins back: the only
+    // permissible hash exchange carries the tiny agg's group key, and no
+    // Window operator may reappear.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cleanplan_")
+    val csv = dir.resolve("lfb.csv").toString
+    graft.warehouse.Fixtures.writeScaledLfbSpark(spark, csv, 2000L)
+    graft.warehouse.Jobs.lfbExtract(spark, csv, dir.resolve("raw.parquet").toString)
+    val raw = spark.read.parquet(dir.resolve("raw.parquet").toString)
+    val plan = executedPlan(graft.warehouse.Jobs.lfbCleanseDf(raw))
+    assert(!plan.contains("Window"),
+      "cleanse reintroduced the corpus-wide window:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "ward stamp join is not broadcast:\n" + plan.take(2000))
+    // The one permissible hash exchange is the agg's partial->final hop
+    // (per-partition partials over ~600 ward groups — tiny); the corpus
+    // feeds the broadcast join's streamed side directly from the scan. A
+    // corpus shuffle would add a second exchange (and a sort-merge join
+    // would also lose the BroadcastHashJoin above).
+    // (AQE renders the finished agg stage as a collapsed BroadcastQueryStage
+    // leaf, so the agg's own operators are not visible here — the corpus
+    // side is what this counts.)
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"cleanse plans $exchanges hash exchanges " +
+      "(only the tiny agg's partial->final hop is allowed):\n" + plan.take(2000))
+  }
+
   test("t12 shard packing never funnels the data through one partition") {
     // The naive global cumulative sum plans as `Exchange SinglePartition`
     // + an UNPARTITIONED Window over the raw rows — and it contains zero
