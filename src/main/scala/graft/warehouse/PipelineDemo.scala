@@ -72,6 +72,21 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fact-slicing knobs must be reachable from a cross-JVM resume too: a
+    // rung whose fact stage only fits the disk sliced (the 1B recipe)
+    // would otherwise be un-retryable via `--from "fact load"` — the
+    // retry would run unsliced and exhaust scratch. Validated eagerly,
+    // like the CPUS/codec knobs.
+    sys.env.get("SPARK_GRAFT_FACT_SLICES").foreach { v =>
+      val k = v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_FACT_SLICES must be a positive integer, got '$v'"))
+      spark.conf.set("spark.graft.fact.slices", k.toString)
+    }
+    sys.env.get("SPARK_GRAFT_FACT_PRUNE").foreach { v =>
+      val b = v.toBooleanOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_FACT_PRUNE must be true/false, got '$v'"))
+      spark.conf.set("spark.graft.fact.pruneConsumed", b.toString)
+    }
     println(s"== session local[$cores], shuffle partitions $shufflePartitions" +
       rows.fold("")(n => s", sized for $n rows" +
         (if (fromMarker) " (from workDir .rows marker)" else "")))
