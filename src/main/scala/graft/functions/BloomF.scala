@@ -143,9 +143,17 @@ object BloomBankMightContainF {
   * — loudly, returning Left — when the TOTAL exceeds
   * `spark.graft.bloom.maxBytes` (default maxHeap/4, the measured safe
   * transient share), so the caller falls back to its exact plan instead
-  * of dying in `ByteArrayOutputStream` or an executor OOM.
+  * of dying in `ByteArrayOutputStream` or an executor OOM. The k>1 path
+  * refuses the same way when the SCRATCH filesystem cannot hold its
+  * ~8 B/key staging write — disk is the other resource the target regime
+  * exhausts, and ENOSPC mid-fan-out is not a loud fallback.
   */
 object BloomBankF {
+
+  /** Test seam: usable bytes on the key-staging filesystem. The spec
+    * overrides this to drive the scratch guard without filling a disk;
+    * production always sees the real `getUsableSpace`. */
+  private[graft] var usableScratchBytes: java.io.File => Long = _.getUsableSpace
 
   def optimalBytes(n: Long, fpp: Double): Long = {
     val bits = BloomFilter.optimalNumOfBits(math.max(n, 1L), fpp)
@@ -189,7 +197,23 @@ object BloomBankF {
       if (k == 1) Array(keys.stat.bloomFilter(keyCol, math.max(n, 1000L), fpp))
       else {
         val perN = math.max(n / k, 1000L)
-        val tmp = graft.ops.InterStage.scratchDir("graft_bloom_bank_") + "/keys"
+        val scratch = graft.ops.InterStage.scratchDir("graft_bloom_bank_")
+        // ENOSPC guard — the maxBytes guard above covers only the DRIVER
+        // transient; the k>1 build additionally stages all n keys once as
+        // parquet (~8 B/key of incompressible hashed data, plain-encoded,
+        // plus page/footer overhead — tens of GB at the bank's 2B-key
+        // target regime). Refuse loudly (classic fallback) when the
+        // scratch filesystem cannot hold the estimate, BEFORE the fan-out
+        // write dies mid-job on a full disk.
+        val stagingEst = n * 9L // 8 B/key + ~12% encoding/footer margin
+        val usable = usableScratchBytes(new java.io.File(scratch))
+        if (usable < stagingEst) {
+          graft.ops.InterStage.deleteRecursively(new java.io.File(scratch))
+          return Left(f"bank key staging needs ~$stagingEst%,d B of scratch " +
+            f"for $n%,d keys but only $usable%,d B are usable under " +
+            s"$scratch — falling back to the exact plan")
+        }
+        val tmp = scratch + "/keys"
         keys.select(col(keyCol).as("_k"),
             pmod(col(keyCol), lit(k.toLong)).as("_p"))
           .write.partitionBy("_p").mode("overwrite").parquet(tmp)

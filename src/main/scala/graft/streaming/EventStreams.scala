@@ -587,24 +587,12 @@ object EventStreams {
             .parquet(s"$stateDir/batch=$genId/seen")
           val entries = prevMan.map(_.entries).getOrElse(Map.empty) ++
             touched.map(_ -> genId)
-          // Row stamps for the NEW manifest: touched buckets from the
-          // footers of the files just written; untouched buckets carry
-          // their previous stamp forward, or — legacy upgrade, one-time —
-          // are footer-read from their current holder dirs.
-          def stampRows(kind: String, prevRows: Map[Int, Long]): Map[Int, Long] = {
-            val fresh = footerRowsByBucket(spark, s"$stateDir/batch=$genId/$kind")
-            val carried = entries.filterNot { case (b, _) => fresh.contains(b) }
-            val (known, missing) = carried.partition { case (b, _) => prevRows.contains(b) }
-            val upgraded = missing.groupBy(_._2).flatMap { case (mid, es) =>
-              val all = footerRowsByBucket(spark, s"$stateDir/batch=$mid/$kind")
-              es.keys.map(b => b -> all.getOrElse(b, 0L))
-            }
-            fresh ++ known.map { case (b, _) => b -> prevRows(b) } ++ upgraded
-          }
           writeManifest(spark, stateDir, genId,
             Scd2Manifest(buckets, batchId, entries, qid,
-              stampRows("segments", prevMan.map(_.segRows).getOrElse(Map.empty)),
-              stampRows("seen", prevMan.map(_.seenRows).getOrElse(Map.empty)))) // commit point
+              stampRowsFor(spark, stateDir, genId, "segments", entries,
+                prevMan.map(_.segRows).getOrElse(Map.empty)),
+              stampRowsFor(spark, stateDir, genId, "seen", entries,
+                prevMan.map(_.seenRows).getOrElse(Map.empty)))) // commit point
           pruneScd2(spark, stateDir, genId, prevId)
         }
       }
@@ -930,6 +918,41 @@ object EventStreams {
         s""""entries":${intMap(m.entries)}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Row stamps for a NEW manifest: touched buckets from the footers of
+    * the files just written under `batch=<genId>/<kind>`; untouched
+    * buckets carry their previous stamp forward, or — legacy upgrade,
+    * one-time — are footer-read from their current holder dirs.
+    *
+    * A carried bucket MISSING from its holder dir's footer sweep is an
+    * entries/disk inconsistency (the manifest points a reader at files
+    * that are not there). Stamping it 0 would carry forward as
+    * authoritative "empty" coverage — later `priorRows` sums would
+    * under-estimate and the bucket-aligned write could under-partition
+    * past the rowsPerWriteTask spill cliff — so the bucket is OMITTED
+    * from the stamps (readers of an incomplete stamp set fall back to
+    * the count job, which sees the disk truth) and the inconsistency is
+    * surfaced loudly instead of swallowed.
+    */
+  private[graft] def stampRowsFor(spark: SparkSession, stateDir: String,
+      genId: Long, kind: String, entries: Map[Int, Long],
+      prevRows: Map[Int, Long]): Map[Int, Long] = {
+    val fresh = footerRowsByBucket(spark, s"$stateDir/batch=$genId/$kind")
+    val carried = entries.filterNot { case (b, _) => fresh.contains(b) }
+    val (known, missing) = carried.partition { case (b, _) => prevRows.contains(b) }
+    val upgraded = missing.groupBy(_._2).flatMap { case (mid, es) =>
+      val all = footerRowsByBucket(spark, s"$stateDir/batch=$mid/$kind")
+      val (found, absent) = es.keys.partition(all.contains)
+      if (absent.nonEmpty)
+        System.err.println(s"[scd2] stampRows: manifest entries point " +
+          s"bucket(s) ${absent.toSeq.sorted.mkString(",")} at " +
+          s"$stateDir/batch=$mid/$kind but the dir holds no parquet for " +
+          "them — omitting their row stamps (readers fall back to the " +
+          "count job); the state dir is inconsistent with its manifest")
+      found.map(b => b -> all(b)).toMap
+    }
+    fresh ++ known.map { case (b, _) => b -> prevRows(b) } ++ upgraded
   }
 
   /** Parquet row counts per `bucket=<b>` subdir of one state kind dir —

@@ -43,6 +43,21 @@ object FactLoad {
     require(slices >= 1, s"spark.graft.fact.slices must be >= 1, got $slices")
     val pruneConsumed = spark.conf
       .get("spark.graft.fact.pruneConsumed", "false").toBoolean
+    // Fail fast on a missing cleansed input BEFORE any staging work (and
+    // before anything else gets deleted): under pruneConsumed a COMPLETED
+    // fact load deletes lfbCleanPath, so a --from re-entry at "fact load"
+    // over that state would otherwise surface as an opaque
+    // AnalysisException mid-stage — name the contract instead.
+    val cleanP = new org.apache.hadoop.fs.Path(lfbCleanPath)
+    if (!cleanP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cleanP))
+      throw new IllegalStateException(
+        s"fact load: cleansed input $lfbCleanPath does not exist." +
+          (if (pruneConsumed)
+            " spark.graft.fact.pruneConsumed=true DELETES it when the fact" +
+              " staging commits, so a completed (or crashed-mid-write) pruned" +
+              " run cannot be re-entered at or after 'fact load' — re-run from" +
+              " 'cleanse' (or regenerate the corpus) instead."
+          else " Run the cleanse stage first (Pipeline.run fromStage <= 'cleanse')."))
     val stagingRoot = s"${new org.apache.hadoop.fs.Path(lfbCleanPath).getParent}" +
       "/fact-staging.parquet"
     val stagedPaths =

@@ -71,4 +71,21 @@ class BloomFSpec extends SparkSpec {
     assert(exact.exceptAll(bloomed).count() == 0)
     assert(bloomed.exceptAll(exact).count() == 0)
   }
+
+  test("bloom bank: k>1 build refuses loudly when scratch cannot hold the key staging") {
+    import graft.functions.BloomBankF
+    val members = spark.range(0, 5000).select(xxhash64(col("id")).as("k"))
+    spark.conf.set("spark.graft.bloom.partBytes", "512") // force k > 1
+    val realProbe = BloomBankF.usableScratchBytes
+    BloomBankF.usableScratchBytes = _ => 1024L // a nearly-full scratch disk
+    try {
+      val res = BloomBankF.build(members, 5000L, 0.01)
+      assert(res.isLeft, "build must return Left on insufficient scratch, " +
+        "not die mid-fan-out on ENOSPC")
+      assert(res.left.exists(_.contains("scratch")), s"unhelpful reason: $res")
+    } finally {
+      BloomBankF.usableScratchBytes = realProbe
+      spark.conf.unset("spark.graft.bloom.partBytes")
+    }
+  }
 }

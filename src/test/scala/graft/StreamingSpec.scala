@@ -950,4 +950,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("scd2 row stamps omit (not zero-stamp) buckets missing from their holder dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp_").toString
+    Seq((1L, 0), (2L, 0)).toDF("user_id", "bucket").write
+      .partitionBy("bucket").parquet(s"$dir/batch=5/segments")
+    // The manifest claims batch=5 holds buckets 0 AND 1, but only bucket 0
+    // exists on disk — the legacy-upgrade sweep must not stamp bucket 1 as
+    // 0 rows (an authoritative "empty" that under-sizes every later
+    // bucket-aligned write); omitting it forces the count-job fallback.
+    val entries = Map(0 -> 5L, 1 -> 5L)
+    val stamps = EventStreams.stampRowsFor(
+      spark, dir, 7L, "segments", entries, Map.empty)
+    assert(stamps.get(0).contains(2L), s"bucket 0 footer count wrong: $stamps")
+    assert(!stamps.contains(1),
+      s"missing bucket must be omitted from the stamps, got $stamps")
+  }
 }

@@ -331,7 +331,13 @@ class PipelineSpec extends SparkSpec {
     Fixtures.writeScaledLfbSpark(spark, csv, n)
     Jobs.lfbExtract(spark, csv, raw)
     Jobs.lfbCleanse(spark, raw, cleanA)
-    Fixtures.writeScaledLfbCleanSpark(spark, cleanB, n)
+    // Small edge window (1000 << n): at the default 100k the n=20000 run
+    // degenerates to full-range inference — the SAMPLED-inference seam
+    // (schema from two disjoint id-range edges, typing applied to the
+    // full range) is exactly what this equality must pin.
+    spark.conf.set("spark.graft.gen.inferEdgeRows", "1000")
+    try Fixtures.writeScaledLfbCleanSpark(spark, cleanB, n)
+    finally spark.conf.unset("spark.graft.gen.inferEdgeRows")
     val a = spark.read.parquet(cleanA)
     val b = spark.read.parquet(cleanB)
     assert(a.schema == b.schema,
@@ -339,6 +345,25 @@ class PipelineSpec extends SparkSpec {
     assert(b.count() == n)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "direct-clean corpus differs from the CSV-path cleanse output")
+  }
+
+  test("fact load fails fast, naming the pruneConsumed contract, when the cleansed input is gone") {
+    // The guard fires before any staging work or deletion, so no pipeline
+    // state is needed — dummy paths never get read.
+    val gone = base.resolve("never-written.parquet").toString
+    spark.conf.set("spark.graft.fact.pruneConsumed", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        FactLoad.run(spark, gone, "location_type", "ward", "x", "y", "z", "t")
+      }
+      assert(e.getMessage.contains("pruneConsumed"),
+        s"re-entry failure must name the contract: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.fact.pruneConsumed")
+    // Without the knob the message points at the cleanse stage instead.
+    val e2 = intercept[IllegalStateException] {
+      FactLoad.run(spark, gone, "location_type", "ward", "x", "y", "z", "t")
+    }
+    assert(e2.getMessage.contains("cleanse"), e2.getMessage)
   }
 
   test("managed overwrite clears a stale location left by a dead JVM (resume seam)") {
