@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -516,6 +516,19 @@ object Relational {
     val nBuckets =
       if (buckets > 0) buckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // Bucket-cardinality contract: the offsets table below is exactly
+    // nBuckets rows and its exclusive-prefix window runs in ONE task.
+    // That is the operator's whole design (two-level prefix-sum: the
+    // full-width window touches only bucket-count-sized metadata) — so a
+    // caller-supplied bucket count past the cap is a mis-sizing the
+    // window must refuse, not silently absorb as a corpus-scale
+    // single-partition sort.
+    val bCap = maxBucketWindowRows(df.sparkSession)
+    require(nBuckets <= bCap,
+      s"packByBudget: $nBuckets buckets exceeds " +
+        s"spark.graft.window.maxBucketRows=$bCap — the exclusive-prefix " +
+        "window over the per-bucket offsets runs in one task; size buckets " +
+        "to the cluster's shuffle parallelism (the default), or raise the cap")
     // The checkpoint PINS the bucket assignment: the range partitioner's
     // sampled boundaries and spark_partition_id are nondeterministic per
     // execution, and `bucketed` feeds two downstream subtrees (the offsets
@@ -672,6 +685,45 @@ object Relational {
       .unionByName(bigCold.join(small, Seq(key), "inner"))
   }
 
+  /** The shared bucket-cardinality cap for the two-level prefix-sum
+    * operators (packByBudget, bucketedQuantiles, t20's rank): any
+    * full-width ordered window in this library runs over a BUCKET table
+    * whose row count is the bucketing's fan-out, never the corpus — this
+    * cap is where that contract stops being an assumption. Default 2^20:
+    * a one-task sort of ≤1M metadata rows is milliseconds; a bucket
+    * table past it means the bucketing itself is mis-sized.
+    */
+  private[graft] def maxBucketWindowRows(spark: SparkSession): Long = {
+    val cap = spark.conf
+      .get("spark.graft.window.maxBucketRows", (1L << 20).toString).toLong
+    require(cap >= 1, s"spark.graft.window.maxBucketRows must be >= 1, got $cap")
+    cap
+  }
+
+  /** Collects a (bucket, count) table driver-side under the
+    * [[maxBucketWindowRows]] contract — the guarded level-2 of the
+    * two-level prefix-sum pattern for callers whose bucket table is
+    * metadata-sized BY CONSTRUCTION (t20: 33 score buckets). The
+    * `limit(cap+1)` bounds the collect itself, so a bucketing expression
+    * that drifts corpus-sized refuses loudly instead of either OOMing the
+    * driver or (the window form's failure mode) sorting the corpus in one
+    * task. Returns (bucketValue as Option, count), unordered — the caller
+    * owns the prefix order.
+    */
+  def collectBucketCounts(bucketCounts: DataFrame,
+                          what: String): Seq[(Option[Long], Long)] = {
+    val cap = maxBucketWindowRows(bucketCounts.sparkSession)
+    val lim = math.min(cap, (Int.MaxValue - 2).toLong).toInt
+    val rows = bucketCounts.limit(lim + 1).collect()
+    if (rows.length > lim)
+      throw new IllegalStateException(
+        s"$what: bucket table exceeds spark.graft.window.maxBucketRows=" +
+          s"$cap rows — the bucketing is producing corpus-scale " +
+          "cardinality, not metadata; coarsen it or raise the cap")
+    rows.toSeq.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+  }
+
   /** Exact order statistics of a Long column WITHOUT a global sort — the
     * scale path for p50/p99/p999 over a corpus-sized (or single-huge-
     * group) relation where `percentile`/a full-sort window would funnel
@@ -699,9 +751,29 @@ object Relational {
                         qs: Seq[(String, Long, Long)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val b = df.select(col(valueCol).as("__v"),
+    val b0 = df.select(col(valueCol).as("__v"),
       floorDivExact(col(valueCol), bucketWidth).as("__bkt"))
-    val hist = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc"))
+    // Bucket-cardinality contract (maxBucketWindowRows): the histogram
+    // must be metadata-sized — its prefix window below runs in one task.
+    // Too fine a bucketWidth is AUTO-COARSENED rather than refused,
+    // because here (uniquely among the prefix-sum ops) the result is
+    // exact for ANY width: the histogram only LOCATES each target rank's
+    // bucket, selection happens inside it. Coarsening by f re-buckets
+    // the cached histogram itself — floorDiv(floorDiv(v,w),f) ==
+    // floorDiv(v,w·f) for w,f>0 — so no second corpus aggregation; the
+    // price is a ~f× larger step-3 sliver pull, logged.
+    val cap = maxBucketWindowRows(spark)
+    val hist0 = b0.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc")).persist()
+    val nb = hist0.count()
+    val f = if (nb <= cap) 1L else (nb + cap - 1) / cap
+    if (f > 1L)
+      log.warn(s"bucketedQuantiles: bucketWidth=$bucketWidth yields $nb " +
+        s"buckets > spark.graft.window.maxBucketRows=$cap — auto-coarsening " +
+        s"x$f (result exact either way; the per-quantile sliver pull grows ~x$f)")
+    val hist =
+      if (f == 1L) hist0
+      else hist0.groupBy(floorDivExact(col("__bkt"), f).as("__bkt"))
+        .agg(sum(col("__bc")).as("__bc"))
     val offs = hist.withColumn("__off", coalesce(
         sum(col("__bc")).over(Window.orderBy(col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -712,8 +784,18 @@ object Relational {
       .withColumn("rank", floorDivExactC((col("__n") - 1) * col("__num"), col("__den")))
       .where(col("rank") >= col("__off") && col("rank") < col("__off") + col("__bc"))
       .select(col("q"), col("rank"), col("__bkt"), col("__off"))
+    // Exactly one row per requested quantile: collecting it (a) releases
+    // the cached histogram deterministically before the second corpus
+    // pass and (b) hands the join a local relation — the final plan is
+    // scan + broadcast equi-join + per-quantile sliver window, nothing else.
+    val tRows = targets.collect()
+    hist0.unpersist()
+    val tDf = spark.createDataFrame(
+      java.util.Arrays.asList(tRows: _*), targets.schema)
+    val b = if (f == 1L) b0
+      else b0.withColumn("__bkt", floorDivExact(col("__bkt"), f))
     val wb = Window.partitionBy(col("q")).orderBy(col("__v"))
-    b.join(broadcast(targets), "__bkt")
+    b.join(broadcast(tDf), "__bkt")
       .withColumn("__rn", row_number().over(wb) - 1 + col("__off"))
       .where(col("__rn") === col("rank"))
       .select(col("q"), col("rank"), col("__v").as("value"))

@@ -1662,19 +1662,39 @@ object TextQueries {
         val scored = Tables.load(s, d, "documents").select(col("doc_id"),
           (size(array_distinct(t)).cast("double") / size(t)).as("score"))
         val b = scored.withColumn("bkt", floor(col("score") * 32).cast("long"))
-        val offs = b.groupBy("bkt").agg(count(lit(1)).as("bc"))
-          .withColumn("off", coalesce(
-            sum(col("bc")).over(Window.orderBy(col("bkt").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .drop("bc")
-        val total = scored.agg(count(lit(1)).as("n_total"))
+        // Level 2 (the cross-bucket prefix) is DRIVER math behind the
+        // shared cardinality guard: the bucket table is ≤34 rows BY
+        // CONSTRUCTION (score ∈ [0,1] ⇒ floor(score·32) ∈ [0,32], plus a
+        // possible null for empty docs), and collectBucketCounts makes
+        // that contract enforced rather than assumed — if the bucketing
+        // expression ever drifts corpus-sized the collect refuses loudly
+        // instead of a single-partition window sorting the corpus.
+        val counts = Relational.collectBucketCounts(
+          b.groupBy("bkt").agg(count(lit(1)).as("bc")), "t20_global_rank")
+        // prefix in bkt DESC order (high score = rank 1), matching the
+        // old Window.orderBy(desc); the null bucket sorts last and is
+        // dropped from the join table — a null key never equi-joins,
+        // exactly as before (it still counts toward n_total).
+        var acc = 0L
+        val offRows = counts.sortBy(_._1.map(-_).getOrElse(Long.MaxValue))
+          .map { case (bkt, c) => val o = acc; acc += c; (bkt, o) }
+        val nTotal = acc
+        val offs = s.createDataFrame(
+          java.util.Arrays.asList(offRows.collect {
+            case (Some(bkt), o) => org.apache.spark.sql.Row(bkt, o) }: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bkt",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("off",
+              org.apache.spark.sql.types.LongType))))
         val wb = Window.partitionBy(col("bkt"))
           .orderBy(col("score").desc, col("doc_id"))
         b.join(broadcast(offs), "bkt")
           .withColumn("rank", col("off") + row_number().over(wb))
-          .crossJoin(broadcast(total))
           .select(col("doc_id"), round(col("score"), 6).as("score"),
-            col("rank"), expr("((rank - 1) * 10) div n_total").as("decile"))
+            col("rank"),
+            Relational.floorDivExact((col("rank") - 1) * 10,
+              math.max(nTotal, 1L)).as("decile"))
       },
       "WITH t0 AS (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents), " +
         "sc AS (SELECT doc_id, len(list_distinct(t))::DOUBLE / len(t) AS score FROM t0), " +

@@ -362,6 +362,57 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bucketedQuantiles auto-coarsens past the bucket-window cap, result unchanged") {
+    val rng = new scala.util.Random(11)
+    val vals = Seq.fill(2000)((rng.nextInt(5000) - 2500).toLong)
+    val qs = Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p999", 999L, 1000L))
+    def run() = Relational.bucketedQuantiles(
+        vals.toDF("v").repartition(5), "v", 1L, qs) // width 1: ~thousands of buckets
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val fine = run()
+    // cap of 16 forces a large coarsen factor; exactness must be
+    // width-independent (the histogram only LOCATES ranks)
+    spark.conf.set("spark.graft.window.maxBucketRows", "16")
+    try assert(run() == fine, "coarsened selection diverged from fine-bucket run")
+    finally spark.conf.unset("spark.graft.window.maxBucketRows")
+    val sorted = vals.sorted
+    for ((q, num, den) <- qs) {
+      val r = Math.floorDiv((vals.length.toLong - 1) * num, den)
+      assert(fine.find(_._1 == q).get == ((q, r, sorted(r.toInt))))
+    }
+  }
+
+  test("packByBudget refuses a bucket count past the bucket-window cap") {
+    val df = spark.range(0, 100).select(col("id"), lit(1L).as("w"))
+    spark.conf.set("spark.graft.window.maxBucketRows", "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Relational.packByBudget(df, "id", col("w"), budget = 10L, buckets = 16)
+      }
+      assert(e.getMessage.contains("maxBucketRows"), e.getMessage)
+      // at or under the cap the operator runs normally
+      assert(Relational.packByBudget(df, "id", col("w"), budget = 10L,
+        buckets = 8).count() == 100)
+    } finally spark.conf.unset("spark.graft.window.maxBucketRows")
+  }
+
+  test("collectBucketCounts bounds the collect and refuses corpus-scale bucket tables") {
+    val bt = spark.range(0, 40).select(col("id").as("bkt"), lit(2L).as("c"))
+    spark.conf.set("spark.graft.window.maxBucketRows", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        Relational.collectBucketCounts(bt, "probe")
+      }
+      assert(e.getMessage.contains("probe") && e.getMessage.contains("maxBucketRows"))
+    } finally spark.conf.unset("spark.graft.window.maxBucketRows")
+    val ok = Relational.collectBucketCounts(bt, "probe")
+    assert(ok.size == 40 && ok.forall(_._2 == 2L))
+    // null bucket surfaces as None
+    val withNull = Relational.collectBucketCounts(
+      Seq((Some(1L), 3L), (None, 5L)).toDF("bkt", "c"), "probe")
+    assert(withNull.toSet == Set((Some(1L), 3L), (None, 5L)))
+  }
+
   test("bucketedQuantiles on a single-bucket and single-row frame") {
     val one = Relational.bucketedQuantiles(Seq(42L).toDF("v"), "v", 1000L,
       Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()
