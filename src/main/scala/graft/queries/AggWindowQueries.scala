@@ -472,6 +472,42 @@ object AggWindowQueries {
         "QUALIFY row_number() OVER (PARTITION BY p_id " +
         "ORDER BY abs(p_ts - r_ts), r_id) = 1"),
 
+    // J6b — the SAME band join with the reference's parentheses bug
+    // REPLICATED (load_fact.py:261 buckets the reading side to
+    // floor(epoch)/B — a fractional double that only equals a probe's
+    // integral bucket when the epoch is an exact multiple of B, so
+    // almost every probe keeps nulls). SURVEY §7.4.1's byte-parity knob:
+    // the oracle REPLAYS the buggy bucketing in DuckDB (same float
+    // division, same ±1 probe replication), so the divergence between
+    // j6 and j6b is demonstrated against an independent engine rather
+    // than asserted. Production callers never set the flag.
+    "j6b_legacy_epoch_bug" -> GQ(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val tus = Tables.eventTimeUs(ev)
+        val probe = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("p_id"), tus.as("p_ts"))
+        val readings = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("r_id"), tus.as("r_ts"))
+        Relational.nearestWithinBand(probe, "p_id", "p_ts",
+          readings, "r_ts", 43200L * 1000000L, "r_id", legacyEpochBug = true)
+          .select(col("p_id"), col("r_id"), abs(col("p_ts") - col("r_ts")).as("diff_us"))
+      },
+      "WITH probe AS (SELECT event_id AS p_id, epoch_us(ts) AS p_ts FROM events " +
+        "WHERE event_type = 'error'), " +
+        "r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_ts FROM events " +
+        "WHERE event_type = 'view'), " +
+        // the reference's reading bucket: floor(epoch) / B as FLOAT division
+        "cand AS (SELECT p.p_id, r.r_id, abs(p.p_ts - r.r_ts) AS diff " +
+        "FROM probe p JOIN (VALUES (-1), (0), (1)) v(d) ON true " +
+        "JOIN r ON (p.p_ts // 43200000000 + v.d)::DOUBLE " +
+        "= floor(r.r_ts) / 43200000000 " +
+        "WHERE abs(p.p_ts - r.r_ts) <= 43200000000), " +
+        "best AS (SELECT p_id, r_id, diff FROM cand " +
+        "QUALIFY row_number() OVER (PARTITION BY p_id ORDER BY diff, r_id) = 1) " +
+        "SELECT p.p_id, b.r_id, b.diff AS diff_us " +
+        "FROM probe p LEFT JOIN best b USING (p_id)"),
+
     // Time-bucketed event aggregation (hourly tumbling windows, batch
     // form; integral `div` on epoch-µs keeps the bucket math exact —
     // no float division anywhere near a bucket boundary).

@@ -26,6 +26,10 @@ object FactStageProbe {
     require(rows >= 1 && rows <= Int.MaxValue, s"--rows out of range: $rows")
     val slices = args.sliding(2).collectFirst { case Array("--slices", k) => k.toInt }
       .getOrElse(1)
+    // --skew: Zipf station/ward corpus (VERDICT r17 task 3) — hot write
+    // directory + skewed dim joins; the uniform default stays the ladder's
+    // reproducible shape.
+    val skew = args.contains("--skew")
     val flagValues = args.zip(args.drop(1)).collect {
       case (f, v) if f.startsWith("--") => v
     }.toSet
@@ -53,9 +57,10 @@ object FactStageProbe {
     println(f"== aux staged ${(System.nanoTime() - t00) / 1e9}%.1f s, free $freeGb%.1f GB")
 
     val t1 = System.nanoTime()
-    Fixtures.writeScaledLfbCleanSpark(spark, paths.lfbClean, rows)
-    println(f"== direct-clean corpus $rows%,d rows " +
-      f"${(System.nanoTime() - t1) / 1e9}%.1f s, free $freeGb%.1f GB")
+    Fixtures.writeScaledLfbCleanSpark(spark, paths.lfbClean, rows, skew = skew)
+    println(f"== direct-clean corpus $rows%,d rows" +
+      (if (skew) " (Zipf station/ward)" else "") +
+      f" ${(System.nanoTime() - t1) / 1e9}%.1f s, free $freeGb%.1f GB")
 
     if (slices > 1) {
       spark.conf.set("spark.graft.fact.slices", slices.toString)
@@ -70,8 +75,17 @@ object FactStageProbe {
     val factDir = base.resolve("warehouse/lfb_call").toFile
     val dirs = Option(factDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("IncidentStationGround="))
-    val filesPerDir = dirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
-    val totalFiles = filesPerDir.sum
+    val dirStats = dirs.map { dd =>
+      val fs = dd.listFiles().filter(_.getName.endsWith(".parquet"))
+      (dd.getName, fs.length, fs.map(_.length()).sum)
+    }.sortBy(-_._3)
+    val totalFiles = dirStats.map(_._2).sum
+    // the skew question is per-DIRECTORY: is the hot station's dir a
+    // one-writer funnel or did the range partitioner split it?
+    dirStats.take(3).foreach { case (name, nf, bytes) =>
+      println(f"==   top dir $name: $nf files, ${bytes / 1e9}%.2f GB " +
+        f"(${100.0 * bytes / math.max(dirStats.map(_._3).sum, 1L)}%.1f%% of table)")
+    }
     val tasks = (0 until math.max(slices, 1)).map { _ =>
       graft.ops.Relational.rowSizedPartitions(rows / math.max(slices, 1))
     }.sum

@@ -125,6 +125,32 @@ object Fixtures {
     (y, m, d)
   }
 
+  /** Zipf inverse-CDF tables for the SKEWED corpus variant: real LFB
+    * incidents are Zipf-ish by station/ward (a handful of central
+    * stations take a large share of calls), and the fact table partitions
+    * by IncidentStationGround — the uniform draw never exercises the hot
+    * write directory or the skewed dim joins the production shape has.
+    * Station exponent 1.2 over 40 stations puts ~30% of the corpus on the
+    * top station; ward exponent 1.0 over 600 puts ~15% on the top ward.
+    * Object-level so executor closures reach them via MODULE$, like the
+    * vocabulary above. */
+  private def zipfCdf(n: Int, s: Double): Array[Double] = {
+    val w = Array.tabulate(n)(r => 1.0 / math.pow(r + 1.0, s))
+    val total = w.sum
+    val c = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(i) / total; c(i) = acc; i += 1 }
+    c(n - 1) = 1.0 // guard the top end against float round-down
+    c
+  }
+  private val stationZipf = zipfCdf(40, 1.2)
+  private val wardZipf = zipfCdf(600, 1.0)
+  private def zipfDraw(cdf: Array[Double], u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(cdf, u)
+    if (i >= 0) i else math.min(-(i + 1), cdf.length - 1)
+  }
+
   /** splitmix64 finalizer: neighbouring row ids become decorrelated seeds
     * (java.util.Random's LCG scramble alone leaves sequential-seed
     * structure in the first draws). */
@@ -139,13 +165,16 @@ object Fixtures {
     * so the corpus is deterministic AND independent of who generates it —
     * the driver-side writer and the parallel Spark generator produce the
     * same line for the same id regardless of partitioning. */
-  private[warehouse] def scaledLfbRow(i: Long): String = {
+  private[warehouse] def scaledLfbRow(i: Long, skew: Boolean = false): String = {
     val rng = new scala.util.Random(mix64(i))
     val day = rng.nextInt(nDays)
     val (y, m, d) = dateOf(day)
     val date = f"$d%02d-${months(m)}-${y % 100}%02d"
     val time = f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
-    val ward = rng.nextInt(600)
+    // skew=false keeps the exact historical draw SEQUENCE (every ladder
+    // rung so far is reproducible byte-for-byte); skew=true swaps only
+    // the ward/station draws for the Zipf tables, same per-row seed.
+    val ward = if (skew) zipfDraw(wardZipf, rng.nextDouble()) else rng.nextInt(600)
     val grp = groups(rng.nextInt(groups.length))
     val stop = stops(rng.nextInt(stops.length))
     val prop = props(rng.nextInt(props.length))
@@ -153,7 +182,8 @@ object Fixtures {
       s"Within,E$ward,E,1$i,${1000 + i},E090${ward / 20},B${ward / 20},Borough${ward / 20}," +
       s"W$ward,ward $ward,ward $ward,532000,181000,532000,181000," +
       s"${51.3 + rng.nextInt(40) / 100.0},${-0.5 + rng.nextInt(60) / 100.0},LFB," +
-      s"${stations(rng.nextInt(stations.length))},${60 + rng.nextInt(600)},StationA," +
+      s"${stations(if (skew) zipfDraw(stationZipf, rng.nextDouble())
+        else rng.nextInt(stations.length))},${60 + rng.nextInt(600)},StationA," +
       s"300,StationB,${1 + rng.nextInt(3)},${1 + rng.nextInt(4)},2," +
       s"${30 + rng.nextInt(120)},${100 + rng.nextInt(2000)},${1 + rng.nextInt(4)}"
   }
@@ -170,13 +200,14 @@ object Fixtures {
     * instead of holding the whole CSV (the 150M rung's binding constraint).
     */
   def writeScaledLfbSpark(spark: org.apache.spark.sql.SparkSession,
-                          path: String, n: Long, startId: Long = 0L): Unit = {
+                          path: String, n: Long, startId: Long = 0L,
+                          skew: Boolean = false): Unit = {
     import spark.implicits._
     val parts = math.min(
       math.max(spark.sparkContext.defaultParallelism.toLong, n / 1000000L),
       20000L).toInt
     spark.range(startId, startId + n, 1L, parts)
-      .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i)))
+      .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i, skew)))
       .write.mode("overwrite").text(path)
   }
 
@@ -200,7 +231,8 @@ object Fixtures {
     * seam the spec claims to pin never runs).
     */
   def writeScaledLfbCleanSpark(spark: org.apache.spark.sql.SparkSession,
-                               cleanPath: String, n: Long): Unit = {
+                               cleanPath: String, n: Long,
+                               skew: Boolean = false): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
     val parts = math.min(
@@ -209,7 +241,7 @@ object Fixtures {
     def lines(ranges: (Long, Long)*) = ranges.map { case (a, b) =>
       spark.range(a, b, 1L,
           math.max(1, math.min(parts.toLong, b - a).toInt))
-        .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i)))
+        .mapPartitions(it => Iterator(lfbHeader) ++ it.map(i => scaledLfbRow(i, skew)))
     }.reduce(_ union _)
     // header=true on a Dataset[String] source drops every line equal to
     // the header, so the per-partition header copies vanish exactly like

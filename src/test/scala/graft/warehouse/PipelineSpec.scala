@@ -347,6 +347,31 @@ class PipelineSpec extends SparkSpec {
       "direct-clean corpus differs from the CSV-path cleanse output")
   }
 
+  test("skewed corpus variant: Zipf hot station; default draw sequence untouched") {
+    // skew only swaps the ward/station draws — everything drawn BEFORE
+    // them (id, date, time, year) must be identical per row id, so the
+    // skewed rung stays comparable to the uniform one date-wise.
+    val u = Fixtures.scaledLfbRow(12345L).split(",")
+    val z = Fixtures.scaledLfbRow(12345L, skew = true).split(",")
+    assert(u.take(5).sameElements(z.take(5)), s"${u.take(5).toSeq} vs ${z.take(5).toSeq}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_")
+    val clean = dir.resolve("skew.parquet").toString
+    Fixtures.writeScaledLfbCleanSpark(spark, clean, 20000L, skew = true)
+    val byStation = spark.read.parquet(clean)
+      .groupBy("IncidentStationGround").count()
+      .orderBy(col("count").desc).collect()
+    // Zipf(1.2) over 40 stations: rank-0 takes 1/H(40,1.2) ~ 0.30
+    assert(byStation.head.getString(0) == "Station0",
+      s"hot station should be rank 0, got ${byStation.head}")
+    val share = byStation.head.getLong(1).toDouble / 20000
+    assert(share > 0.22 && share < 0.40, s"hot-station share $share not Zipf(1.2)-shaped")
+    // determinism: same n, same skew -> same corpus
+    val clean2 = dir.resolve("skew2.parquet").toString
+    Fixtures.writeScaledLfbCleanSpark(spark, clean2, 20000L, skew = true)
+    val a = spark.read.parquet(clean); val b = spark.read.parquet(clean2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("fact load fails fast, naming the pruneConsumed contract, when the cleansed input is gone") {
     // The guard fires before any staging work or deletion, so no pipeline
     // state is needed — dummy paths never get read.
