@@ -73,6 +73,24 @@ object Scd2BucketProbe {
       println(f"[s2bprobe] B=$b%3d SUMMARY: full-touch mean(last ${landings - 1}) " +
         f"${ts.drop(1).sum / (landings - 1)}%.1f s, state files ${countFiles(state)}, " +
         f"latest-batch files ${countFiles(s"$state/batch=$latest")}")
+      // The driver-side footer sweep a full-touch commit pays per kind —
+      // the B-scaling term the row stamps moved OFF the per-landing Spark
+      // jobs and ONTO ~B direct footer reads (VERDICT r17 task 5 asks
+      // where that sweep starts to dominate as B grows).
+      // Sweep the FULLEST on-disk generation (the newest batch is the
+      // tiny probe's — 4 buckets — and would measure nothing).
+      val fullest = Option(new java.io.File(state).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(f => new java.io.File(f, "segments")).filter(_.isDirectory)
+        .maxByOption(d => Option(d.listFiles()).map(
+          _.count(_.getName.startsWith("bucket="))).getOrElse(0))
+      fullest.foreach { d =>
+        val tS = System.nanoTime()
+        val swept = EventStreams.footerRowsByBucket(spark, d.toString)
+        println(f"[s2bprobe] B=$b%3d footer sweep (${d.getParentFile.getName}): " +
+          f"${swept.size} buckets in ${(System.nanoTime() - tS) / 1e9}%.2f s")
+      }
 
       // Optional 5th arg: migrate this state to B' and report the
       // amortized-rare OPTIMIZE's cost + committer shape (the write is

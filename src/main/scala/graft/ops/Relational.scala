@@ -918,6 +918,44 @@ object Relational {
       .drop("__zkey")
   }
 
+  /** OPTIMIZE-style compaction of a partitioned table directory into a
+    * SINGLE cluster set — the priced remedy for the sliced fact build's
+    * honest trade (SCALE.md r17: `spark.graft.fact.slices=k` lands k
+    * sequential range-clustered appends, so a reader sees k cluster sets
+    * per partition, like k pending compactions). One job re-runs the
+    * canonical clustered-write layout over the whole table (reference
+    * semantics: `OPTIMIZE ... ZORDER BY`, `etl/load/load_fact.py:403-405`)
+    * and writes a fresh directory — never in place: Spark cannot read and
+    * overwrite one path in a job, and the rewrite must be atomic-swappable
+    * like Delta's OPTIMIZE commit.
+    *
+    * Layout choice, deliberately NOT [[zorderBy]]'s Morton interleave:
+    * (a) the partition column must LEAD the range key so each write task
+    * holds a contiguous partition slice — one or two open writers per
+    * task instead of one per partition directory (the measured spill term
+    * of the 10× fact build, SCALE.md r14) — whereas a global z-key
+    * interleave would fan every task out across every directory; (b)
+    * within a partition the remaining sort (e.g. date, cost) already
+    * gives each file a tight span on the LEADING cluster column, which is
+    * the lookup pattern the fact table serves; (c) the Morton map needs
+    * numeric dimensions and the fact's second key is a DATE. zorderBy
+    * stays the right tool for multi-dim numeric tables without a
+    * partition column (K5/k8 gates).
+    *
+    * Returns the row count (the caller sizes its swap/validation on it);
+    * partition count is row-sized like every clustered write here.
+    */
+  def compactClustered(spark: SparkSession, srcDir: String, dstDir: String,
+                       partitionCol: String, clusterCols: Seq[String]): Long = {
+    val df = spark.read.parquet(srcDir)
+    val n = df.count()
+    val keys = (partitionCol +: clusterCols).map(col)
+    df.repartitionByRange(rowSizedPartitions(n), keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dstDir)
+    n
+  }
+
   /** SCD type-2 change compression — the ONE definition behind both the
     * batch `scd2_user_history` gate and the streaming history maintenance
     * (`EventStreams.scd2Ingest`), so the two cannot diverge. Input columns:

@@ -963,8 +963,8 @@ object EventStreams {
     * per-landing it replaces a Spark count JOB (scheduler latency + task
     * launch per landing) with direct footer IO on the driver.
     */
-  private def footerRowsByBucket(spark: SparkSession,
-                                 kindDir: String): Map[Int, Long] = {
+  private[graft] def footerRowsByBucket(spark: SparkSession,
+                                        kindDir: String): Map[Int, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(kindDir)
     val fs = root.getFileSystem(conf)

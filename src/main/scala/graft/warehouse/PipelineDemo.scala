@@ -30,7 +30,7 @@ object PipelineDemo {
     * that end up small; `SPARK_GRAFT_SHUFFLE_PARTITIONS` pins it for
     * experiments.
     */
-  private[warehouse] def buildSession(base: java.nio.file.Path,
+  private[graft] def buildSession(base: java.nio.file.Path,
                                       rows: Option[Int],
                                       fromMarker: Boolean): SparkSession = {
     val cores =
