@@ -946,11 +946,13 @@ object Relational {
     * partition count is row-sized like every clustered write here.
     */
   def compactClustered(spark: SparkSession, srcDir: String, dstDir: String,
-                       partitionCol: String, clusterCols: Seq[String]): Long = {
+                       partitionCol: String, clusterCols: Seq[String],
+                       partitions: Option[Int] = None): Long = {
     val df = spark.read.parquet(srcDir)
     val n = df.count()
+    val parts = partitions.getOrElse(rowSizedPartitions(n))
     val keys = (partitionCol +: clusterCols).map(col)
-    df.repartitionByRange(rowSizedPartitions(n), keys: _*)
+    df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(dstDir)
     n

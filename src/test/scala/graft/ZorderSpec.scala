@@ -168,4 +168,48 @@ class ZorderSpec extends SparkSpec {
     assert(out.count() == 4)
     assert(out.where(col("a").isNull).count() == 1)
   }
+
+  test("compactClustered merges k sliced cluster sets into one, rows preserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_")
+    val src = dir.resolve("sliced").toString
+    val dst = dir.resolve("compacted").toString
+    // Simulate the sliced fact write: 3 sequential range-clustered appends
+    // over disjoint hash slices of one partitioned table — each partition
+    // dir ends up holding 3 interleaved cluster sets on `d`.
+    val rows = (0 until 30000).map(i => (s"P${i % 4}", i % 997, i))
+    val df = rows.toDF("part", "d", "payload")
+    (0 until 3).foreach { s =>
+      df.where(pmod(xxhash64(col("payload")), lit(3)) === s)
+        .repartitionByRange(6, col("part"), col("d"))
+        .sortWithinPartitions(col("part"), col("d"))
+        .write.mode("append").partitionBy("part").parquet(src)
+    }
+    // The locality metric the remedy exists for (same as CompactProbe):
+    // mass-weighted files touched per (part, d)-bounded point lookup,
+    // from per-file d min/max within each row's own partition dir.
+    def filesPerLookup(path: String): Double = {
+      val t = spark.read.parquet(path)
+      val stats = t.groupBy(col("part").as("p2"), input_file_name().as("f"))
+        .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      t.select(col("part"), col("d"))
+        .join(broadcast(stats), col("part") === col("p2") &&
+          col("d") >= col("mn") && col("d") <= col("mx"))
+        .count().toDouble / t.count()
+    }
+    val before = filesPerLookup(src)
+    assert(before > 2.0, f"sliced fixture should overlap ~3 cluster sets, got $before%.2f")
+    // same partition count as each slice's append: the gain below is the
+    // cluster-set merge, not a file-count change
+    val n = Relational.compactClustered(spark, src, dst, "part", Seq("d"),
+      partitions = Some(6))
+    assert(n == 30000)
+    // exact multiset equality: compaction is a LAYOUT operation only
+    val a = spark.read.parquet(src).select("part", "d", "payload")
+    val b = spark.read.parquet(dst).select("part", "d", "payload")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val after = filesPerLookup(dst)
+    assert(after < before / 2 && after < 1.5,
+      f"compaction did not restore single-set locality: $before%.2f -> $after%.2f files/lookup")
+  }
 }
