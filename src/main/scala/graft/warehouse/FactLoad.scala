@@ -252,9 +252,61 @@ object FactLoad {
       }
     }
 
+    // Optional post-load compaction (`spark.graft.fact.compact`): a k-sliced
+    // load lands k range-clustered file sets per station dir (like k pending
+    // compactions); this folds them back into the canonical single cluster
+    // set — the explicit OPTIMIZE ZORDER the reference runs after its own
+    // write (load_fact.py:403-405), priced at 0.75 s/M over the 300M rung
+    // (SCALE.md r18, CompactProbe: point-lookup locality 4.03 → 1.03 files).
+    // A no-op under slices=1 — the inline clustered write IS that layout.
+    val compact = spark.conf.get("spark.graft.fact.compact", "false").toBoolean
+    if (compact && stagedPaths.size > 1) compactInPlace(spark, outputTable)
+    else if (compact) log.info(
+      s"spark.graft.fact.compact=true ignored: slices=1 already writes a " +
+        s"single cluster set in $outputTable")
+
     // K6: surface the loaded table's metadata, the parquet stand-in for the
     // reference's Delta `DESCRIBE DETAIL` (load_fact.py:408; SURVEY §2.2).
     val detail = spark.sql(s"DESCRIBE EXTENDED $outputTable").collect()
     require(detail.nonEmpty, s"DESCRIBE EXTENDED $outputTable returned no rows")
   }
+
+  /** Rewrite `table` once into the canonical partition-leading cluster
+    * layout (`Relational.compactClustered`) and swap it in place. The swap
+    * is two renames around the fresh copy — old → `.pre-compact`, fresh →
+    * live — so a COMPLETE data set exists on disk at every instant (a crash
+    * leaves either the old layout live or both dirs present, never neither);
+    * the backup is deleted only after the live rename lands. Scratch peak is
+    * 2× the table for the rewrite's duration — the same src+dst the rewrite
+    * itself needs, so the backup adds no new high-water mark. The catalog
+    * entry is untouched (same managed location, same partition values);
+    * `MSCK REPAIR ... SYNC PARTITIONS` + `REFRESH` re-sync metadata and the
+    * cached file listing to the swapped files.
+    */
+  private def compactInPlace(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".pre-compact")
+    require(!fs.exists(bak), s"fact compact: stale backup $bak exists — a " +
+      "prior compaction crashed mid-swap; recover (restore or delete it) first")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val n = Relational.compactClustered(spark, loc.toString, tmp.toString,
+      "IncidentStationGround", Seq("DateOfCall", "NotionalCost"))
+    require(fs.rename(loc, bak), s"fact compact: rename $loc -> $bak failed")
+    require(fs.rename(tmp, loc), s"fact compact: rename $tmp -> $loc failed " +
+      s"— the pre-compact table is intact at $bak")
+    fs.delete(bak, true)
+    spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+    spark.sql(s"REFRESH TABLE $table")
+    val after = spark.table(table).count()
+    require(after == n,
+      s"fact compact: row count drifted across the rewrite ($n -> $after)")
+    log.info(s"fact compact: $table re-clustered in place ($n rows, single " +
+      "cluster set per station dir)")
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

@@ -65,6 +65,12 @@ object FactStageProbe {
     if (slices > 1) {
       spark.conf.set("spark.graft.fact.slices", slices.toString)
       spark.conf.set("spark.graft.fact.pruneConsumed", "true")
+      // --compact: fold the k appended cluster sets back into the canonical
+      // layout in place (spark.graft.fact.compact) — the rung then measures
+      // build + OPTIMIZE as one lifecycle, committer shape reported below
+      // reflects the compacted table.
+      if (args.contains("--compact"))
+        spark.conf.set("spark.graft.fact.compact", "true")
     }
     val stages = Pipeline.run(spark, inputs, paths, fromStage = "dimension builds")
     stages.foreach { case (name, sec) =>

@@ -87,6 +87,11 @@ object PipelineDemo {
         sys.error(s"SPARK_GRAFT_FACT_PRUNE must be true/false, got '$v'"))
       spark.conf.set("spark.graft.fact.pruneConsumed", b.toString)
     }
+    sys.env.get("SPARK_GRAFT_FACT_COMPACT").foreach { v =>
+      val b = v.toBooleanOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_FACT_COMPACT must be true/false, got '$v'"))
+      spark.conf.set("spark.graft.fact.compact", b.toString)
+    }
     println(s"== session local[$cores], shuffle partitions $shufflePartitions" +
       rows.fold("")(n => s", sized for $n rows" +
         (if (fromMarker) " (from workDir .rows marker)" else "")))

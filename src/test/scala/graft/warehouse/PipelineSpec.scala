@@ -321,6 +321,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sliced fact build with compact=true folds to one cluster set in place") {
+    ranOnce
+    val unsliced = spark.table("lfb_call").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    spark.conf.set("spark.graft.fact.slices", "3")
+    spark.conf.set("spark.graft.fact.compact", "true")
+    try {
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_compacted")
+      val got = spark.table("lfb_call_compacted").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(got.sameElements(unsliced),
+        "compacted sliced build diverged from the unsliced table")
+      import org.apache.hadoop.fs.Path
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("lfb_call_compacted"))
+      val loc = new Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one cluster set: at spec scale the canonical write is a single
+      // range task, so each station dir holds exactly ONE file (the
+      // un-compacted slices=3 table leaves one per non-empty slice)
+      val dirs = fs.listStatus(loc).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("IncidentStationGround="))
+      assert(dirs.nonEmpty, s"no partition dirs under $loc")
+      dirs.foreach { d =>
+        val files = fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        assert(files == 1,
+          s"${d.getPath.getName} holds $files files after compaction")
+      }
+      // swap hygiene: neither the tmp copy nor the backup survives
+      assert(!fs.exists(new Path(loc.getParent, loc.getName + ".compact-tmp")))
+      assert(!fs.exists(new Path(loc.getParent, loc.getName + ".pre-compact")))
+      // partition-pruned reads still resolve over the swapped metadata
+      val st = spark.table("lfb_call_compacted")
+        .select("IncidentStationGround").first().getString(0)
+      assert(spark.table("lfb_call_compacted")
+        .where(col("IncidentStationGround") === st).count() > 0)
+      // a later overwrite load over the swapped table must still work
+      // (the prepareManagedOverwrite + saveAsTable path sees a live,
+      // partition-synced catalog entry)
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.conf.unset("spark.graft.fact.compact")
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_compacted")
+      val again = spark.table("lfb_call_compacted").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(again.sameElements(unsliced),
+        "overwrite over the compacted table diverged")
+    } finally {
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.conf.unset("spark.graft.fact.compact")
+      spark.sql("DROP TABLE IF EXISTS lfb_call_compacted")
+    }
+  }
+
   test("direct-to-clean generator equals the CSV -> extract -> cleanse path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dclean_")
     val n = 20000L
