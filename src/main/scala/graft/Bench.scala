@@ -57,6 +57,39 @@ object Bench {
   private[graft] def normalizedBar(drift: Option[Double]): Double =
     2.0 * drift.map(d => math.min(math.max(d, 1.0), 1.5)).getOrElse(1.0)
 
+  /** MIN of 3 runs of the CPU-bound drift canary (deterministic generated
+    * input, codegen'd hash chain, no I/O): moves with ambient machine
+    * state, cannot move with repo code changes. Shared with QueryProbe so
+    * single-query adjudications carry the same drift reading the full
+    * bench does.
+    */
+  private[graft] def measureCanary(spark: org.apache.spark.sql.SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 29, 1L, 32)
+        // bit_xor, not sum: an ANSI-mode sum of 2^29 uniform longs overflows
+        .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7, id * 31)))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** The committed `_canary` reference (idle-machine), if a readable
+    * reference file exists at `path`.
+    */
+  private[graft] def canaryReference(path: String): Option[Double] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) None
+    else try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+          classOf[java.util.Map[String, Object]])
+      m.get("_canary") match {
+        case n: Number if n.doubleValue() > 0 => Some(n.doubleValue())
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -77,15 +110,7 @@ object Bench {
     // moves with ambient machine state (CPU contention, thermal/steal
     // time) and CANNOT move with repo code changes. MIN of 3 — for a
     // fixed workload the minimum is the contention-robust statistic.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 1L << 29, 1L, 32)
-        // bit_xor, not sum: an ANSI-mode sum of 2^29 uniform longs overflows
-        .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7, id * 31)))")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val canarySec = (1 to 3).map(_ => canaryOnce()).min
+    val canarySec = measureCanary(spark)
 
     // Shared inter-stage tables (shingle index, signatures, bucketed
     // embeddings) are built once here and timed as their own phase, so

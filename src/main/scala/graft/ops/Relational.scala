@@ -947,8 +947,16 @@ object Relational {
     */
   def compactClustered(spark: SparkSession, srcDir: String, dstDir: String,
                        partitionCol: String, clusterCols: Seq[String],
-                       partitions: Option[Int] = None): Long = {
-    val df = spark.read.parquet(srcDir)
+                       partitions: Option[Int] = None): Long =
+    // Note: reading by path re-INFERS the partition column's type from the
+    // dir names; a caller holding a catalog table should pass its
+    // DataFrame to the overload below so the declared schema rules.
+    compactClustered(spark.read.parquet(srcDir), dstDir,
+      partitionCol, clusterCols, partitions)
+
+  def compactClustered(df: DataFrame, dstDir: String,
+                       partitionCol: String, clusterCols: Seq[String],
+                       partitions: Option[Int]): Long = {
     val n = df.count()
     val parts = partitions.getOrElse(rowSizedPartitions(n))
     val keys = (partitionCol +: clusterCols).map(col)

@@ -293,8 +293,12 @@ object FactLoad {
     require(!fs.exists(bak), s"fact compact: stale backup $bak exists — a " +
       "prior compaction crashed mid-swap; recover (restore or delete it) first")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val n = Relational.compactClustered(spark, loc.toString, tmp.toString,
-      "IncidentStationGround", Seq("DateOfCall", "NotionalCost"))
+    // Read through the CATALOG, not the path: a path read re-infers the
+    // partition column's type from the dir names (a numeric-looking
+    // station set would re-type the string column), the table read keeps
+    // the declared schema.
+    val n = Relational.compactClustered(spark.table(table), tmp.toString,
+      "IncidentStationGround", Seq("DateOfCall", "NotionalCost"), None)
     require(fs.rename(loc, bak), s"fact compact: rename $loc -> $bak failed")
     require(fs.rename(tmp, loc), s"fact compact: rename $tmp -> $loc failed " +
       s"— the pre-compact table is intact at $bak")

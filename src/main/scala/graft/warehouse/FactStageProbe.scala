@@ -92,12 +92,19 @@ object FactStageProbe {
       println(f"==   top dir $name: $nf files, ${bytes / 1e9}%.2f GB " +
         f"(${100.0 * bytes / math.max(dirStats.map(_._3).sum, 1L)}%.1f%% of table)")
     }
-    val tasks = (0 until math.max(slices, 1)).map { _ =>
-      graft.ops.Relational.rowSizedPartitions(rows / math.max(slices, 1))
-    }.sum
+    // Under --compact the final files come from the ONE compaction job
+    // (rowSizedPartitions over the full table), not the k slice appends.
+    val compacted = args.contains("--compact") && slices > 1
+    val tasks =
+      if (compacted) graft.ops.Relational.rowSizedPartitions(rows)
+      else (0 until math.max(slices, 1)).map { _ =>
+        graft.ops.Relational.rowSizedPartitions(rows / math.max(slices, 1))
+      }.sum
+    val jobs = if (compacted) 1 else math.max(slices, 1)
     println(f"== fact committer: $totalFiles files over ${dirs.length} station " +
       f"dirs (${totalFiles.toDouble / math.max(dirs.length, 1)}%.1f/dir), " +
-      f"~$tasks write tasks in ${math.max(slices, 1)} job(s) = " +
+      f"~$tasks write tasks in $jobs " +
+      (if (compacted) "compaction job(s) = " else "job(s) = ") +
       f"${totalFiles.toDouble / math.max(tasks, 1)}%.2f files/task")
     println(f"== total ${(System.nanoTime() - t00) / 1e9}%.1f s, free $freeGb%.1f GB")
     spark.stop()
