@@ -26,25 +26,19 @@ object CompactProbe {
 
   private def locality(spark: SparkSession, tag: String, dir: String): Unit = {
     val df = spark.read.parquet(dir)
-    val stats = df.groupBy(col("IncidentStationGround").as("st"),
-        input_file_name().as("f"))
-      .agg(min(col("DateOfCall")).as("mn"), max(col("DateOfCall")).as("mx"))
-      .persist()
-    val files = stats.count()
-    val dirs = stats.select(col("st")).distinct().count()
-    // mass-weighted files per (station, date) point lookup: each fact
-    // row's own (station, date), against the per-file date spans of its
-    // OWN station dir (partition pruning already limits a lookup there).
-    val rows = df.count()
-    val touched = df.select(col("IncidentStationGround").as("st2"),
-        col("DateOfCall").as("d"))
-      .join(broadcast(stats), col("st2") === col("st") &&
-        col("d") >= col("mn") && col("d") <= col("mx"))
-      .count()
-    stats.unpersist()
+    val shape = df.groupBy(col("IncidentStationGround").as("st"),
+        input_file_name().as("f")).count()
+      .agg(count(lit(1)).as("files"), countDistinct(col("st")).as("dirs"))
+      .head()
+    val (files, dirs) = (shape.getLong(0), shape.getLong(1))
+    // The shared read-locality metric (Relational.filesPerLookup) — same
+    // implementation ZorderSpec asserts on, so probe and spec numbers
+    // stay comparable.
+    val perLookup = graft.ops.Relational.filesPerLookup(
+      df, "DateOfCall", Some("IncidentStationGround"))
     println(f"== locality $tag: $files files over $dirs station dirs " +
       f"(${files.toDouble / math.max(dirs, 1)}%.1f/dir), " +
-      f"files touched per (station,date) lookup = ${touched.toDouble / rows}%.2f")
+      f"files touched per (station,date) lookup = $perLookup%.2f")
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,12 +58,20 @@ object CompactProbe {
 
     locality(spark, "before (sliced)", factDir)
 
-    // Scratch trough sampler: min usable bytes seen during the rewrite.
-    @volatile var minFree = base.toFile.getUsableSpace
+    // Scratch trough sampler: min usable bytes seen during the rewrite,
+    // taken over BOTH filesystems the rewrite touches — the workDir (new
+    // copy) and spark.local.dir/java.io.tmpdir (the range shuffle's spill
+    // home; on a box where /tmp is a different partition the shuffle is
+    // the dominant term and the workDir alone would miss it).
+    val scratchDirs = Seq(base.toFile,
+      new java.io.File(spark.conf.getOption("spark.local.dir")
+        .getOrElse(System.getProperty("java.io.tmpdir"))))
+    def freeNow: Long = scratchDirs.map(_.getUsableSpace).min
+    @volatile var minFree = freeNow
     @volatile var sampling = true
     val sampler = new Thread(() => {
       while (sampling) {
-        minFree = math.min(minFree, base.toFile.getUsableSpace)
+        minFree = math.min(minFree, freeNow)
         Thread.sleep(500)
       }
     })
@@ -99,16 +101,12 @@ object CompactProbe {
     val staging = base.resolve("staging")
     val fact = spark.read.parquet(optDir)
     import graft.ops.Checks
-    val gates = Seq(
-      ("IncidentTypeKey", s"$staging/incident-type.parquet", "IncidentTypeKey"),
-      ("LocationTypeKey", s"$staging/location-types.parquet", "LocationTypeKey"),
-      ("WardID", s"$staging/ward-dimension.parquet", "WardID"),
-      ("AirQualityKey", s"$staging/air-quality-clean.parquet", "AirQualityKey"),
-      ("WeatherKey", s"$staging/weather-clean.parquet", "WeatherKey"),
-      ("WellBeingID", s"$staging/well-being-dimension.parquet", "WellBeingID"))
-    val bad = gates.flatMap { case (fk, dimPath, pk) =>
+    // The canonical C8 family — shared with the pipeline's post-load gate
+    // so the probe's adjudication cannot drift from the contract.
+    val gates = warehouse.Pipeline.factRefGates
+    val bad = gates.flatMap { case (fk, _, stagedFile, pk) =>
       Checks.referentialIntegrity(fact, fk,
-        spark.read.parquet(dimPath), pk).left.toSeq
+        spark.read.parquet(s"$staging/$stagedFile"), pk).left.toSeq
     }
     require(fact.count() == n, "re-clustered row count drifted")
     require(bad.isEmpty, s"C8 on re-clustered table FAILED: $bad")

@@ -954,6 +954,28 @@ object Relational {
     compactClustered(spark.read.parquet(srcDir), dstDir,
       partitionCol, clusterCols, partitions)
 
+  /** Mass-weighted files touched per point lookup on `lookupCol` — the
+    * read-locality currency the clustering operators are adjudicated in
+    * (ZorderSpec, CompactProbe, SCALE.md): per-file [min, max] spans of
+    * `lookupCol` (within each row's own `partitionCol` dir when given —
+    * partition pruning already bounds a lookup there), probed with every
+    * row's own value. 1.0 = perfect tiling; k overlapping cluster sets
+    * read ≈ k. ONE implementation on purpose: probe numbers and spec
+    * assertions must stay comparable.
+    */
+  private[graft] def filesPerLookup(df: DataFrame, lookupCol: String,
+                                    partitionCol: Option[String] = None): Double = {
+    val keys = partitionCol.map(p => col(p).as("__p")).toSeq :+
+      input_file_name().as("__f")
+    val stats = df.groupBy(keys: _*)
+      .agg(min(col(lookupCol)).as("__mn"), max(col(lookupCol)).as("__mx"))
+    val probe = df.select(partitionCol.map(p => col(p).as("__p2")).toSeq :+
+      col(lookupCol).as("__v"): _*)
+    val span = col("__v") >= col("__mn") && col("__v") <= col("__mx")
+    val cond = partitionCol.fold(span)(_ => col("__p2") === col("__p") && span)
+    probe.join(broadcast(stats), cond).count().toDouble / df.count()
+  }
+
   def compactClustered(df: DataFrame, dstDir: String,
                        partitionCol: String, clusterCols: Seq[String],
                        partitions: Option[Int]): Long = {

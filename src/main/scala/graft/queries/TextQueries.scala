@@ -1679,14 +1679,10 @@ object TextQueries {
         val offRows = counts.sortBy(_._1.map(-_).getOrElse(Long.MaxValue))
           .map { case (bkt, c) => val o = acc; acc += c; (bkt, o) }
         val nTotal = acc
-        val offs = s.createDataFrame(
-          java.util.Arrays.asList(offRows.collect {
-            case (Some(bkt), o) => org.apache.spark.sql.Row(bkt, o) }: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("bkt",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("off",
-              org.apache.spark.sql.types.LongType))))
+        val offs = {
+          import s.implicits._
+          offRows.collect { case (Some(bkt), o) => (bkt, o) }.toDF("bkt", "off")
+        }
         val wb = Window.partitionBy(col("bkt"))
           .orderBy(col("score").desc, col("doc_id"))
         b.join(broadcast(offs), "bkt")

@@ -261,9 +261,20 @@ object FactLoad {
     // A no-op under slices=1 — the inline clustered write IS that layout.
     val compact = spark.conf.get("spark.graft.fact.compact", "false").toBoolean
     if (compact && stagedPaths.size > 1) compactInPlace(spark, outputTable)
-    else if (compact) log.info(
-      s"spark.graft.fact.compact=true ignored: slices=1 already writes a " +
-        s"single cluster set in $outputTable")
+    else {
+      if (compact) log.info(
+        s"spark.graft.fact.compact=true ignored: slices=1 already writes a " +
+          s"single cluster set in $outputTable")
+      // A crashed compacting run can leave .pre-compact/.compact-tmp
+      // siblings; this load just rebuilt the table from fresh staging, so
+      // both are dead weight (a full stale table copy each) — reclaim.
+      val (loc, tmp, bak, fs) = compactPaths(spark, outputTable)
+      Seq(tmp, bak).filter(fs.exists).foreach { p =>
+        log.warn(s"fact load: deleting stale compaction residue $p " +
+          s"(table $outputTable was just rebuilt at $loc)")
+        fs.delete(p, true)
+      }
+    }
 
     // K6: surface the loaded table's metadata, the parquet stand-in for the
     // reference's Delta `DESCRIBE DETAIL` (load_fact.py:408; SURVEY §2.2).
@@ -274,24 +285,57 @@ object FactLoad {
   /** Rewrite `table` once into the canonical partition-leading cluster
     * layout (`Relational.compactClustered`) and swap it in place. The swap
     * is two renames around the fresh copy — old → `.pre-compact`, fresh →
-    * live — so a COMPLETE data set exists on disk at every instant (a crash
-    * leaves either the old layout live or both dirs present, never neither);
-    * the backup is deleted only after the live rename lands. Scratch peak is
+    * live — so a COMPLETE data set exists on disk at every instant, though
+    * not necessarily at the live location: a crash between the renames
+    * leaves it at `.pre-compact`/`.compact-tmp`, and the recovery block
+    * below (or the next load's residue sweep) heals that state
+    * deterministically rather than requiring manual surgery. The backup is
+    * deleted only after the live rename lands. Scratch peak is
     * 2× the table for the rewrite's duration — the same src+dst the rewrite
     * itself needs, so the backup adds no new high-water mark. The catalog
     * entry is untouched (same managed location, same partition values);
     * `MSCK REPAIR ... SYNC PARTITIONS` + `REFRESH` re-sync metadata and the
     * cached file listing to the swapped files.
     */
-  private def compactInPlace(spark: SparkSession, table: String): Unit = {
+  private def compactPaths(spark: SparkSession, table: String):
+      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
+       org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".compact-tmp")
-    val bak = new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".pre-compact")
-    require(!fs.exists(bak), s"fact compact: stale backup $bak exists — a " +
-      "prior compaction crashed mid-swap; recover (restore or delete it) first")
+    (loc,
+      new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".compact-tmp"),
+      new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".pre-compact"),
+      fs)
+  }
+
+  private def compactInPlace(spark: SparkSession, table: String): Unit = {
+    val (loc, tmp, bak, fs) = compactPaths(spark, table)
+    // Deterministic recovery from a crashed swap. The backup exists ONLY
+    // between rename(loc -> bak) and the backup delete, and the fresh copy
+    // was complete before the first rename ran — so the on-disk state
+    // decides: bak && !loc = the swap died between its two renames, the
+    // tmp copy is the complete fresh table — finish the swap; bak && loc =
+    // the swap landed (or a later load rebuilt the table) and only the
+    // cleanup died — the live dir is authoritative, drop the backup.
+    // Inside a full FactLoad.run the slice appends above have always just
+    // rebuilt loc, so only the bak && loc arm is reachable here; the
+    // !loc arm covers a direct compact of a table left by a crashed run.
+    if (fs.exists(bak)) {
+      if (!fs.exists(loc)) {
+        require(fs.exists(tmp), s"fact compact: a crashed swap left $bak " +
+          s"but neither $loc nor $tmp — restore $bak to $loc manually")
+        require(fs.rename(tmp, loc),
+          s"fact compact: recovery rename $tmp -> $loc failed")
+        log.warn(s"fact compact: completed a crashed swap for $table " +
+          s"($tmp -> $loc)")
+      } else log.warn(
+        s"fact compact: dropping stale backup $bak (live table present)")
+      fs.delete(bak, true)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+      spark.sql(s"REFRESH TABLE $table")
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // Read through the CATALOG, not the path: a path read re-infers the
     // partition column's type from the dir names (a numeric-looking

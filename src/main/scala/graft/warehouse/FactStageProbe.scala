@@ -30,8 +30,11 @@ object FactStageProbe {
     // directory + skewed dim joins; the uniform default stays the ladder's
     // reproducible shape.
     val skew = args.contains("--skew")
+    // Only VALUE-taking flags consume the next token; a bare flag
+    // (--skew, --compact) must not swallow a workDir placed after it.
+    val valueFlags = Set("--rows", "--slices")
     val flagValues = args.zip(args.drop(1)).collect {
-      case (f, v) if f.startsWith("--") => v
+      case (f, v) if valueFlags(f) => v
     }.toSet
     val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
       .map(java.nio.file.Paths.get(_))

@@ -172,8 +172,13 @@ object Fixtures {
     val date = f"$d%02d-${months(m)}-${y % 100}%02d"
     val time = f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
     // skew=false keeps the exact historical draw SEQUENCE (every ladder
-    // rung so far is reproducible byte-for-byte); skew=true swaps only
-    // the ward/station draws for the Zipf tables, same per-row seed.
+    // rung so far is reproducible byte-for-byte). skew=true re-routes the
+    // ward/station draws through the Zipf tables — and because nextDouble
+    // consumes the RNG stream differently than nextInt, every draw AFTER
+    // the ward draw (group, stop, property, coords, pumps, costs) also
+    // differs per row. Only the fields drawn BEFORE it (id, date, time)
+    // are pinned across the pair (what PipelineSpec asserts); a skew-vs-
+    // uniform comparison is distribution-level, not per-row.
     val ward = if (skew) zipfDraw(wardZipf, rng.nextDouble()) else rng.nextInt(600)
     val grp = groups(rng.nextInt(groups.length))
     val stop = stops(rng.nextInt(stops.length))

@@ -65,6 +65,22 @@ object Pipeline {
   val dimTables: Seq[String] = Seq("date_dim", "ward", "incident_types",
     "location_type", "weather", "air_quality", "well_being")
 
+  /** The post-load referential-integrity family (C8): fact FK →
+    * (dimension catalog table, staged parquet file it loads from, dim PK).
+    * The SINGLE source of truth shared by the "post-load checks" stage
+    * (catalog side) and `CompactProbe`'s re-run against the staged
+    * parquets — a gate added to one side but not the other would
+    * otherwise silently decouple the probe's adjudication from the
+    * pipeline's contract.
+    */
+  val factRefGates: Seq[(String, String, String, String)] = Seq(
+    ("IncidentTypeKey", "incident_types", "incident-type.parquet", "IncidentTypeKey"),
+    ("LocationTypeKey", "location_type", "location-types.parquet", "LocationTypeKey"),
+    ("WardID", "ward", "ward-dimension.parquet", "WardID"),
+    ("AirQualityKey", "air_quality", "air-quality-clean.parquet", "AirQualityKey"),
+    ("WeatherKey", "weather", "weather-clean.parquet", "WeatherKey"),
+    ("WellBeingID", "well_being", "well-being-dimension.parquet", "WellBeingID"))
+
   /** The "dimension loads" stage body, keyed by the catalog table each
     * loader writes (etl/load/load_*_dim.py). */
   private def dimLoaders(spark: SparkSession, paths: Paths): Seq[(String, () => Unit)] = Seq(
@@ -222,13 +238,10 @@ object Pipeline {
       gate("post-load", Seq(
       Checks.nonEmpty(fact),
       Checks.schemaEquals(
-        fact.select(Model.factSchema.fieldNames.map(col).toSeq: _*), Model.factSchema),
-      Checks.referentialIntegrity(fact, "IncidentTypeKey", spark.table("incident_types"), "IncidentTypeKey"),
-      Checks.referentialIntegrity(fact, "LocationTypeKey", spark.table("location_type"), "LocationTypeKey"),
-      Checks.referentialIntegrity(fact, "WardID", spark.table("ward"), "WardID"),
-      Checks.referentialIntegrity(fact, "AirQualityKey", spark.table("air_quality"), "AirQualityKey"),
-      Checks.referentialIntegrity(fact, "WeatherKey", spark.table("weather"), "WeatherKey"),
-      Checks.referentialIntegrity(fact, "WellBeingID", spark.table("well_being"), "WellBeingID"))) }
+        fact.select(Model.factSchema.fieldNames.map(col).toSeq: _*), Model.factSchema)) ++
+      factRefGates.map { case (fk, dimTable, _, pk) =>
+        Checks.referentialIntegrity(fact, fk, spark.table(dimTable), pk)
+      }) }
 
     staged("aggregates") { Aggregates.run(spark, factTable, analyticsSchema) }
     stages.result()

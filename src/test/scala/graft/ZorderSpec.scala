@@ -61,14 +61,10 @@ class ZorderSpec extends SparkSpec {
     * tiny on log-distributed data even when every bulk file overlaps every
     * bulk value.
     */
-  private def filesPerLookup(path: String, c: String): Double = {
-    val df = spark.read.parquet(path)
-    val stats = df.groupBy(input_file_name().as("f"))
-      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-    df.select(col(c).as("v"))
-      .join(broadcast(stats), col("v") >= col("mn") && col("v") <= col("mx"))
-      .count().toDouble / df.count()
-  }
+  // The shared read-locality metric — one implementation (see its scaladoc)
+  // so these assertions stay comparable with CompactProbe's numbers.
+  private def filesPerLookup(path: String, c: String): Double =
+    Relational.filesPerLookup(spark.read.parquet(path), c)
 
   test("quantile boundaries cluster a skewed column where linear bucketing can't") {
     // Log-uniform `a` (spans 1..1e6, ~60% of mass below range/256): linear
@@ -185,18 +181,10 @@ class ZorderSpec extends SparkSpec {
         .sortWithinPartitions(col("part"), col("d"))
         .write.mode("append").partitionBy("part").parquet(src)
     }
-    // The locality metric the remedy exists for (same as CompactProbe):
-    // mass-weighted files touched per (part, d)-bounded point lookup,
-    // from per-file d min/max within each row's own partition dir.
-    def filesPerLookup(path: String): Double = {
-      val t = spark.read.parquet(path)
-      val stats = t.groupBy(col("part").as("p2"), input_file_name().as("f"))
-        .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
-      t.select(col("part"), col("d"))
-        .join(broadcast(stats), col("part") === col("p2") &&
-          col("d") >= col("mn") && col("d") <= col("mx"))
-        .count().toDouble / t.count()
-    }
+    // The locality metric the remedy exists for — the SAME shared
+    // implementation CompactProbe prints (partition-scoped form).
+    def filesPerLookup(path: String): Double =
+      Relational.filesPerLookup(spark.read.parquet(path), "d", Some("part"))
     val before = filesPerLookup(src)
     assert(before > 2.0, f"sliced fixture should overlap ~3 cluster sets, got $before%.2f")
     // same partition count as each slice's append: the gain below is the

@@ -377,6 +377,56 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compaction residue from a crashed swap is healed by the next load") {
+    ranOnce
+    val unsliced = spark.table("lfb_call").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    import org.apache.hadoop.fs.Path
+    def plantResidue(table: String): (Path, Path, org.apache.hadoop.fs.FileSystem) = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val loc = new Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bak = new Path(loc.getParent, loc.getName + ".pre-compact")
+      val tmp = new Path(loc.getParent, loc.getName + ".compact-tmp")
+      for (p <- Seq(bak, tmp)) {
+        fs.mkdirs(p)
+        val o = fs.create(new Path(p, "stale.bin")); o.write(1); o.close()
+      }
+      (bak, tmp, fs)
+    }
+    try {
+      // Arm 1 — compacting run over planted residue (the bak && loc state a
+      // crashed cleanup leaves): the swap-landed recovery drops the backup
+      // and the fresh compaction proceeds to the correct table.
+      spark.conf.set("spark.graft.fact.slices", "2")
+      spark.conf.set("spark.graft.fact.compact", "true")
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_heal")
+      val (bak1, tmp1, fs) = plantResidue("lfb_call_heal")
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_heal")
+      assert(!fs.exists(bak1) && !fs.exists(tmp1),
+        "compacting run left crashed-swap residue behind")
+      val healed = spark.table("lfb_call_heal").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(healed.sameElements(unsliced), "healed compacting run diverged")
+
+      // Arm 2 — non-compacting sliced load sweeps the residue after its
+      // rebuild (the stale copies are dead weight once the table is fresh).
+      spark.conf.unset("spark.graft.fact.compact")
+      val (bak2, tmp2, _) = plantResidue("lfb_call_heal")
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_heal")
+      assert(!fs.exists(bak2) && !fs.exists(tmp2),
+        "non-compacting load left crashed-swap residue behind")
+    } finally {
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.conf.unset("spark.graft.fact.compact")
+      spark.sql("DROP TABLE IF EXISTS lfb_call_heal")
+    }
+  }
+
   test("direct-to-clean generator equals the CSV -> extract -> cleanse path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dclean_")
     val n = 20000L
