@@ -337,6 +337,26 @@ object FactLoad {
       spark.sql(s"REFRESH TABLE $table")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // Scratch guard (the BloomBankF pattern: estimate, refuse LOUDLY, run
+    // the correct fallback): the rewrite needs ~1× the table at tmp plus
+    // ~1× compressed range-shuffle spill before the swap frees the old
+    // copy. Compaction is OPTIONAL layout work — the k-sliced table is
+    // correct, just k-cluster-set — so insufficient scratch skips the
+    // pass and keeps the load green instead of dying on ENOSPC mid-write.
+    val tableBytes = fs.getContentSummary(loc).getLength
+    val factor = spark.conf.get("spark.graft.compact.minFreeFactor", "2.2").toDouble
+    require(factor > 0, s"spark.graft.compact.minFreeFactor must be > 0, got $factor")
+    val need = (tableBytes * factor).toLong
+    val free = fs.getStatus(loc).getRemaining
+    if (free < need) {
+      log.warn(f"fact compact: SKIPPED for $table — scratch ${free / 1e9}%.1f GB " +
+        f"free < $factor x table ${tableBytes / 1e9}%.1f GB = ${need / 1e9}%.1f GB " +
+        "needed for the rewrite + swap; the k-sliced layout stays (correct, " +
+        "k cluster sets per station dir) — free scratch and re-run, or " +
+        "lower spark.graft.compact.minFreeFactor if the estimate is too " +
+        "conservative for this filesystem")
+      return
+    }
     // Read through the CATALOG, not the path: a path read re-infers the
     // partition column's type from the dir names (a numeric-looking
     // station set would re-type the string column), the table read keeps

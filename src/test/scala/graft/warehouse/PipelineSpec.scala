@@ -377,6 +377,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compaction skips loudly when scratch is insufficient; sliced table stays") {
+    ranOnce
+    val unsliced = spark.table("lfb_call").collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    spark.conf.set("spark.graft.fact.slices", "3")
+    spark.conf.set("spark.graft.fact.compact", "true")
+    // An impossible free-space demand forces the guard: compaction is
+    // optional layout work, so the load must stay green with the k-sliced
+    // (correct, multi-cluster-set) table in place.
+    spark.conf.set("spark.graft.compact.minFreeFactor", "1e12")
+    try {
+      FactLoad.run(spark, paths.lfbClean, "location_type", "ward",
+        paths.aqClean, paths.weatherClean, paths.wbDim, "lfb_call_noroom")
+      val got = spark.table("lfb_call_noroom").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(got.sameElements(unsliced), "guard-skipped load diverged")
+      // the sliced layout is still there: some station dir holds >1 file
+      import org.apache.hadoop.fs.Path
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("lfb_call_noroom"))
+      val loc = new Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maxFiles = fs.listStatus(loc)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("IncidentStationGround="))
+        .map(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+        .max
+      assert(maxFiles > 1,
+        s"expected the sliced multi-cluster-set layout to remain, max files/dir = $maxFiles")
+    } finally {
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.conf.unset("spark.graft.fact.compact")
+      spark.conf.unset("spark.graft.compact.minFreeFactor")
+      spark.sql("DROP TABLE IF EXISTS lfb_call_noroom")
+    }
+  }
+
   test("compaction residue from a crashed swap is healed by the next load") {
     ranOnce
     val unsliced = spark.table("lfb_call").collect()
