@@ -338,13 +338,18 @@ object FactLoad {
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // Scratch guard (the BloomBankF pattern: estimate, refuse LOUDLY, run
-    // the correct fallback): the rewrite needs ~1× the table at tmp plus
-    // ~1× compressed range-shuffle spill before the swap frees the old
-    // copy. Compaction is OPTIONAL layout work — the k-sliced table is
-    // correct, just k-cluster-set — so insufficient scratch skips the
-    // pass and keeps the load green instead of dying on ENOSPC mid-write.
+    // the correct fallback): before the swap frees the old copy the
+    // rewrite holds the tmp copy (~1× table) PLUS the range shuffle's
+    // sort-spill files — measured 3.8× table bytes total at the 500M rung
+    // (SCALE.md r18: 41 GB transient on a 10.8 GB table), so the default
+    // demands 4×. Both terms land on the table's filesystem here
+    // (spark.local.dir unset ⇒ spill shares it); a deployment spilling to
+    // a separate disk can lower the factor toward ~1.2. Compaction is
+    // OPTIONAL layout work — the k-sliced table is correct, just
+    // k-cluster-set — so insufficient scratch skips the pass and keeps
+    // the load green instead of dying on ENOSPC mid-write.
     val tableBytes = fs.getContentSummary(loc).getLength
-    val factor = spark.conf.get("spark.graft.compact.minFreeFactor", "2.2").toDouble
+    val factor = spark.conf.get("spark.graft.compact.minFreeFactor", "4.0").toDouble
     require(factor > 0, s"spark.graft.compact.minFreeFactor must be > 0, got $factor")
     val need = (tableBytes * factor).toLong
     val free = fs.getStatus(loc).getRemaining

@@ -17,7 +17,8 @@ package graft.warehouse
   * its last reader finishes (cleansed input after staging; staging slices
   * after their append) — the measured consumed-artifact lifecycle.
   *
-  * Usage: runMain graft.warehouse.FactStageProbe <workDir> --rows n [--slices k]
+  * Usage: runMain graft.warehouse.FactStageProbe <workDir> --rows n
+  *          [--slices k] [--compact] [--skew]
   */
 object FactStageProbe {
   def main(args: Array[String]): Unit = {
