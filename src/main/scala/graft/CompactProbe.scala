@@ -63,9 +63,7 @@ object CompactProbe {
     // copy) and spark.local.dir/java.io.tmpdir (the range shuffle's spill
     // home; on a box where /tmp is a different partition the shuffle is
     // the dominant term and the workDir alone would miss it).
-    val scratchDirs = Seq(base.toFile,
-      new java.io.File(spark.conf.getOption("spark.local.dir")
-        .getOrElse(System.getProperty("java.io.tmpdir"))))
+    val scratchDirs = base.toFile +: graft.ops.Relational.spillDirs(spark)
     def freeNow: Long = scratchDirs.map(_.getUsableSpace).min
     @volatile var minFree = freeNow
     @volatile var sampling = true
@@ -98,15 +96,15 @@ object CompactProbe {
     // C8 family on the re-clustered table vs the staged dim parquets
     // (the same relations the catalog dims are loaded from; Unknown
     // sentinel members live in these files).
-    val staging = base.resolve("staging")
+    val paths = warehouse.Pipeline.Paths(base.resolve("staging").toString)
     val fact = spark.read.parquet(optDir)
     import graft.ops.Checks
     // The canonical C8 family — shared with the pipeline's post-load gate
     // so the probe's adjudication cannot drift from the contract.
     val gates = warehouse.Pipeline.factRefGates
-    val bad = gates.flatMap { case (fk, _, stagedFile, pk) =>
+    val bad = gates.flatMap { case (fk, _, stagedPath, pk) =>
       Checks.referentialIntegrity(fact, fk,
-        spark.read.parquet(s"$staging/$stagedFile"), pk).left.toSeq
+        spark.read.parquet(stagedPath(paths)), pk).left.toSeq
     }
     require(fact.count() == n, "re-clustered row count drifted")
     require(bad.isEmpty, s"C8 on re-clustered table FAILED: $bad")

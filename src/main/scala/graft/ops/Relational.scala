@@ -954,6 +954,19 @@ object Relational {
     compactClustered(spark.read.parquet(srcDir), dstDir,
       partitionCol, clusterCols, partitions)
 
+  /** The local directories Spark's shuffle sort-spill lands in:
+    * `spark.local.dir` (COMMA-SEPARATED list) when set, else
+    * `java.io.tmpdir` — filtered to dirs that exist, since a missing
+    * path's `getUsableSpace` reads 0 and would poison any free-space
+    * minimum taken over the set. Shared by the compaction scratch guard
+    * and CompactProbe's trough sampler so both watch the same disks.
+    */
+  private[graft] def spillDirs(spark: SparkSession): Seq[java.io.File] =
+    spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .split(',').map(_.trim).filter(_.nonEmpty)
+      .map(new java.io.File(_)).filter(_.isDirectory).toSeq
+
   /** Mass-weighted files touched per point lookup on `lookupCol` — the
     * read-locality currency the clustering operators are adjudicated in
     * (ZorderSpec, CompactProbe, SCALE.md): per-file [min, max] spans of

@@ -297,7 +297,9 @@ object FactLoad {
     * `MSCK REPAIR ... SYNC PARTITIONS` + `REFRESH` re-sync metadata and the
     * cached file listing to the swapped files.
     */
-  private def compactPaths(spark: SparkSession, table: String):
+  // private[warehouse] so PipelineSpec plants crash residue at the REAL
+  // suffixes instead of duplicating the string literals.
+  private[warehouse] def compactPaths(spark: SparkSession, table: String):
       (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
        org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -328,10 +330,16 @@ object FactLoad {
           s"but neither $loc nor $tmp — restore $bak to $loc manually")
         require(fs.rename(tmp, loc),
           s"fact compact: recovery rename $tmp -> $loc failed")
+        fs.delete(bak, true)
+        spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+        spark.sql(s"REFRESH TABLE $table")
         log.warn(s"fact compact: completed a crashed swap for $table " +
           s"($tmp -> $loc)")
-      } else log.warn(
-        s"fact compact: dropping stale backup $bak (live table present)")
+        // The recovered tmp IS the finished compacted layout — re-running
+        // the rewrite on it would be a full redundant table copy.
+        return
+      }
+      log.warn(s"fact compact: dropping stale backup $bak (live table present)")
       fs.delete(bak, true)
       spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
       spark.sql(s"REFRESH TABLE $table")
@@ -339,27 +347,33 @@ object FactLoad {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // Scratch guard (the BloomBankF pattern: estimate, refuse LOUDLY, run
     // the correct fallback): before the swap frees the old copy the
-    // rewrite holds the tmp copy (~1× table) PLUS the range shuffle's
-    // sort-spill files — measured 3.8× table bytes total at the 500M rung
-    // (SCALE.md r18: 41 GB transient on a 10.8 GB table), so the default
-    // demands 4×. Both terms land on the table's filesystem here
-    // (spark.local.dir unset ⇒ spill shares it); a deployment spilling to
-    // a separate disk can lower the factor toward ~1.2. Compaction is
-    // OPTIONAL layout work — the k-sliced table is correct, just
-    // k-cluster-set — so insufficient scratch skips the pass and keeps
-    // the load green instead of dying on ENOSPC mid-write.
+    // rewrite holds the tmp copy (~1× table, on the TABLE's filesystem)
+    // plus the range shuffle's sort-spill (~2.8× — spill is wider than
+    // the parquet it re-sorts; lands in spark.local.dir/java.io.tmpdir,
+    // NOT necessarily the table's disk) — measured 3.8× table bytes
+    // total at the 500M rung (SCALE.md r18: 41 GB transient on a 10.8 GB
+    // table), so the default demands 4× of the MINIMUM free across the
+    // table's partition and every spill dir's partition. On a one-disk
+    // box that's one number (the measured case); split disks make the
+    // bound conservative — lower the factor when each side holds its own
+    // term comfortably. Compaction is OPTIONAL layout work — the
+    // k-sliced table is correct, just k-cluster-set — so insufficient
+    // scratch skips the pass and keeps the load green instead of dying
+    // on ENOSPC mid-write.
     val tableBytes = fs.getContentSummary(loc).getLength
     val factor = spark.conf.get("spark.graft.compact.minFreeFactor", "4.0").toDouble
     require(factor > 0, s"spark.graft.compact.minFreeFactor must be > 0, got $factor")
     val need = (tableBytes * factor).toLong
-    val free = fs.getStatus(loc).getRemaining
+    val free = (fs.getStatus(loc).getRemaining +:
+      Relational.spillDirs(spark).map(_.getUsableSpace)).min
     if (free < need) {
-      log.warn(f"fact compact: SKIPPED for $table — scratch ${free / 1e9}%.1f GB " +
-        f"free < $factor x table ${tableBytes / 1e9}%.1f GB = ${need / 1e9}%.1f GB " +
-        "needed for the rewrite + swap; the k-sliced layout stays (correct, " +
+      log.warn(f"fact compact: SKIPPED for $table — min scratch over the " +
+        f"table + spill partitions ${free / 1e9}%.1f GB free < $factor x " +
+        f"table ${tableBytes / 1e9}%.1f GB = ${need / 1e9}%.1f GB needed " +
+        "for the rewrite + swap; the k-sliced layout stays (correct, " +
         "k cluster sets per station dir) — free scratch and re-run, or " +
         "lower spark.graft.compact.minFreeFactor if the estimate is too " +
-        "conservative for this filesystem")
+        "conservative for this disk layout")
       return
     }
     // Read through the CATALOG, not the path: a path read re-infers the

@@ -33,11 +33,15 @@ object FactStageProbe {
     val skew = args.contains("--skew")
     // Only VALUE-taking flags consume the next token; a bare flag
     // (--skew, --compact) must not swallow a workDir placed after it.
+    // Drop consumed tokens BY POSITION, not by value — a workDir that
+    // textually equals a flag's value (e.g. a dir named "4" with
+    // --slices 4) must survive.
     val valueFlags = Set("--rows", "--slices")
-    val flagValues = args.zip(args.drop(1)).collect {
-      case (f, v) if valueFlags(f) => v
-    }.toSet
-    val base = args.filterNot(_.startsWith("--")).filterNot(flagValues).headOption
+    val consumed = args.indices.filter(i =>
+      valueFlags(args(i)) && i + 1 < args.length).map(_ + 1).toSet
+    val base = args.indices
+      .filterNot(i => args(i).startsWith("--") || consumed(i))
+      .map(args(_)).headOption
       .map(java.nio.file.Paths.get(_))
       .getOrElse(sys.error("FactStageProbe requires a workDir"))
     java.nio.file.Files.createDirectories(base)

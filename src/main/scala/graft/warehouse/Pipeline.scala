@@ -66,20 +66,22 @@ object Pipeline {
     "location_type", "weather", "air_quality", "well_being")
 
   /** The post-load referential-integrity family (C8): fact FK →
-    * (dimension catalog table, staged parquet file it loads from, dim PK).
-    * The SINGLE source of truth shared by the "post-load checks" stage
-    * (catalog side) and `CompactProbe`'s re-run against the staged
-    * parquets — a gate added to one side but not the other would
-    * otherwise silently decouple the probe's adjudication from the
-    * pipeline's contract.
+    * (dimension catalog table, staged-parquet selector on [[Paths]],
+    * dim PK). The SINGLE source of truth shared by the "post-load
+    * checks" stage (catalog side) and `CompactProbe`'s re-run against
+    * the staged parquets — a gate added to one side but not the other
+    * would otherwise silently decouple the probe's adjudication from
+    * the pipeline's contract. The staged side goes through Paths
+    * selectors (not duplicated basenames) so a renamed artifact stays
+    * defined once.
     */
-  val factRefGates: Seq[(String, String, String, String)] = Seq(
-    ("IncidentTypeKey", "incident_types", "incident-type.parquet", "IncidentTypeKey"),
-    ("LocationTypeKey", "location_type", "location-types.parquet", "LocationTypeKey"),
-    ("WardID", "ward", "ward-dimension.parquet", "WardID"),
-    ("AirQualityKey", "air_quality", "air-quality-clean.parquet", "AirQualityKey"),
-    ("WeatherKey", "weather", "weather-clean.parquet", "WeatherKey"),
-    ("WellBeingID", "well_being", "well-being-dimension.parquet", "WellBeingID"))
+  val factRefGates: Seq[(String, String, Paths => String, String)] = Seq(
+    ("IncidentTypeKey", "incident_types", _.incidentTypeDim, "IncidentTypeKey"),
+    ("LocationTypeKey", "location_type", _.locationTypeDim, "LocationTypeKey"),
+    ("WardID", "ward", _.wardDim, "WardID"),
+    ("AirQualityKey", "air_quality", _.aqClean, "AirQualityKey"),
+    ("WeatherKey", "weather", _.weatherClean, "WeatherKey"),
+    ("WellBeingID", "well_being", _.wbDim, "WellBeingID"))
 
   /** The "dimension loads" stage body, keyed by the catalog table each
     * loader writes (etl/load/load_*_dim.py). */

@@ -419,12 +419,8 @@ class PipelineSpec extends SparkSpec {
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
     import org.apache.hadoop.fs.Path
     def plantResidue(table: String): (Path, Path, org.apache.hadoop.fs.FileSystem) = {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      val loc = new Path(meta.location)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val bak = new Path(loc.getParent, loc.getName + ".pre-compact")
-      val tmp = new Path(loc.getParent, loc.getName + ".compact-tmp")
+      // the REAL suffixes, via FactLoad's own path derivation
+      val (_, tmp, bak, fs) = FactLoad.compactPaths(spark, table)
       for (p <- Seq(bak, tmp)) {
         fs.mkdirs(p)
         val o = fs.create(new Path(p, "stale.bin")); o.write(1); o.close()
