@@ -75,6 +75,33 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
+  /** MIN of 3 full-column scans of the largest table — the I/O-side drift
+    * canary the CPU-bound one structurally cannot provide (r18 round-end
+    * lesson: a 1.3× uniform elevation at CPU drift 1.014 — page-cache /
+    * memory-bandwidth state). The min converges to the page-warm
+    * (memory-bandwidth) number, so it is deterministic across runs on the
+    * same box and moves only with ambient memory/I/O pressure. Recorded
+    * as `ioCanary`/`ioDrift` (reference key `_ioCanary`); diagnostic
+    * only — the sentinel bar stays CPU-normalized until a round decides
+    * otherwise with this data in hand.
+    */
+  private[graft] def measureIoCanary(spark: org.apache.spark.sql.SparkSession,
+                                     sfDir: String): Option[Double] =
+    try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("sum(l_orderkey)", "sum(l_extendedprice)",
+            "sum(l_quantity)", "sum(length(l_returnflag))",
+            "count(distinct l_shipdate)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Some((1 to 3).map(_ => once()).min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] I/O canary failed: ${e.getMessage}")
+      None
+    }
+
   /** The committed `_canary` reference (idle-machine), if a readable
     * reference file exists at `path`.
     */
@@ -111,6 +138,7 @@ object Bench {
     // time) and CANNOT move with repo code changes. MIN of 3 — for a
     // fixed workload the minimum is the contention-robust statistic.
     val canarySec = measureCanary(spark)
+    val ioCanarySec = measureIoCanary(spark, sfDir)
 
     // Shared inter-stage tables (shingle index, signatures, bucketed
     // embeddings) are built once here and timed as their own phase, so
@@ -184,6 +212,17 @@ object Bench {
       refsAll.filter { case (k, _) => !k.startsWith("_") }
     val canaryRef: Option[Double] = refsAll.get("_canary").filter(_ > 0)
     val drift: Option[Double] = canaryRef.map(canarySec / _)
+    val ioCanaryRef: Option[Double] = refsAll.get("_ioCanary").filter(_ > 0)
+    val ioDrift: Option[Double] = for {
+      io <- ioCanarySec; ref <- ioCanaryRef
+    } yield io / ref
+    ioDrift.foreach { d =>
+      if (d > 1.25) System.err.println(
+        f"[bench] I/O canary drift $d%.2fx (CPU canary " +
+          f"${drift.map(x => f"$x%.2fx").getOrElse("n/a")}) — memory/I/O-side " +
+          "ambient elevation; diagnostic only, the sentinel bar stays " +
+          "CPU-normalized")
+    }
     drift.foreach { d =>
       if (d > 1.25) System.err.println(
         f"[bench] canary drift $d%.2fx vs committed reference " +
@@ -297,6 +336,9 @@ object Bench {
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""canary":$canarySec,"canaryRef":${canaryRef.getOrElse("null")},""" +
             s""""canaryDrift":${drift.map(d => j(d)).getOrElse("null")},""" +
+            s""""ioCanary":${ioCanarySec.map(d => j(d)).getOrElse("null")},""" +
+            s""""ioCanaryRef":${ioCanaryRef.map(d => j(d)).getOrElse("null")},""" +
+            s""""ioDrift":${ioDrift.map(d => j(d)).getOrElse("null")},""" +
             s""""sentinelBar":${j(sentinelBar)},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
@@ -327,6 +369,7 @@ object Bench {
       s"""{"metric":"total","value":${j(adjTotal)},"unit":"sec","runs":$Runs,""" +
         s""""rawTotal":${j(total)},"fullTotal":${j(fullTotal)},""" +
         s""""canary":${j(canarySec)},"drift":${drift.map(d => j(d)).getOrElse("null")},""" +
+        s""""ioDrift":${ioDrift.map(d => j(d)).getOrElse("null")},""" +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},"sentinelFailed":${sentinelFailed.size},""" +

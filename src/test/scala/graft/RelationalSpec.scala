@@ -413,6 +413,20 @@ class RelationalSpec extends SparkSpec {
     assert(withNull.toSet == Set((Some(1L), 3L), (None, 5L)))
   }
 
+  test("spillDirs honors spark.local.dir comma lists and drops missing dirs") {
+    val existing = java.nio.file.Files.createTempDirectory("graft_spill_").toString
+    try {
+      spark.conf.set("spark.local.dir", s"$existing, /nonexistent/graft-spill ,")
+      val dirs = Relational.spillDirs(spark)
+      assert(dirs.map(_.getPath) == Seq(existing),
+        s"expected only the existing dir, got ${dirs.map(_.getPath)}")
+    } finally spark.conf.unset("spark.local.dir")
+    // unset -> java.io.tmpdir (which exists)
+    val fallback = Relational.spillDirs(spark)
+    assert(fallback.map(_.getPath) ==
+      Seq(new java.io.File(System.getProperty("java.io.tmpdir")).getPath))
+  }
+
   test("bucketedQuantiles on a single-bucket and single-row frame") {
     val one = Relational.bucketedQuantiles(Seq(42L).toDF("v"), "v", 1000L,
       Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()
