@@ -102,16 +102,17 @@ object Bench {
       None
     }
 
-  /** The committed `_canary` reference (idle-machine), if a readable
-    * reference file exists at `path`.
+  /** A committed canary reference (idle-machine) — `_canary` (CPU) or
+    * `_ioCanary` (I/O) — if a readable reference file exists at `path`.
     */
-  private[graft] def canaryReference(path: String): Option[Double] =
+  private[graft] def canaryReference(path: String,
+                                     key: String = "_canary"): Option[Double] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) None
     else try {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
           classOf[java.util.Map[String, Object]])
-      m.get("_canary") match {
+      m.get(key) match {
         case n: Number if n.doubleValue() > 0 => Some(n.doubleValue())
         case _ => None
       }
@@ -336,9 +337,9 @@ object Bench {
             s""""startedAt":"$startedAt","durationSec":${(System.nanoTime() - t00) / 1e9},""" +
             s""""canary":$canarySec,"canaryRef":${canaryRef.getOrElse("null")},""" +
             s""""canaryDrift":${drift.map(d => j(d)).getOrElse("null")},""" +
-            s""""ioCanary":${ioCanarySec.map(d => j(d)).getOrElse("null")},""" +
-            s""""ioCanaryRef":${ioCanaryRef.map(d => j(d)).getOrElse("null")},""" +
-            s""""ioDrift":${ioDrift.map(d => j(d)).getOrElse("null")},""" +
+            s""""ioCanary":${ioCanarySec.getOrElse("null")},""" +
+            s""""ioCanaryRef":${ioCanaryRef.getOrElse("null")},""" +
+            s""""ioDrift":${ioDrift.getOrElse("null")},""" +
             s""""sentinelBar":${j(sentinelBar)},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
@@ -369,7 +370,9 @@ object Bench {
       s"""{"metric":"total","value":${j(adjTotal)},"unit":"sec","runs":$Runs,""" +
         s""""rawTotal":${j(total)},"fullTotal":${j(fullTotal)},""" +
         s""""canary":${j(canarySec)},"drift":${drift.map(d => j(d)).getOrElse("null")},""" +
-        s""""ioDrift":${ioDrift.map(d => j(d)).getOrElse("null")},""" +
+        // omitted when absent: the compact line runs ~1880 chars at
+        // nq=132 against the 1900 warning bar — null keys can't buy that
+        ioDrift.map(d => s""""ioDrift":${j(d)},""").getOrElse("") +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},"sentinelFailed":${sentinelFailed.size},""" +

@@ -21,15 +21,19 @@ object QueryProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Same drift canary as Bench, so a probe's numbers are adjudicable
-    // against the committed idle-machine reference (the r18 lesson: an
-    // "idle" probe on a shared box can still run 2-3x ambient-slow, and
-    // without a drift reading the elevation argues like a regression).
+    // Same drift canaries as Bench — BOTH axes, so a probe's numbers are
+    // adjudicable against the committed idle-machine references (the r18
+    // lessons: an "idle" probe on a shared box can run 2-3x ambient-slow,
+    // and a 1.3x I/O-side band reads FLAT on the CPU canary).
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
     val canary = Bench.measureCanary(spark)
-    val canaryRef = Bench.canaryReference(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json"))
+    val canaryRef = Bench.canaryReference(refPath)
     println(f"QPROBE canary $canary%.3f s" + canaryRef.fold("")(r =>
       f" = drift ${canary / r}%.2fx vs committed idle reference $r%.3f s"))
+    val ioCanary = Bench.measureIoCanary(spark, sfDir)
+    val ioRef = Bench.canaryReference(refPath, "_ioCanary")
+    ioCanary.foreach(io => println(f"QPROBE ioCanary $io%.3f s" +
+      ioRef.fold("")(r => f" = ioDrift ${io / r}%.2fx vs committed $r%.3f s")))
     if (!nowarm) {
       val t0 = System.nanoTime()
       SparkEntry.preMaterialize(spark, sfDir)

@@ -954,17 +954,28 @@ object Relational {
     compactClustered(spark.read.parquet(srcDir), dstDir,
       partitionCol, clusterCols, partitions)
 
-  /** The local directories Spark's shuffle sort-spill lands in:
-    * `spark.local.dir` (COMMA-SEPARATED list) when set, else
-    * `java.io.tmpdir` — filtered to dirs that exist, since a missing
-    * path's `getUsableSpace` reads 0 and would poison any free-space
-    * minimum taken over the set. Shared by the compaction scratch guard
-    * and CompactProbe's trough sampler so both watch the same disks.
+  /** The local directories Spark's shuffle sort-spill lands in, resolved
+    * with the SAME priority Spark's own `Utils.getConfiguredLocalDirs`
+    * uses at context startup: `LOCAL_DIRS` (containerized), then
+    * `SPARK_LOCAL_DIRS`, then `spark.local.dir` from the CONTEXT conf
+    * (fixed at startup — a runtime `spark.conf.set` does not move where
+    * Spark actually spills, so the guard must not watch it either), then
+    * `java.io.tmpdir`. Shared by the compaction scratch guard and
+    * CompactProbe's trough sampler so both watch the disks spill really
+    * lands on.
     */
   private[graft] def spillDirs(spark: SparkSession): Seq[java.io.File] =
-    spark.conf.getOption("spark.local.dir")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-      .split(',').map(_.trim).filter(_.nonEmpty)
+    parseSpillDirs(sys.env.get("LOCAL_DIRS")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))))
+
+  /** Comma-list parsing for [[spillDirs]], filtered to dirs that exist —
+    * a missing path's `getUsableSpace` reads 0 and would poison any
+    * free-space minimum taken over the set.
+    */
+  private[graft] def parseSpillDirs(conf: String): Seq[java.io.File] =
+    conf.split(',').map(_.trim).filter(_.nonEmpty)
       .map(new java.io.File(_)).filter(_.isDirectory).toSeq
 
   /** Mass-weighted files touched per point lookup on `lookupCol` — the

@@ -413,18 +413,21 @@ class RelationalSpec extends SparkSpec {
     assert(withNull.toSet == Set((Some(1L), 3L), (None, 5L)))
   }
 
-  test("spillDirs honors spark.local.dir comma lists and drops missing dirs") {
+  test("spill-dir parsing honors comma lists, trims, and drops missing dirs") {
     val existing = java.nio.file.Files.createTempDirectory("graft_spill_").toString
-    try {
-      spark.conf.set("spark.local.dir", s"$existing, /nonexistent/graft-spill ,")
-      val dirs = Relational.spillDirs(spark)
-      assert(dirs.map(_.getPath) == Seq(existing),
-        s"expected only the existing dir, got ${dirs.map(_.getPath)}")
-    } finally spark.conf.unset("spark.local.dir")
-    // unset -> java.io.tmpdir (which exists)
-    val fallback = Relational.spillDirs(spark)
-    assert(fallback.map(_.getPath) ==
+    val dirs = Relational.parseSpillDirs(s"$existing, /nonexistent/graft-spill ,")
+    assert(dirs.map(_.getPath) == Seq(existing),
+      s"expected only the existing dir, got ${dirs.map(_.getPath)}")
+    // resolution: no LOCAL_DIRS/SPARK_LOCAL_DIRS in the test env and no
+    // spark.local.dir in the context conf -> java.io.tmpdir (exists). A
+    // RUNTIME spark.conf.set must NOT move it — Spark fixes spill dirs at
+    // context startup, so the guard reads the context conf, not the
+    // mutable session conf.
+    assert(!sys.env.contains("LOCAL_DIRS") && !sys.env.contains("SPARK_LOCAL_DIRS"))
+    spark.conf.set("spark.local.dir", "/nonexistent/runtime-set")
+    try assert(Relational.spillDirs(spark).map(_.getPath) ==
       Seq(new java.io.File(System.getProperty("java.io.tmpdir")).getPath))
+    finally spark.conf.unset("spark.local.dir")
   }
 
   test("bucketedQuantiles on a single-bucket and single-row frame") {
