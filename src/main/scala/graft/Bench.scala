@@ -22,9 +22,10 @@ import java.nio.file.{Files, Paths}
   * query's number while the code is unchanged (round 10: tp1 benched
   * 4.4 s, clean re-measure 1.7 s). If `bench_reference.json` (committed,
   * per-query reference seconds from the last clean round) is present, any
-  * query whose MIN exceeds 2× its reference re-runs once after the whole
-  * suite has finished and both numbers are recorded — a real regression
-  * reproduces in the re-run; contention doesn't. The verdict is written
+  * query whose MIN exceeds 2× its reference re-runs up to 3× (best-of,
+  * early-exit on the first clearing run) after the whole suite has
+  * finished and all numbers are recorded — a real regression reproduces
+  * across re-runs; contention doesn't survive three. The verdict is written
   * BACK into the artifacts (round 12's was internally inconsistent —
   * `queries` kept 17 contention-polluted firsts that `failed: []` said
   * were cleared): per-query `adj` and the compact line's `queries`/`value`
@@ -53,9 +54,18 @@ object Bench {
     * the measured machine drift within [1.0, 1.5]. Pure so BenchRefSpec
     * can pin the band: no drift reading keeps the raw 2× bar; a fast box
     * never tightens it; ambient slowness loosens it at most to 3×.
+    *
+    * Normalizes on the WORST of the supplied drift axes (CPU and
+    * shuffle-write — r19 diagnosis: a back-to-back pair on one quiet box
+    * read Σmins +19% with the CPU canary +8% and the read-side canary
+    * FLAT, the swing concentrated in shuffle-heavy gates; a write-side
+    * elevation the CPU bar can't see produced r18's 31 official sentinel
+    * re-runs and both of its false `sentinelFailed` marks).
     */
-  private[graft] def normalizedBar(drift: Option[Double]): Double =
-    2.0 * drift.map(d => math.min(math.max(d, 1.0), 1.5)).getOrElse(1.0)
+  private[graft] def normalizedBar(drifts: Option[Double]*): Double = {
+    val worst = drifts.flatten.maxOption
+    2.0 * worst.map(d => math.min(math.max(d, 1.0), 1.5)).getOrElse(1.0)
+  }
 
   /** MIN of 3 runs of the CPU-bound drift canary (deterministic generated
     * input, codegen'd hash chain, no I/O): moves with ambient machine
@@ -69,6 +79,33 @@ object Bench {
       spark.range(0L, 1L << 29, 1L, 32)
         // bit_xor, not sum: an ANSI-mode sum of 2^29 uniform longs overflows
         .selectExpr("bit_xor(xxhash64(id, xxhash64(id + 7, id * 31)))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** MIN of 3 runs of the shuffle-side drift canary: generated input
+    * (dataset-free, like the CPU canary) hash-repartitioned through a
+    * real exchange — ~16.7M rows × 16 B ≈ 270 MB of shuffle files written
+    * to and read back from the local scratch disk. This is the third
+    * drift axis: the CPU canary never leaves registers/caches and the
+    * I/O canary's min converges to the page-warm READ number, so neither
+    * moves when the host's WRITE latency degrades — which is exactly the
+    * state the r19 back-to-back pair caught (Σmins +19%, shuffle-heavy
+    * gates +50%, scan-only gates flat, both existing canaries quiet).
+    * Reference key `_shuffleCanary`; reported as `shuffleCanary`/
+    * `shuffleDrift`, and the sentinel bar normalizes on the worst of the
+    * CPU and shuffle drifts (see [[normalizedBar]]).
+    */
+  private[graft] def measureShuffleCanary(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.col
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 24, 1L, 32)
+        .select((col("id") * 2654435761L).as("k"), col("id").as("v"))
+        .repartition(64, col("k"))
+        .selectExpr("bit_xor(xxhash64(k, v))")
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -118,6 +155,52 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** A string metadata key from the reference file — `_ioCanarySf` (the
+    * sfDir the `_ioCanary` reference was stamped against; the I/O canary
+    * scans a DATASET, so a drift ratio computed under a different sfDir
+    * is silently meaningless, unlike the generated-input CPU canary).
+    */
+  private[graft] def referenceMetaString(path: String, key: String): Option[String] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) None
+    else try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+          classOf[java.util.Map[String, Object]])
+      m.get(key) match {
+        case s: String if s.nonEmpty => Some(s)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Whether an `_ioCanary` drift may be computed: the committed stamp
+    * (`_ioCanarySf`) must name the sfDir the current run reads, or be
+    * absent (pre-stamp reference files — computed for back-compat, but
+    * the stamp is required by BenchRefSpec once committed).
+    */
+  private[graft] def ioRefMatches(stamp: Option[String], sfDir: String): Boolean =
+    stamp.forall(_ == sfDir)
+
+  /** Sentinel re-run, best-of-N: run `attempt` up to `max` times, stopping
+    * early at the first run that clears `bar`; adjudicate on the MIN of
+    * the successful runs (for a fixed workload the minimum is the
+    * contention-robust statistic — r18's two `sentinelFailed` marks both
+    * came from a SINGLE contended re-run on a box running 2.3x slow).
+    * Returns (min of ok runs, or -1 if every attempt crashed; attempts
+    * taken).
+    */
+  private[graft] def rerunBestOf(bar: Double, max: Int)
+                                (attempt: () => (Double, Boolean)): (Double, Int) = {
+    val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
+    var cleared = false
+    while (runs.size < max && !cleared) {
+      val r = attempt()
+      runs += r
+      cleared = r._2 && r._1 <= bar
+    }
+    val ok = runs.collect { case (t, true) => t }
+    (if (ok.nonEmpty) ok.min else -1.0, runs.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -139,7 +222,14 @@ object Bench {
     // time) and CANNOT move with repo code changes. MIN of 3 — for a
     // fixed workload the minimum is the contention-robust statistic.
     val canarySec = measureCanary(spark)
-    val ioCanarySec = measureIoCanary(spark, sfDir)
+    val shuffleCanarySec = measureShuffleCanary(spark)
+    // The I/O canary runs AFTER the timed phases (below, before the
+    // artifact writes): it measures session-ambient memory/I/O state, so
+    // ordering doesn't invalidate it — but running its 3 full lineitem
+    // scans HERE warmed the page cache for the materialize phase, making
+    // every post-r18 materialize reading systematically faster than every
+    // prior round for a non-code reason (and perturbing QueryProbe's
+    // --nowarm first-run attribution the same way).
 
     // Shared inter-stage tables (shingle index, signatures, bucketed
     // embeddings) are built once here and timed as their own phase, so
@@ -190,6 +280,10 @@ object Bench {
     val fulls = SparkEntry.registry.map { case (name, q) => name -> timeFull(name, q.fn) }
     val fullFailed = fulls.collect { case (k, (_, false)) => k + ":full" }
 
+    // I/O-side drift canary, timed after every phase whose number the
+    // artifacts track (see the note at the CPU canary above).
+    val ioCanarySec = measureIoCanary(spark, sfDir)
+
     // Contention sentinel (see scaladoc): reference seconds per query from
     // the committed last-clean-round file; absent file = sentinel off.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
@@ -214,9 +308,27 @@ object Bench {
     val canaryRef: Option[Double] = refsAll.get("_canary").filter(_ > 0)
     val drift: Option[Double] = canaryRef.map(canarySec / _)
     val ioCanaryRef: Option[Double] = refsAll.get("_ioCanary").filter(_ > 0)
+    // The I/O canary reference is dataset-dependent (a full lineitem scan
+    // of the stamped sfDir); a drift computed under a different sfDir is
+    // meaningless, so the stamp gates the ratio.
+    val ioCanarySfRef: Option[String] = referenceMetaString(refPath, "_ioCanarySf")
+    val ioRefUsable = ioRefMatches(ioCanarySfRef, sfDir)
+    if (!ioRefUsable) System.err.println(
+      s"[bench] _ioCanary reference was stamped against " +
+        s"${ioCanarySfRef.getOrElse("?")} but this run reads $sfDir — " +
+        "skipping ioDrift (the ratio would compare scans of different data)")
     val ioDrift: Option[Double] = for {
-      io <- ioCanarySec; ref <- ioCanaryRef
+      io <- ioCanarySec; ref <- ioCanaryRef if ioRefUsable
     } yield io / ref
+    val shuffleCanaryRef: Option[Double] = refsAll.get("_shuffleCanary").filter(_ > 0)
+    val shuffleDrift: Option[Double] = shuffleCanaryRef.map(shuffleCanarySec / _)
+    shuffleDrift.foreach { d =>
+      if (d > 1.25) System.err.println(
+        f"[bench] shuffle canary drift $d%.2fx ($shuffleCanarySec%.2f s vs " +
+          f"${shuffleCanaryRef.get}%.2f s) — write-side ambient elevation; " +
+          "the sentinel bar normalizes on the worst of the CPU and " +
+          "shuffle drifts")
+    }
     ioDrift.foreach { d =>
       if (d > 1.25) System.err.println(
         f"[bench] I/O canary drift $d%.2fx (CPU canary " +
@@ -259,13 +371,18 @@ object Bench {
     // CAPPED at 1.5 so a real regression cannot hide behind extreme ambient
     // load, and floored at 1.0 so a faster-than-reference box never
     // tightens the committed bar.
-    val sentinelBar: Double = normalizedBar(drift)
-    val reruns: Map[String, Double] = results.collect {
+    val sentinelBar: Double = normalizedBar(drift, shuffleDrift)
+    // Best-of-3 re-runs (r18 lesson: both of that round's sentinelFailed
+    // marks came from a single contended re-run — one bad re-run must not
+    // stamp a false regression into the round artifact). Early-exits on
+    // the first clearing run, so a genuinely-cleared gate still pays one.
+    val reruns: Map[String, (Double, Int)] = results.collect {
       case (name, _, mn, _, true) if refs.get(name).exists(r => mn > sentinelBar * r) =>
         System.err.println(f"[bench] sentinel: $name min $mn%.2f s > $sentinelBar%.2fx " +
-          f"reference ${refs(name)}%.2f s (2x, canary-normalized) — re-running")
-        val (t, ok) = timeOnce(name, registryMap(name).fn)
-        name -> (if (ok) t else -1.0)
+          f"reference ${refs(name)}%.2f s (2x, canary-normalized) — re-running " +
+          "(best of up to 3)")
+        name -> rerunBestOf(sentinelBar * refs(name), 3)(() =>
+          timeOnce(name, registryMap(name).fn))
     }.toMap
     // The sentinel's VERDICT, written back per query so the artifact is
     // reproducible from itself (round 12's artifact kept the contention-
@@ -277,7 +394,7 @@ object Bench {
     // contention evidence. A re-run that stayed > 2× (or crashed) is a
     // REAL regression: it keeps its flagged number and is named in
     // `sentinelFailed` so a green `failed` list can't absorb it.
-    def cleared(name: String): Option[Double] = reruns.get(name)
+    def cleared(name: String): Option[Double] = reruns.get(name).map(_._1)
       .filter(t => t >= 0 && refs.get(name).exists(r => t <= sentinelBar * r))
     val adj: Map[String, Double] = results.map { case (name, _, mn, _, _) =>
       name -> cleared(name).getOrElse(mn)
@@ -319,7 +436,8 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     val fullsMap = fulls.toMap
     val fullQ = results.map { case (k, med, mn, mx, ok) =>
-      val rr = reruns.get(k).map(v => s""","rerun":$v""").getOrElse("")
+      val rr = reruns.get(k).map { case (v, n) =>
+        s""","rerun":$v,"rerunN":$n""" }.getOrElse("")
       val fl = fullsMap.get(k).map(f => s""","full":${f._1}""").getOrElse("")
       s""""$k":{"median":$med,"min":$mn,"max":$mx,"adj":${adj(k)},"ok":$ok$rr$fl}"""
     }.mkString("{", ",", "}")
@@ -340,6 +458,9 @@ object Bench {
             s""""ioCanary":${ioCanarySec.getOrElse("null")},""" +
             s""""ioCanaryRef":${ioCanaryRef.getOrElse("null")},""" +
             s""""ioDrift":${ioDrift.getOrElse("null")},""" +
+            s""""shuffleCanary":$shuffleCanarySec,""" +
+            s""""shuffleCanaryRef":${shuffleCanaryRef.getOrElse("null")},""" +
+            s""""shuffleDrift":${shuffleDrift.map(d => j(d)).getOrElse("null")},""" +
             s""""sentinelBar":${j(sentinelBar)},""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
@@ -373,9 +494,14 @@ object Bench {
         // omitted when absent: the compact line runs ~1880 chars at
         // nq=132 against the 1900 warning bar — null keys can't buy that
         ioDrift.map(d => s""""ioDrift":${j(d)},""").getOrElse("") +
+        shuffleDrift.map(d => s""""shDrift":${j(d)},""").getOrElse("") +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
-        s""""sentinel":${reruns.size},"sentinelFailed":${sentinelFailed.size},""" +
+        s""""sentinel":${reruns.size},""" +
+        // total best-of-3 attempts across flagged gates; omitted on a
+        // clean run (compact-line budget, like ioDrift)
+        (if (reruns.nonEmpty) s""""sentinelRuns":${reruns.values.map(_._2).sum},""" else "") +
+        s""""sentinelFailed":${sentinelFailed.size},""" +
         s""""unguarded":${if (sentinelOn) unguarded.size else -1},""" +
         s""""failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
     if (line.length > 1900)

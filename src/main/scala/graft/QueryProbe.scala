@@ -30,10 +30,14 @@ object QueryProbe {
     val canaryRef = Bench.canaryReference(refPath)
     println(f"QPROBE canary $canary%.3f s" + canaryRef.fold("")(r =>
       f" = drift ${canary / r}%.2fx vs committed idle reference $r%.3f s"))
-    val ioCanary = Bench.measureIoCanary(spark, sfDir)
-    val ioRef = Bench.canaryReference(refPath, "_ioCanary")
-    ioCanary.foreach(io => println(f"QPROBE ioCanary $io%.3f s" +
-      ioRef.fold("")(r => f" = ioDrift ${io / r}%.2fx vs committed $r%.3f s")))
+    // Shuffle-side drift (generated input, real exchange to scratch disk):
+    // the axis that actually moved in every adjudication this probe has
+    // been used for — shuffle-heavy gates swing with host write latency
+    // while the CPU and read-side canaries stay flat.
+    val shuffleCanary = Bench.measureShuffleCanary(spark)
+    val shuffleRef = Bench.canaryReference(refPath, "_shuffleCanary")
+    println(f"QPROBE shuffleCanary $shuffleCanary%.3f s" + shuffleRef.fold("")(r =>
+      f" = shuffleDrift ${shuffleCanary / r}%.2fx vs committed $r%.3f s"))
     if (!nowarm) {
       val t0 = System.nanoTime()
       SparkEntry.preMaterialize(spark, sfDir)
@@ -54,6 +58,18 @@ object QueryProbe {
         println(f"QPROBE $n%-28s min=${ts.min}%.3f med=${ts.sorted.apply(runs / 2)}%.3f " +
           ts.map(t => f"$t%.3f").mkString("runs=[", ", ", "]"))
     }
+    // I/O-side canary LAST: it measures session-ambient memory/I/O state
+    // (min-of-3 converges to the page-warm number, so ordering doesn't
+    // invalidate it), and running its 3 lineitem scans before the probes
+    // would warm the page cache — perturbing exactly the --nowarm
+    // first-run attribution this tool exists for. The drift ratio is only
+    // meaningful against the sfDir the reference was stamped for.
+    val ioCanary = Bench.measureIoCanary(spark, sfDir)
+    val ioRef = Bench.canaryReference(refPath, "_ioCanary")
+      .filter(_ => Bench.ioRefMatches(
+        Bench.referenceMetaString(refPath, "_ioCanarySf"), sfDir))
+    ioCanary.foreach(io => println(f"QPROBE ioCanary $io%.3f s" +
+      ioRef.fold("")(r => f" = ioDrift ${io / r}%.2fx vs committed $r%.3f s")))
     spark.stop()
   }
 }

@@ -956,19 +956,51 @@ object Relational {
 
   /** The local directories Spark's shuffle sort-spill lands in, resolved
     * with the SAME priority Spark's own `Utils.getConfiguredLocalDirs`
-    * uses at context startup: `LOCAL_DIRS` (containerized), then
-    * `SPARK_LOCAL_DIRS`, then `spark.local.dir` from the CONTEXT conf
-    * (fixed at startup — a runtime `spark.conf.set` does not move where
-    * Spark actually spills, so the guard must not watch it either), then
-    * `java.io.tmpdir`. Shared by the compaction scratch guard and
+    * uses at context startup: `LOCAL_DIRS` — honored ONLY inside a YARN
+    * container (Spark's `isRunningInYarnContainer` gate is the
+    * `CONTAINER_ID` env var; a stray `LOCAL_DIRS` in local mode names
+    * dirs Spark never spills to) — then `SPARK_LOCAL_DIRS`, then
+    * `spark.local.dir` from the CONTEXT conf (fixed at startup — a
+    * runtime `spark.conf.set` does not move where Spark actually spills,
+    * so the guard must not watch it either), then `java.io.tmpdir`.
+    * If every configured dir is missing on this machine the guard must
+    * not silently narrow to nothing: warn and fall back to
+    * `java.io.tmpdir` (where Spark itself would fail loudly long before
+    * the guard matters). Shared by the compaction scratch guard and
     * CompactProbe's trough sampler so both watch the disks spill really
     * lands on.
     */
   private[graft] def spillDirs(spark: SparkSession): Seq[java.io.File] =
-    parseSpillDirs(sys.env.get("LOCAL_DIRS")
-      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
-      .getOrElse(spark.sparkContext.getConf
-        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))))
+    spillDirsFrom(resolveSpillConf(k => sys.env.get(k),
+      spark.sparkContext.getConf.getOption("spark.local.dir")))
+
+  /** Env/conf priority for [[spillDirs]], pure for spec'ing: `LOCAL_DIRS`
+    * counts only alongside `CONTAINER_ID` (Spark's in-YARN-container
+    * signal), matching `Utils.getConfiguredLocalDirs`.
+    */
+  private[graft] def resolveSpillConf(env: String => Option[String],
+                                      contextLocalDir: Option[String]): String =
+    env("LOCAL_DIRS").filter(_ => env("CONTAINER_ID").isDefined)
+      .orElse(env("SPARK_LOCAL_DIRS"))
+      .orElse(contextLocalDir)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Parse + the empty-set fallback for [[spillDirs]]: when no configured
+    * dir exists on this machine, warn and watch `java.io.tmpdir` rather
+    * than silently narrowing the scratch guard to the table's partition
+    * alone.
+    */
+  private[graft] def spillDirsFrom(conf: String): Seq[java.io.File] = {
+    val parsed = parseSpillDirs(conf)
+    if (parsed.nonEmpty) parsed
+    else {
+      log.warn(s"spillDirs: no configured local dir exists ('$conf') — " +
+        "falling back to java.io.tmpdir so the scratch guard keeps a " +
+        "spill-side term instead of silently watching only the table's " +
+        "partition")
+      parseSpillDirs(System.getProperty("java.io.tmpdir"))
+    }
+  }
 
   /** Comma-list parsing for [[spillDirs]], filtered to dirs that exist —
     * a missing path's `getUsableSpace` reads 0 and would poison any

@@ -290,12 +290,16 @@ object FactLoad {
     * leaves it at `.pre-compact`/`.compact-tmp`, and the recovery block
     * below (or the next load's residue sweep) heals that state
     * deterministically rather than requiring manual surgery. The backup is
-    * deleted only after the live rename lands. Scratch peak is
+    * deleted only after the live rename lands AND the post-swap row-count
+    * validation passes (see below). Scratch peak is
     * 2× the table for the rewrite's duration — the same src+dst the rewrite
     * itself needs, so the backup adds no new high-water mark. The catalog
     * entry is untouched (same managed location, same partition values);
     * `MSCK REPAIR ... SYNC PARTITIONS` + `REFRESH` re-sync metadata and the
-    * cached file listing to the swapped files.
+    * cached file listing to the swapped files. The backup is deleted only
+    * after the post-swap row-count validation passes — on a count drift
+    * the require fires with the backup still on disk, so restoration is a
+    * rename, not a rebuild.
     */
   // private[warehouse] so PipelineSpec plants crash residue at the REAL
   // suffixes instead of duplicating the string literals.
@@ -321,6 +325,9 @@ object FactLoad {
     // tmp copy is the complete fresh table — finish the swap; bak && loc =
     // the swap landed (or a later load rebuilt the table) and only the
     // cleanup died — the live dir is authoritative, drop the backup.
+    // (A count-drift abort also leaves bak && loc, but its require tells
+    // the operator to restore bak BEFORE re-running — this sweep cannot
+    // distinguish that state from a died cleanup.)
     // Inside a full FactLoad.run the slice appends above have always just
     // rebuilt loc, so only the bak && loc arm is reachable here; the
     // !loc arm covers a direct compact of a table left by a crashed run.
@@ -385,12 +392,20 @@ object FactLoad {
     require(fs.rename(loc, bak), s"fact compact: rename $loc -> $bak failed")
     require(fs.rename(tmp, loc), s"fact compact: rename $tmp -> $loc failed " +
       s"— the pre-compact table is intact at $bak")
-    fs.delete(bak, true)
     spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
     spark.sql(s"REFRESH TABLE $table")
+    // Validate BEFORE dropping the backup: the count is read-only, so
+    // keeping bak a few seconds longer adds no high-water mark, and if
+    // the count drifted the backup is the only recovery copy — deleting
+    // it first would contradict the "complete data set at every instant"
+    // guarantee this method exists to provide.
     val after = spark.table(table).count()
     require(after == n,
-      s"fact compact: row count drifted across the rewrite ($n -> $after)")
+      s"fact compact: row count drifted across the rewrite ($n -> $after) " +
+        s"— the pre-compact table is intact at $bak; restore it over $loc " +
+        "before re-running (a blind re-run's recovery sweep treats the " +
+        "live dir as authoritative and drops the backup)")
+    fs.delete(bak, true)
     log.info(s"fact compact: $table re-clustered in place ($n rows, single " +
       "cluster set per station dir)")
   }

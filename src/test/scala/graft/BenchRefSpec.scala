@@ -43,9 +43,42 @@ class BenchRefSpec extends AnyFunSuite {
         "(regenerate the file with a Bench run's canary MIN)")
   }
 
+  test("sentinel re-run is best-of-3: early exit, min adjudication, crash = -1") {
+    def runner(outcomes: (Double, Boolean)*): () => (Double, Boolean) = {
+      val it = outcomes.iterator
+      () => it.next()
+    }
+    // First re-run clears the bar: stop immediately (a cleared gate pays
+    // one re-run, same cost as the old single-re-run scheme).
+    assert(Bench.rerunBestOf(1.0, 3)(runner((0.8, true))) == ((0.8, 1)))
+    // Two contended re-runs, third clears: the min adjudicates — one bad
+    // re-run can no longer stamp sentinelFailed (the r18 failure mode).
+    assert(Bench.rerunBestOf(1.0, 3)(
+      runner((2.4, true), (1.7, true), (0.9, true))) == ((0.9, 3)))
+    // None clear: all 3 attempts recorded, min of the valid runs stands.
+    assert(Bench.rerunBestOf(1.0, 3)(
+      runner((2.4, true), (1.7, true), (1.9, true))) == ((1.7, 3)))
+    // Crashes don't contribute a time; all-crash = -1 (artifact reads
+    // "re-run crashed", never "re-run was quick").
+    assert(Bench.rerunBestOf(1.0, 3)(
+      runner((2.0, false), (1.8, false), (1.9, false))) == ((-1.0, 3)))
+    assert(Bench.rerunBestOf(1.0, 3)(
+      runner((2.0, false), (0.7, true))) == ((0.7, 2)))
+  }
+
+  test("ioDrift is gated on the sfDir the _ioCanary reference was stamped for") {
+    // The I/O canary scans a dataset; a ratio across different sfDirs is
+    // meaningless. Absent stamp = pre-stamp reference, computed for
+    // back-compat; present stamp must match exactly.
+    assert(Bench.ioRefMatches(None, "/root/testdata/sf0.1"))
+    assert(Bench.ioRefMatches(Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1"))
+    assert(!Bench.ioRefMatches(Some("/root/testdata/sf0.1"), "/root/testdata/sf0.01"))
+  }
+
   test("sentinel bar is canary-normalized within [2x, 3x]") {
     // No drift reading (reference missing/zero): the raw 2x bar.
     assert(Bench.normalizedBar(None) == 2.0)
+    assert(Bench.normalizedBar(None, None) == 2.0)
     // Ambient slowness loosens the bar proportionally — r16's 1.364x
     // drifted box re-runs at 2.73x, so a query that is genuinely ~1.5x
     // on an idle machine no longer sentinels as if the box were idle.
@@ -55,5 +88,12 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.normalizedBar(Some(2.5)) == 3.0)
     // A faster-than-reference box never TIGHTENS the committed bar.
     assert(Bench.normalizedBar(Some(0.7)) == 2.0)
+    // Multi-axis: the WORST drift rules (r19: write-side elevation at a
+    // flat CPU canary — the shuffle axis must loosen the bar even when
+    // the CPU axis reads idle), each axis still floored/capped.
+    assert(math.abs(Bench.normalizedBar(Some(1.0), Some(1.3)) - 2.6) < 1e-9)
+    assert(math.abs(Bench.normalizedBar(Some(1.2), Some(0.8)) - 2.4) < 1e-9)
+    assert(Bench.normalizedBar(Some(0.9), None) == 2.0)
+    assert(Bench.normalizedBar(Some(2.5), Some(2.9)) == 3.0)
   }
 }

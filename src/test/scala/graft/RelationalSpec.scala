@@ -430,6 +430,27 @@ class RelationalSpec extends SparkSpec {
     finally spark.conf.unset("spark.local.dir")
   }
 
+  test("spill-dir resolution gates LOCAL_DIRS on the YARN-container signal") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    def env(m: Map[String, String]): String => Option[String] = m.get
+    // LOCAL_DIRS alone (a stray var in local mode): Spark never consults
+    // it outside a YARN container, so neither does the guard.
+    assert(Relational.resolveSpillConf(
+      env(Map("LOCAL_DIRS" -> "/yarn/a,/yarn/b")), None) == tmp)
+    // LOCAL_DIRS + CONTAINER_ID (in-container): honored, highest priority.
+    assert(Relational.resolveSpillConf(
+      env(Map("LOCAL_DIRS" -> "/yarn/a", "CONTAINER_ID" -> "c1",
+        "SPARK_LOCAL_DIRS" -> "/x")), Some("/y")) == "/yarn/a")
+    // SPARK_LOCAL_DIRS beats the context conf; context conf beats tmpdir.
+    assert(Relational.resolveSpillConf(
+      env(Map("SPARK_LOCAL_DIRS" -> "/x")), Some("/y")) == "/x")
+    assert(Relational.resolveSpillConf(env(Map.empty), Some("/y")) == "/y")
+    // Every configured dir missing: fall back to tmpdir (warned), never
+    // an empty watch set.
+    assert(Relational.spillDirsFrom("/nonexistent/a,/nonexistent/b")
+      .map(_.getPath) == Seq(new java.io.File(tmp).getPath))
+  }
+
   test("bucketedQuantiles on a single-bucket and single-row frame") {
     val one = Relational.bucketedQuantiles(Seq(42L).toDF("v"), "v", 1000L,
       Seq(("p50", 1L, 2L))).as[(String, Long, Long)].collect()
