@@ -41,6 +41,15 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Option(refs.get("_canary")).exists(_.isInstanceOf[Number]),
       "bench_reference.json is missing the `_canary` drift-canary reference " +
         "(regenerate the file with a Bench run's canary MIN)")
+    // Same for the I/O-side canary — and because it scans a DATASET, its
+    // reference is meaningless without the sfDir stamp it was measured
+    // against (Bench skips ioDrift on a stamp mismatch).
+    assert(Option(refs.get("_ioCanary")).exists(_.isInstanceOf[Number]),
+      "bench_reference.json is missing the `_ioCanary` I/O-canary reference")
+    assert(Option(refs.get("_ioCanarySf")).exists(
+      _.isInstanceOf[String]),
+      "bench_reference.json has _ioCanary but no _ioCanarySf stamp — " +
+        "ioDrift would compare scans of unknown data")
   }
 
   test("sentinel re-run is best-of-3: early exit, min adjudication, crash = -1") {
