@@ -92,6 +92,15 @@ object PipelineDemo {
         sys.error(s"SPARK_GRAFT_FACT_COMPACT must be true/false, got '$v'"))
       spark.conf.set("spark.graft.fact.compact", b.toString)
     }
+    // The compaction scratch guard's factor (default 4.0 = the measured
+    // 3.8x transient + margin). Reachable from a rung driver so the
+    // guard's REFUSAL path can be exercised end-to-end at rung scale
+    // without a disk actually too small to hold the run's own corpus.
+    sys.env.get("SPARK_GRAFT_COMPACT_MINFREE").foreach { v =>
+      val f = v.toDoubleOption.filter(_ > 0).getOrElse(
+        sys.error(s"SPARK_GRAFT_COMPACT_MINFREE must be a positive number, got '$v'"))
+      spark.conf.set("spark.graft.compact.minFreeFactor", f.toString)
+    }
     println(s"== session local[$cores], shuffle partitions $shufflePartitions" +
       rows.fold("")(n => s", sized for $n rows" +
         (if (fromMarker) " (from workDir .rows marker)" else "")))
