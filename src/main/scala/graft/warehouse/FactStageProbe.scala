@@ -101,8 +101,23 @@ object FactStageProbe {
         f"(${100.0 * bytes / math.max(dirStats.map(_._3).sum, 1L)}%.1f%% of table)")
     }
     // Under --compact the final files come from the ONE compaction job
-    // (rowSizedPartitions over the full table), not the k slice appends.
-    val compacted = args.contains("--compact") && slices > 1
+    // (rowSizedPartitions over the full table), not the k slice appends —
+    // UNLESS the scratch guard skipped the pass (its whole point), in
+    // which case the k-sliced append shape is still on disk. Read the
+    // truth from the files: distinct write-job UUIDs = jobs that wrote
+    // the live table (r19: a guard-skip run mislabeled its 4-append
+    // layout "1 compaction job(s)").
+    val writeJobs = dirs.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")))
+      .map(_.getName.replaceFirst("^part-\\d+-", "")
+        .replaceFirst("-c\\d.*$", ""))
+      .distinct.length
+    val compacted = args.contains("--compact") && slices > 1 && writeJobs == 1
+    if (args.contains("--compact") && slices > 1 && !compacted)
+      println(s"==   compaction was requested but $writeJobs write-job " +
+        "UUIDs are live — the scratch guard skipped the pass (see the " +
+        "SKIPPED warn above); reporting the slice-append shape")
     val tasks =
       if (compacted) graft.ops.Relational.rowSizedPartitions(rows)
       else (0 until math.max(slices, 1)).map { _ =>
