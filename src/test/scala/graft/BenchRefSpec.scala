@@ -50,6 +50,11 @@ class BenchRefSpec extends AnyFunSuite {
       _.isInstanceOf[String]),
       "bench_reference.json has _ioCanary but no _ioCanarySf stamp — " +
         "ioDrift would compare scans of unknown data")
+    // And the shuffle-write axis — the one that actually moved in every
+    // r18/r19 elevation; without its reference the worst-axis sentinel
+    // bar degrades to CPU-only.
+    assert(Option(refs.get("_shuffleCanary")).exists(_.isInstanceOf[Number]),
+      "bench_reference.json is missing the `_shuffleCanary` reference")
   }
 
   test("sentinel re-run is best-of-3: early exit, min adjudication, crash = -1") {
