@@ -67,6 +67,16 @@ object Bench {
     2.0 * worst.map(d => math.min(math.max(d, 1.0), 1.5)).getOrElse(1.0)
   }
 
+  /** True when any measured drift axis exceeds the bar's 1.5× cap: the
+    * machine is slower than the sentinel can compensate for, so flags
+    * from such a run are machine-state evidence, not code evidence —
+    * the artifact must say so itself (r19: a session window read
+    * ioDrift 4.25× — a run there would stamp sentinelFailed on healthy
+    * gates, and r18's two false flags cost a round of adjudication).
+    */
+  private[graft] def ambientBeyondCap(drifts: Option[Double]*): Boolean =
+    drifts.flatten.exists(_ > 1.5)
+
   /** MIN of 3 runs of the CPU-bound drift canary (deterministic generated
     * input, codegen'd hash chain, no I/O): moves with ambient machine
     * state, cannot move with repo code changes. Shared with QueryProbe so
@@ -372,6 +382,16 @@ object Bench {
     // load, and floored at 1.0 so a faster-than-reference box never
     // tightens the committed bar.
     val sentinelBar: Double = normalizedBar(drift, shuffleDrift)
+    // All three axes count for the beyond-cap verdict (ioDrift doesn't
+    // set the bar — read-side state rarely moves query wall alone — but
+    // a 2–4× read-side elevation still invalidates flags).
+    val ambient = ambientBeyondCap(drift, shuffleDrift, ioDrift)
+    if (ambient) System.err.println(
+      f"[bench] AMBIENT-BEYOND-CAP: a drift axis exceeds the sentinel " +
+        f"bar's 1.5x cap (cpu ${drift.getOrElse(-1.0)}%.2f, shuffle " +
+        f"${shuffleDrift.getOrElse(-1.0)}%.2f, io ${ioDrift.getOrElse(-1.0)}%.2f) " +
+        "— sentinel flags from this run are machine-state evidence, not " +
+        "code evidence; adjudicate with a quieter-window QueryProbe pair")
     // Best-of-3 re-runs (r18 lesson: both of that round's sentinelFailed
     // marks came from a single contended re-run — one bad re-run must not
     // stamp a false regression into the round artifact). Early-exits on
@@ -461,7 +481,7 @@ object Bench {
             s""""shuffleCanary":$shuffleCanarySec,""" +
             s""""shuffleCanaryRef":${shuffleCanaryRef.getOrElse("null")},""" +
             s""""shuffleDrift":${shuffleDrift.map(d => j(d)).getOrElse("null")},""" +
-            s""""sentinelBar":${j(sentinelBar)},""" +
+            s""""sentinelBar":${j(sentinelBar)},"ambientBeyondCap":$ambient,""" +
             s""""materialize":$materializeSec,"nq":${results.size},""" +
             s""""reference":"${if (refs.isEmpty) "" else refPath}",""" +
             s""""unguarded":${if (sentinelOn) unguarded.map("\"" + _ + "\"").mkString("[", ",", "]") else "null"},""" +
@@ -495,6 +515,7 @@ object Bench {
         // nq=132 against the 1900 warning bar — null keys can't buy that
         ioDrift.map(d => s""""ioDrift":${j(d)},""").getOrElse("") +
         shuffleDrift.map(d => s""""shDrift":${j(d)},""").getOrElse("") +
+        (if (ambient) s""""ambient":true,""" else "") +
         s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
         s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
         s""""sentinel":${reruns.size},""" +

@@ -110,4 +110,13 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.normalizedBar(Some(0.9), None) == 2.0)
     assert(Bench.normalizedBar(Some(2.5), Some(2.9)) == 3.0)
   }
+
+  test("beyond-cap ambient state is named, on any axis") {
+    // Past the 1.5x cap the sentinel can no longer compensate — flags
+    // become machine-state evidence and the artifact must say so.
+    assert(!Bench.ambientBeyondCap(None, None, None))
+    assert(!Bench.ambientBeyondCap(Some(1.49), Some(1.2), Some(1.5)))
+    assert(Bench.ambientBeyondCap(Some(1.51), Some(1.0), None))
+    assert(Bench.ambientBeyondCap(Some(1.0), Some(1.0), Some(4.25)))
+  }
 }
