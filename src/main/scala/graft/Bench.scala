@@ -198,6 +198,55 @@ object Bench {
     * Returns (min of ok runs, or -1 if every attempt crashed; attempts
     * taken).
     */
+  /** Shortest unique prefix per name, deterministic from the name set —
+    * the compact line's per-query key scheme (`"keys":"sup"`). */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] =
+    names.map(n => n -> (1 to n.length).iterator.map(n.take)
+      .find(p => names.count(_.startsWith(p)) == 1).getOrElse(n)).toMap
+
+  private[graft] def j3(d: Double): String =
+    BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** 10 ms precision for the compact line's per-query values — the third
+    * decimal cost 132 chars at nq=132 against the line's 1,800-char
+    * budget, and the full-precision numbers are in bench_full.json. */
+  private[graft] def j2(d: Double): String =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Compact stdout line. Every query under its shortest unique prefix at
+    * 10 ms precision (full names and full precision live in the `det`
+    * artifact, bench_full.json) — the line must stay under 1,800 chars so
+    * the harness's ~2,000-char tail capture can never truncate it
+    * (BenchRefSpec pins the worst case against the live registry). Key
+    * legend, abbreviated for exactly that budget: raw/fullT = Σ first-run
+    * medians + materialize / Σ full-materialization passes; can = CPU
+    * canary seconds (drift/ioDrift/shDrift = the three ambient axes vs
+    * bench_reference.json, omitted when no reference); mat = materialize
+    * seconds; sent/sr/sentF = sentinel flagged / total best-of-3 attempts
+    * (omitted on a clean run) / still-failed; ung = registered gates the
+    * reference file can't guard (-1 = sentinel off); fail = query names
+    * that errored. */
+  private[graft] def compactLine(
+      adjTotal: Double, rawTotal: Double, fullTotal: Double, runs: Int,
+      canarySec: Double, drift: Option[Double], ioDrift: Option[Double],
+      shuffleDrift: Option[Double], ambient: Boolean, materializeSec: Double,
+      nq: Int, detail: String, sentinel: Int, sentinelRuns: Option[Int],
+      sentinelFailed: Int, unguarded: Int, failedJson: String, sfDir: String,
+      qs: String): String =
+    s"""{"metric":"total","value":${j3(adjTotal)},"unit":"sec","runs":$runs,""" +
+      s""""raw":${j3(rawTotal)},"fullT":${j3(fullTotal)},""" +
+      s""""can":${j3(canarySec)},"drift":${drift.map(j3).getOrElse("null")},""" +
+      ioDrift.map(d => s""""ioDrift":${j3(d)},""").getOrElse("") +
+      shuffleDrift.map(d => s""""shDrift":${j3(d)},""").getOrElse("") +
+      (if (ambient) s""""ambient":true,""" else "") +
+      s""""mat":${j3(materializeSec)},"nq":$nq,""" +
+      s""""keys":"sup","det":"$detail",""" +
+      s""""sent":$sentinel,""" +
+      sentinelRuns.map(n => s""""sr":$n,""").getOrElse("") +
+      s""""sentF":$sentinelFailed,""" +
+      s""""ung":$unguarded,""" +
+      s""""fail":$failedJson,"sf":"$sfDir","queries":$qs}"""
+
   private[graft] def rerunBestOf(bar: Double, max: Int)
                                 (attempt: () => (Double, Boolean)): (Double, Int) = {
     val runs = scala.collection.mutable.ArrayBuffer[(Double, Boolean)]()
@@ -232,14 +281,16 @@ object Bench {
     // time) and CANNOT move with repo code changes. MIN of 3 — for a
     // fixed workload the minimum is the contention-robust statistic.
     val canarySec = measureCanary(spark)
-    val shuffleCanarySec = measureShuffleCanary(spark)
-    // The I/O canary runs AFTER the timed phases (below, before the
-    // artifact writes): it measures session-ambient memory/I/O state, so
-    // ordering doesn't invalidate it — but running its 3 full lineitem
-    // scans HERE warmed the page cache for the materialize phase, making
-    // every post-r18 materialize reading systematically faster than every
-    // prior round for a non-code reason (and perturbing QueryProbe's
-    // --nowarm first-run attribution the same way).
+    // The shuffle and I/O canaries run AFTER the timed phases (below,
+    // before the artifact writes): both measure session-ambient state, so
+    // ordering doesn't invalidate them — but running them HERE perturbed
+    // the phases they exist to adjudicate. The I/O canary's 3 full
+    // lineitem scans warmed the page cache for the materialize phase
+    // (making every post-r18 materialize reading systematically faster
+    // than every prior round for a non-code reason), and the shuffle
+    // canary's ~270 MB shuffle write + JIT warm preceded materialize the
+    // same way from r18 until r20 moved it. Nothing before the
+    // sentinel-bar computation needs either value.
 
     // Shared inter-stage tables (shingle index, signatures, bucketed
     // embeddings) are built once here and timed as their own phase, so
@@ -290,8 +341,12 @@ object Bench {
     val fulls = SparkEntry.registry.map { case (name, q) => name -> timeFull(name, q.fn) }
     val fullFailed = fulls.collect { case (k, (_, false)) => k + ":full" }
 
-    // I/O-side drift canary, timed after every phase whose number the
-    // artifacts track (see the note at the CPU canary above).
+    // Write-side then read-side drift canaries, timed after every phase
+    // whose number the artifacts track (see the note at the CPU canary
+    // above). Shuffle first, I/O LAST — the same ordering QueryProbe
+    // pins: the I/O canary's lineitem scans re-warm the page cache, so
+    // anything timed after it reads a warmer box than the phases did.
+    val shuffleCanarySec = measureShuffleCanary(spark)
     val ioCanarySec = measureIoCanary(spark, sfDir)
 
     // Contention sentinel (see scaladoc): reference seconds per query from
@@ -494,39 +549,28 @@ object Bench {
         false
       }
 
-    // Compact stdout line: every query under its shortest unique prefix
-    // (deterministic from the registry's name set), 1 ms precision. Must
-    // stay under ~1900 chars so the harness tail captures it whole.
-    val names = results.map(_._1)
-    def shortKey(n: String): String =
-      (1 to n.length).iterator.map(n.take)
-        .find(p => names.count(_.startsWith(p)) == 1).getOrElse(n)
-    // Compact `queries` carries the ADJUDICATED median (cleared re-runs
-    // substituted) — the number the round stands on; first-run evidence
-    // lives in the full artifact.
+    // Compact stdout line (see compactLine's scaladoc for the key legend
+    // and the 1,800-char budget). Compact `queries` carries the
+    // ADJUDICATED median (cleared re-runs substituted) — the number the
+    // round stands on; first-run evidence lives in the full artifact.
+    val shortKey = shortKeys(results.map(_._1))
     val qs = results.map { case (k, _, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + j(adjMedians(k)) }
+      "\"" + shortKey(k) + "\":" + j2(adjMedians(k)) }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${j(adjTotal)},"unit":"sec","runs":$Runs,""" +
-        s""""rawTotal":${j(total)},"fullTotal":${j(fullTotal)},""" +
-        s""""canary":${j(canarySec)},"drift":${drift.map(d => j(d)).getOrElse("null")},""" +
-        // omitted when absent: the compact line runs ~1880 chars at
-        // nq=132 against the 1900 warning bar — null keys can't buy that
-        ioDrift.map(d => s""""ioDrift":${j(d)},""").getOrElse("") +
-        shuffleDrift.map(d => s""""shDrift":${j(d)},""").getOrElse("") +
-        (if (ambient) s""""ambient":true,""" else "") +
-        s""""materialize":${j(materializeSec)},"nq":${results.size},""" +
-        s""""keys":"shortest-unique-prefix","detail":"${if (fullWritten) fullPath else ""}",""" +
-        s""""sentinel":${reruns.size},""" +
-        // total best-of-3 attempts across flagged gates; omitted on a
-        // clean run (compact-line budget, like ioDrift)
-        (if (reruns.nonEmpty) s""""sentinelRuns":${reruns.values.map(_._2).sum},""" else "") +
-        s""""sentinelFailed":${sentinelFailed.size},""" +
-        s""""unguarded":${if (sentinelOn) unguarded.size else -1},""" +
-        s""""failed":$failedJson,"sf":"$sfDir","queries":$qs}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: compact line ${line.length} chars — may truncate in a 2000-char tail capture")
+    val line = compactLine(
+      adjTotal = adjTotal, rawTotal = total, fullTotal = fullTotal,
+      runs = Runs, canarySec = canarySec, drift = drift, ioDrift = ioDrift,
+      shuffleDrift = shuffleDrift, ambient = ambient,
+      materializeSec = materializeSec, nq = results.size,
+      detail = if (fullWritten) fullPath else "",
+      sentinel = reruns.size,
+      sentinelRuns =
+        if (reruns.nonEmpty) Some(reruns.values.map(_._2).sum) else None,
+      sentinelFailed = sentinelFailed.size,
+      unguarded = if (sentinelOn) unguarded.size else -1,
+      failedJson = failedJson, sfDir = sfDir, qs = qs)
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: compact line ${line.length} chars — over the 1800-char budget for a 2000-char tail capture")
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

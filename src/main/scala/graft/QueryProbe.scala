@@ -65,9 +65,16 @@ object QueryProbe {
     // first-run attribution this tool exists for. The drift ratio is only
     // meaningful against the sfDir the reference was stamped for.
     val ioCanary = Bench.measureIoCanary(spark, sfDir)
+    val ioStamp = Bench.referenceMetaString(refPath, "_ioCanarySf")
+    val ioRefUsable = Bench.ioRefMatches(ioStamp, sfDir)
+    // Same loud skip as Bench: a silent drift-less ioCanary line reads as
+    // "no reference committed" when the real cause is a stamp mismatch.
+    if (!ioRefUsable) System.err.println(
+      s"QPROBE _ioCanary reference was stamped against " +
+        s"${ioStamp.getOrElse("?")} but this run reads $sfDir — skipping " +
+        "ioDrift (the ratio would compare scans of different data)")
     val ioRef = Bench.canaryReference(refPath, "_ioCanary")
-      .filter(_ => Bench.ioRefMatches(
-        Bench.referenceMetaString(refPath, "_ioCanarySf"), sfDir))
+      .filter(_ => ioRefUsable)
     ioCanary.foreach(io => println(f"QPROBE ioCanary $io%.3f s" +
       ioRef.fold("")(r => f" = ioDrift ${io / r}%.2fx vs committed $r%.3f s")))
     spark.stop()

@@ -571,6 +571,20 @@ object VectorQueries {
       "FROM cand c JOIN b x ON c.q_id = x.vec_id JOIN b y ON c.vid = y.vec_id " +
       s"WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4)"
 
+  /** The composed IVFPQ index — PQ codes keyed by IVF list id, FAISS's
+    * IndexIVFPQ storage layout and e12's candidate table. Materialize-once
+    * like its two inputs; built in the warm phase so e12's first timed run
+    * scans the index instead of building it.
+    */
+  private def ivfpqIndex(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (_, indexed) = ivfIndexTables(s, d)
+    val (_, codes) = pqTables(s, d)
+    InterStage.materialize(s,
+      InterStage.tableKey(d, "embeddings") +
+        s"|ivfpqidx$E6bLloydIters:$E6bAssign:$PqCodeBits",
+      indexed.select(col("vec_id"), col("c_list")).join(codes, Seq("vec_id")))
+  }
+
   /** Build the inter-stage tables the vector queries share (see
     * TextQueries.warmInterStage for why Bench calls this up front).
     */
@@ -584,11 +598,18 @@ object VectorQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Seq(
-      Future { labelIvfTables(s, d); () },
-      Future { ivfIndexTables(s, d); () },
-      Future { semLabelTable(s, d); () },
-      Future { pqTables(s, d); () })
+    val fLabel = Future { labelIvfTables(s, d); () }
+    val fIvf = Future { ivfIndexTables(s, d); () }
+    val fSem = Future { semLabelTable(s, d); () }
+    val fPq = Future { pqTables(s, d); () }
+    // The composed IVFPQ index (e12) reads BOTH the trained lists and the
+    // PQ codes, so it chains after those two branches complete (a same-key
+    // race in InterStage double-builds) while still overlapping fLabel and
+    // fSem. Warmed here since r20: it used to materialize inside e12's
+    // first timed run, the one index build warmInterStage didn't cover
+    // (VERDICT r19 task 2).
+    val fComposed = for { _ <- fIvf; _ <- fPq } yield { ivfpqIndex(s, d); () }
+    Seq(fLabel, fIvf, fSem, fPq, fComposed)
       .foreach(Await.result(_, Duration.Inf))
   }
 
@@ -1016,12 +1037,8 @@ object VectorQueries {
     // per-probe LUTs — and replays the two-stage ranking.
     "e12_ivfpq_knn" -> GQ(
       (s, d) => {
-        val (cent, indexed) = ivfIndexTables(s, d)
-        val (_, codes) = pqTables(s, d)
-        val idx = InterStage.materialize(s,
-          InterStage.tableKey(d, "embeddings") +
-            s"|ivfpqidx$E6bLloydIters:$E6bAssign:$PqCodeBits",
-          indexed.select(col("vec_id"), col("c_list")).join(codes, Seq("vec_id")))
+        val (cent, _) = ivfIndexTables(s, d)
+        val idx = ivfpqIndex(s, d)
         val scoredProbes = normedBuckets(s, d).where(probeFilter(s, d))
           .select(col("vec_id"), col("embedding"), col("norm"))
           .crossJoin(broadcast(cent))

@@ -268,11 +268,28 @@ object FactLoad {
       // A crashed compacting run can leave .pre-compact/.compact-tmp
       // siblings; this load just rebuilt the table from fresh staging, so
       // both are dead weight (a full stale table copy each) — reclaim.
+      // Exception: a .compact-invalid marker (count-drift abort) pins the
+      // backup until an operator adjudicates — even though this rebuild
+      // made the live table authoritative again, silently discarding the
+      // copy the abort message promised to keep would break that contract.
       val (loc, tmp, bak, fs) = compactPaths(spark, outputTable)
+      val marker = compactInvalidMarker(loc)
+      if (fs.exists(marker) && !fs.exists(bak)) {
+        log.warn(s"fact load: dropping stale marker $marker (no backup present)")
+        fs.delete(marker, false)
+      }
       Seq(tmp, bak).filter(fs.exists).foreach { p =>
-        log.warn(s"fact load: deleting stale compaction residue $p " +
-          s"(table $outputTable was just rebuilt at $loc)")
-        fs.delete(p, true)
+        if (p == bak && fs.exists(marker))
+          log.warn(s"fact load: KEEPING $bak — $marker marks it as the " +
+            s"good copy of a count-drifted rewrite. $outputTable was just " +
+            "rebuilt from fresh staging, so the live table is " +
+            "authoritative again; once verified, delete the marker and " +
+            "the backup (or restore the backup first if staging was wrong)")
+        else {
+          log.warn(s"fact load: deleting stale compaction residue $p " +
+            s"(table $outputTable was just rebuilt at $loc)")
+          fs.delete(p, true)
+        }
       }
     }
 
@@ -316,6 +333,17 @@ object FactLoad {
       fs)
   }
 
+  /** Marker dropped next to the backup when the post-swap row-count
+    * validation fails: `bak && loc` is exactly the state the recovery
+    * sweep reads as "cleanup died — live dir authoritative, drop the
+    * backup", so without it a blind re-run after a count-drift abort
+    * would delete the only good copy. While the marker exists the sweep
+    * refuses to touch the backup and demands an explicit operator
+    * restore. */
+  private[warehouse] def compactInvalidMarker(
+      loc: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + ".compact-invalid")
+
   private def compactInPlace(spark: SparkSession, table: String): Unit = {
     val (loc, tmp, bak, fs) = compactPaths(spark, table)
     // Deterministic recovery from a crashed swap. The backup exists ONLY
@@ -325,13 +353,27 @@ object FactLoad {
     // tmp copy is the complete fresh table — finish the swap; bak && loc =
     // the swap landed (or a later load rebuilt the table) and only the
     // cleanup died — the live dir is authoritative, drop the backup.
-    // (A count-drift abort also leaves bak && loc, but its require tells
-    // the operator to restore bak BEFORE re-running — this sweep cannot
-    // distinguish that state from a died cleanup.)
+    // A count-drift abort ALSO leaves bak && loc, but stamps the
+    // .compact-invalid marker — while it exists this sweep refuses to
+    // delete the backup (it is the only good copy) and demands an
+    // explicit operator restore.
     // Inside a full FactLoad.run the slice appends above have always just
     // rebuilt loc, so only the bak && loc arm is reachable here; the
     // !loc arm covers a direct compact of a table left by a crashed run.
+    val marker = compactInvalidMarker(loc)
+    if (fs.exists(marker) && !fs.exists(bak)) {
+      // Stale marker: the backup it protected is gone (operator restored
+      // it over loc but forgot the marker, per the abort message's
+      // recipe). Nothing left to protect — clear it and proceed.
+      log.warn(s"fact compact: dropping stale marker $marker (no backup present)")
+      fs.delete(marker, false)
+    }
     if (fs.exists(bak)) {
+      require(!fs.exists(marker),
+        s"fact compact: $marker marks the live $loc as a count-drifted " +
+          s"rewrite — the backup $bak is the only good copy and this sweep " +
+          s"will not drop it while the marker exists. Restore $bak over " +
+          s"$loc, delete $marker, then re-run")
       if (!fs.exists(loc)) {
         require(fs.exists(tmp), s"fact compact: a crashed swap left $bak " +
           s"but neither $loc nor $tmp — restore $bak to $loc manually")
@@ -400,11 +442,21 @@ object FactLoad {
     // it first would contradict the "complete data set at every instant"
     // guarantee this method exists to provide.
     val after = spark.table(table).count()
+    if (after != n) {
+      // Stamp the marker BEFORE aborting: without it, bak && loc is the
+      // state the recovery sweep above reads as "cleanup died — drop the
+      // backup", and a blind re-run would delete the only good copy. A
+      // failed marker write is logged but must not mask the drift abort.
+      try fs.create(marker, true).close()
+      catch { case e: Throwable => log.error(
+        s"fact compact: could not stamp $marker — a blind re-run's " +
+          s"recovery sweep WILL drop the backup $bak: ${e.getMessage}") }
+    }
     require(after == n,
       s"fact compact: row count drifted across the rewrite ($n -> $after) " +
-        s"— the pre-compact table is intact at $bak; restore it over $loc " +
-        "before re-running (a blind re-run's recovery sweep treats the " +
-        "live dir as authoritative and drops the backup)")
+        s"— the pre-compact table is intact at $bak and $marker now blocks " +
+        s"the recovery sweep from dropping it; restore $bak over $loc and " +
+        "delete the marker before re-running")
     fs.delete(bak, true)
     log.info(s"fact compact: $table re-clustered in place ($n rows, single " +
       "cluster set per station dir)")

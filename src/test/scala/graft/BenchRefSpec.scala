@@ -111,6 +111,51 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.normalizedBar(Some(2.5), Some(2.9)) == 3.0)
   }
 
+  test("compact line stays under the 1800-char tail-capture budget, worst case") {
+    // The driver captures a ~2000-char stdout tail; a truncated compact
+    // line loses the round's per-query record. r19 measured 1,916 chars
+    // at nq=132 — this pins the worst case against the live registry:
+    // every optional key present (all three drifts, ambient, sentinel
+    // re-runs) and every per-query value at the widest sub-10 s rendering
+    // ("9.99", 4 chars). The <10 s-per-gate assumption is anchored below
+    // against the committed references (slowest gate ever recorded:
+    // 2.0 s at sf0.1 — a 10 s gate would be a regression in its own
+    // right, flagged by the sentinel long before it widens this line).
+    // Registry growth that blows the budget fails here, in the same
+    // commit, not in the round artifact.
+    val names = SparkEntry.registry.map(_._1)
+    val keys = Bench.shortKeys(names)
+    assert(keys.values.toSet.size == names.size, "prefix collision")
+    val refs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_reference.json")),
+        classOf[java.util.Map[String, Object]])
+    import scala.jdk.CollectionConverters._
+    val wide = refs.asScala.collect {
+      case (k, v: Number) if !k.startsWith("_") && v.doubleValue() >= 5.0 => k }
+    assert(wide.isEmpty,
+      s"reference(s) ≥ 5 s undermine the <10 s value-width assumption " +
+        s"(2x sentinel headroom): ${wide.mkString(", ")}")
+    val qs = names.map(n => "\"" + keys(n) + "\":9.99")
+      .mkString("{", ",", "}")
+    val line = Bench.compactLine(
+      adjTotal = 999.999, rawTotal = 999.999, fullTotal = 999.999,
+      runs = 3, canarySec = 99.999, drift = Some(9.999),
+      ioDrift = Some(9.999), shuffleDrift = Some(9.999), ambient = true,
+      materializeSec = 99.999, nq = names.size,
+      detail = "bench_full.json", sentinel = 132, sentinelRuns = Some(396),
+      sentinelFailed = 132, unguarded = 132,
+      failedJson = "[]", sfDir = "/root/testdata/sf0.1", qs = qs)
+    assert(line.length <= 1800,
+      s"worst-case compact line ${line.length} chars > 1800 budget — " +
+        "shrink a key or the per-query precision before adding gates")
+    // and it must stay machine-parseable JSON with the contract keys
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(line, classOf[java.util.Map[String, Object]])
+    for (k <- Seq("metric", "value", "unit", "queries", "sf"))
+      assert(parsed.containsKey(k), s"contract key $k missing from compact line")
+  }
+
   test("beyond-cap ambient state is named, on any axis") {
     // Past the 1.5x cap the sentinel can no longer compensate — flags
     // become machine-state evidence and the artifact must say so.

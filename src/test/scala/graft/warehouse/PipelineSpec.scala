@@ -459,6 +459,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("count-drift marker pins the backup: compacting sweep refuses, non-compacting sweep keeps it") {
+    ranOnce
+    import org.apache.hadoop.fs.Path
+    val table = "lfb_call_marker"
+    spark.conf.set("spark.graft.fact.slices", "2")
+    spark.conf.set("spark.graft.fact.compact", "true")
+    def load(): Unit = FactLoad.run(spark, paths.lfbClean, "location_type",
+      "ward", paths.aqClean, paths.weatherClean, paths.wbDim, table)
+    try {
+      load()
+      val (loc, _, bak, fs) = FactLoad.compactPaths(spark, table)
+      val marker = FactLoad.compactInvalidMarker(loc)
+      def plantProtected(): Unit = {
+        fs.mkdirs(bak)
+        val o = fs.create(new Path(bak, "good.bin")); o.write(1); o.close()
+        fs.create(marker, true).close()
+      }
+      // 1. compacting re-run over bak+marker (the post-abort state):
+      //    refuses loudly BEFORE touching the backup
+      plantProtected()
+      val e = intercept[IllegalArgumentException] { load() }
+      assert(e.getMessage.contains(".compact-invalid"),
+        s"refusal must name the marker, got: ${e.getMessage}")
+      assert(fs.exists(bak), "the sweep dropped the backup despite the marker")
+      assert(fs.exists(marker), "the sweep consumed the marker")
+      // 2. non-compacting re-run: succeeds (the rebuild is authoritative)
+      //    but KEEPS the pinned backup for operator adjudication
+      spark.conf.set("spark.graft.fact.compact", "false")
+      load()
+      assert(fs.exists(bak), "non-compacting sweep dropped the pinned backup")
+      // 3. operator clears the marker -> the next sweep reclaims the backup
+      fs.delete(marker, false)
+      load()
+      assert(!fs.exists(bak), "sweep kept the backup after the marker was cleared")
+      // 4. a stale marker with no backup left is cleared automatically
+      fs.create(marker, true).close()
+      spark.conf.set("spark.graft.fact.compact", "true")
+      load()
+      assert(!fs.exists(marker), "stale marker (no backup) was not cleared")
+      assert(!fs.exists(bak))
+    } finally {
+      spark.conf.unset("spark.graft.fact.slices")
+      spark.conf.unset("spark.graft.fact.compact")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("direct-to-clean generator equals the CSV -> extract -> cleanse path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dclean_")
     val n = 20000L

@@ -90,4 +90,12 @@ def main(out_path):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "LEAKSCAN.json"))
+    arg = sys.argv[1] if len(sys.argv) > 1 else "LEAKSCAN.json"
+    if arg.startswith("-"):
+        # An option-like argument is a usage request or a typo, never an
+        # output path: round 19 ran `leakscan.py --help` and committed a
+        # stray report literally named `--help`, which the next scan then
+        # counted among its own scanned files.
+        print(__doc__.strip())
+        sys.exit(0 if arg in ("-h", "--help") else 2)
+    sys.exit(main(arg))
