@@ -100,26 +100,48 @@ object Graph {
       // node set (sym holds both directions, so grouping by `a` covers
       // every such node). Near-dup cliques collapse onto their min node
       // here, before the first join round ever runs.
-      var labels = sym.groupBy(col("a").as("n"))
+      val labels0 = sym.groupBy(col("a").as("n"))
         .agg(min(col("b")).as("nb"))
         .select(col("n"), least(col("n"), col("nb")).as("lbl"))
-        .transform(truncate)
-      val inEdges = labels.select(col("n"))
       // Live edge list, re-expressed over current labels each round.
       // Contraction is what keeps late rounds cheap: an edge whose two
       // endpoints already share a label disappears, so the per-round
       // neighbor-min join shrinks geometrically while labels converge.
-      def contract(edges: DataFrame, lbls: DataFrame): DataFrame = {
+      def contractPlan(edges: DataFrame, lbls: DataFrame): DataFrame = {
         val la = lbls.select(col("n").as("a"), col("lbl").as("la"))
         val lb = lbls.select(col("n").as("b"), col("lbl").as("lb"))
         edges.join(la, "a").join(lb, "b")
           .where(col("la") =!= col("lb"))
           .select(col("la").as("a"), col("lb").as("b"))
           .distinct()
-          .transform(truncate)
       }
-      var live = contract(sym, labels)
-      var converged = live.isEmpty
+      // Each round materializes labels AND live edges in ONE action: the
+      // two results ride a single truncated tagged union (side 0 = label
+      // rows, side 1 = live edges re-keyed to the same column names), so
+      // one job replaces the old two (labels checkpoint, then contract
+      // checkpoint) plus the separate emptiness job. The union's branches
+      // are independent subtrees of one plan — their stages schedule
+      // concurrently, and the label subplan the contraction re-references
+      // is deduplicated by exchange reuse — while the convergence check
+      // becomes a filter scan over blocks the round already wrote. Both
+      // sides truncate together, so the label lineage still resets every
+      // round (its plan references itself twice per round — untruncated it
+      // doubles per round) and a reliable-checkpoint run keeps one durable
+      // cut per round instead of two.
+      def roundMaterialize(newLabels: DataFrame, newLive: DataFrame)
+          : (DataFrame, DataFrame, Boolean) = {
+        val tagged = truncate(
+          newLabels.select(lit(0).as("side"), col("n"), col("lbl"))
+            .unionByName(newLive.select(
+              lit(1).as("side"), col("a").as("n"), col("b").as("lbl"))))
+        (tagged.where(col("side") === 0).select(col("n"), col("lbl")),
+          tagged.where(col("side") === 1)
+            .select(col("n").as("a"), col("lbl").as("b")),
+          tagged.where(col("side") === 1).isEmpty)
+      }
+      var (labels, live, converged) =
+        roundMaterialize(labels0, contractPlan(sym, labels0))
+      val inEdges = labels.select(col("n"))
       var iter = 0
       while (!converged && iter < maxIter) {
         // One join + one groupBy computes BOTH propagation terms: the
@@ -139,12 +161,10 @@ object Graph {
           labels.select(col("lbl").as("a"), col("n").as("b")))
         val fromNeighbors = aug.join(labels, aug("a") === labels("n"))
           .groupBy(col("b").as("n2")).agg(min(col("lbl")).as("nlbl"))
-        labels = labels
+        val newLabels = labels
           .join(fromNeighbors, labels("n") === col("n2"), "left")
           .select(col("n"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .transform(truncate)
-        live = contract(live, labels)
         // Phase-1 exit = the contracted edge list is empty. An edge dies
         // exactly when its endpoints share a label, and a death merges the
         // two endpoints' pointer families (later updates only re-point a
@@ -153,8 +173,10 @@ object Graph {
         // component, rooted at the component min (the min node's label
         // starts at itself and least() can never raise it). No separate
         // changed-label scan per round: the emptiness check reads the
-        // checkpoint blocks the contraction just wrote.
-        converged = live.isEmpty
+        // blocks the round's one materializing action just wrote.
+        val (l2, e2, done) =
+          roundMaterialize(newLabels, contractPlan(live, newLabels))
+        labels = l2; live = e2; converged = done
         iter += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")

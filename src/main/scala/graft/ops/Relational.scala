@@ -442,6 +442,28 @@ object Relational {
       .select(cols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** Bounded-heap top-k per group under `(score DESC, id ASC)` — the
+    * general-k companion to [[top1PerGroup]] and the scale-correct form of
+    * the ANN re-rank windows: TopKPairAgg partial-aggregates map-side
+    * (each map partition emits ≤ k 16-byte pairs per group; a row_number
+    * window shuffles and sorts the whole candidate set), and the
+    * order-exact double↔long key codec (graft.functions.SortKeyF) carries
+    * the score through the heap and back bit-for-bit, so results equal
+    * `topKPerGroup(df, groups, Seq(score.desc, id.asc), k)` projected to
+    * (groups, id, score). Requires a Long id (the heap's tie-break slot);
+    * `scoreCol` must be non-NaN for the descending bijection to be total.
+    * Output: groupCols ++ (idOut, scoreOut).
+    */
+  def topKByScore(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+                  idCol: Column, k: Int,
+                  idOut: String, scoreOut: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKPairAgg.topkPairs(
+        graft.functions.SortKeyF.descKey(scoreCol), idCol, k).as("__tk"))
+      .select(groupCols.map(col) :+ explode(col("__tk")).as("__p"): _*)
+      .select(groupCols.map(col) :+ col("__p.id").as(idOut) :+
+        graft.functions.SortKeyF.descKeyInv(col("__p.ord")).as(scoreOut): _*)
+
   /** Skew-mitigating equi join: salt the skewed (large) side's key with a
     * random-ish residue derived from a stable row attribute, replicate the
     * build side once per salt value, and join on (key, salt). The hot key's

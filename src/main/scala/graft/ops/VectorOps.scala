@@ -187,6 +187,13 @@ object VectorOps {
     * Norms are hoisted per vector (computed n times, not n·m times) —
     * the per-vector value is the identical IEEE computation, so hoisting
     * doesn't change any result.
+    *
+    * The top-k itself is the bounded-heap aggregate
+    * (Relational.topKByScore) when the corpus id is a Long: each map
+    * partition reduces its corpus slice to ≤ k pairs per probe before the
+    * exchange, where the old row_number window shuffled and sorted the
+    * full probes × corpus scan. Non-Long ids keep the window form.
+    * Output: (probeId, corpusId, sim).
     */
   def knnBruteForce(probes: DataFrame, probeId: String, probeVec: String,
                     corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -196,8 +203,14 @@ object VectorOps {
     val joined = c.join(broadcast(p), col(probeId) =!= col(corpusId))
       .withColumn("sim",
         dotD(col(probeVec), col(corpusVec)) / (col("__pnorm") * col("__cnorm")))
-    Relational.topKPerGroup(joined, Seq(col(probeId)),
-      Seq(col("sim").desc, col(corpusId)), k)
-      .drop("__pnorm", "__cnorm")
+    val idIsLong = corpus.schema(corpusId).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong)
+      Relational.topKByScore(joined, Seq(probeId), col("sim"), col(corpusId),
+        k, corpusId, "sim")
+    else
+      Relational.topKPerGroup(joined, Seq(col(probeId)),
+          Seq(col("sim").desc, col(corpusId)), k)
+        .select(col(probeId), col(corpusId), col("sim"))
   }
 }

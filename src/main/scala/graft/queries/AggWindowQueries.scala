@@ -287,15 +287,17 @@ object AggWindowQueries {
     "c8_ref_integrity" -> GQ(
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")
-        def missing(fk: String, dim: String, pk: String): Long =
+        // One lazy plan, not three driver-side count() actions: each audit
+        // is a 1-row aggregate and the crossJoin of three 1-row frames lets
+        // Spark run the three anti-join branches as parallel stages of a
+        // single job (the old form serialized three jobs on the driver).
+        def missing(fk: String, dim: String, pk: String, out: String) =
           li.select(col(fk)).where(col(fk).isNotNull).distinct()
             .join(Tables.load(s, d, dim).select(col(pk).as(fk)), Seq(fk), "left_anti")
-            .count()
-        val (mo, mp, ms) = (missing("l_orderkey", "orders", "o_orderkey"),
-          missing("l_partkey", "part", "p_partkey"),
-          missing("l_suppkey", "supplier", "s_suppkey"))
-        s.range(1).select(lit(mo).as("missing_orders"),
-          lit(mp).as("missing_parts"), lit(ms).as("missing_suppliers"))
+            .agg(count(lit(1)).as(out))
+        missing("l_orderkey", "orders", "o_orderkey", "missing_orders")
+          .crossJoin(missing("l_partkey", "part", "p_partkey", "missing_parts"))
+          .crossJoin(missing("l_suppkey", "supplier", "s_suppkey", "missing_suppliers"))
       },
       "SELECT (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem l " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))) " +

@@ -41,11 +41,13 @@ object RelationalQueries {
       (s, d) => {
         val sup = Tables.load(s, d, "supplier")
         val tmp = tmpDir("graft_multi_")
-        sup.where(col("s_suppkey") % 2 === 0)
-          .write.mode("overwrite").option("header", "true").csv(s"$tmp/even")
-        sup.where(col("s_suppkey") % 2 =!= 0)
-          .write.mode("overwrite").option("header", "true").csv(s"$tmp/odd")
-        Seq(s"$tmp/even", s"$tmp/odd")
+        // ONE pass writes both per-path files (partitionBy on the parity
+        // key) instead of two filter+write jobs over the same scan; the
+        // union-scan read side — the operator under test — is unchanged.
+        sup.withColumn("__par", pmod(col("s_suppkey"), lit(2)))
+          .write.mode("overwrite").option("header", "true")
+          .partitionBy("__par").csv(tmp)
+        Seq(s"$tmp/__par=0", s"$tmp/__par=1")
           .map(p => s.read.option("header", "true").option("inferSchema", "true").csv(p))
           .reduce(_ unionByName _)
           .select(col("s_suppkey").cast("long"), col("s_name"),
@@ -307,14 +309,19 @@ object RelationalQueries {
         val orders = Tables.load(s, d, "orders")
           .withColumn("o_orderdate", date_format(col("o_orderdate"), "dd/MM/yyyy"))
         val tmp = tmpDir("graft_batch_")
-        // coalesce(1): each shard stands in for one raw landing-zone CSV
-        // (the reference's per-batch files), not a distributed write — and
-        // 32 part-files per tiny shard is pure task overhead in the gate
-        orders.where(col("o_orderkey") % 2 === 0).coalesce(1)
-          .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/even")
-        orders.where(col("o_orderkey") % 2 =!= 0).coalesce(1)
-          .write.mode("overwrite").option("header", "true").csv(s"$tmp/in/odd")
-        graft.warehouse.Jobs.batchSplit(s, Seq(s"$tmp/in/even", s"$tmp/in/odd"),
+        // ONE pass writes both landing shards: partitionBy on the parity
+        // key scans + date-formats orders once where the old per-shard
+        // filter + coalesce(1) form did it twice (two sequential jobs).
+        // No repartition — the scan's natural partitioning feeds the
+        // dynamic-partition writer directly (an exchange here measured
+        // SLOWER than the scan it saved; the tiny-gate file count stays
+        // scan-partition-bounded). Each shard dir stands in for one raw
+        // landing-zone file set; row order within a shard is not part of
+        // batchSplit's count/sum contract.
+        orders.withColumn("__par", pmod(col("o_orderkey"), lit(2)))
+          .write.mode("overwrite").option("header", "true")
+          .partitionBy("__par").csv(s"$tmp/in")
+        graft.warehouse.Jobs.batchSplit(s, Seq(s"$tmp/in/__par=0", s"$tmp/in/__par=1"),
           s"$tmp/out", "o_orderdate", "dd/MM/yyyy",
           Seq("1997-01-01", "1999-01-01"))
         (1 to 3).map { i =>

@@ -1580,10 +1580,17 @@ object TextQueries {
     // O(#langs) broadcast thresholds, two-level prefix-sum packing.
     "tp1_training_manifest" -> GQ(
       (s, d) => {
-        val dedupW = Window.partitionBy(sha2(col("text"), 256))
-          .orderBy(col("doc_id"))
-        val kept = TextOps.qualityScreen(Tables.load(s, d, "documents")
-          .withColumn("rn", row_number().over(dedupW)).where(col("rn") === 1))
+        // Exact dedup via the min_by fast path (Relational.top1PerGroup):
+        // keep the min-doc_id row per content hash with a map-side
+        // partial-aggregating groupBy — the old row_number window shuffled
+        // and sorted every FULL text row per hash group to discard all but
+        // one; min_by collapses duplicate groups before the exchange.
+        // Same row survives (doc_id is unique, so rn=1 ⟺ min doc_id).
+        val kept = TextOps.qualityScreen(Relational.top1PerGroup(
+          Tables.load(s, d, "documents").select(
+            col("doc_id"), col("lang"), col("text")),
+          Seq(sha2(col("text"), 256)), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("text")))
         val picked = TextOps.mixtureSelect(kept, TextOps.mixtureThresholds(kept))
         Relational.packByBudget(picked, "doc_id", col("n_tokens"), budget = 4096L)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
