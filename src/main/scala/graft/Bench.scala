@@ -213,6 +213,20 @@ object Bench {
   private[graft] def j2(d: Double): String =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Width-bounded per-query rendering for the compact line: 10 ms
+    * precision below 10 s, 100 ms at 10-100 s — ≤ 4 chars for every value
+    * under 99.95 s, so the line's 1,800-char worst case holds even for the
+    * adjudicated MEDIANS of an ambient-beyond-cap run (the sentinel bounds
+    * mins, not medians — a contended run's medians pass through unclamped,
+    * and the old uniform 2-decimal form could then render 5+ chars per
+    * gate past the tail-capture budget). Full precision is always in
+    * bench_full.json; a genuine ≥100 s median renders wider and simply
+    * spends part of the ~200-char tail headroom — by then the run is
+    * diagnosable from the full artifact anyway. */
+  private[graft] def jq(d: Double): String =
+    if (d < 9.995) j2(d)
+    else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** Compact stdout line. Every query under its shortest unique prefix at
     * 10 ms precision (full names and full precision live in the `det`
     * artifact, bench_full.json) — the line must stay under 1,800 chars so
@@ -555,7 +569,7 @@ object Bench {
     // round stands on; first-run evidence lives in the full artifact.
     val shortKey = shortKeys(results.map(_._1))
     val qs = results.map { case (k, _, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + j2(adjMedians(k)) }
+      "\"" + shortKey(k) + "\":" + jq(adjMedians(k)) }
       .mkString("{", ",", "}")
     val line = compactLine(
       adjTotal = adjTotal, rawTotal = total, fullTotal = fullTotal,

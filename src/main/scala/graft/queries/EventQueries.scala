@@ -596,11 +596,14 @@ object EventQueries {
           Tables.eventTimeUs(raw).as("tus"),
           round(col("value") * 100, 0).cast("long").as("cents"))
           .withColumn("day", expr("tus div 86400000000"))
-        val wld = Window.partitionBy(col("user_id"), col("day"))
-          .orderBy(col("tus").desc, col("event_id").desc)
-        val daily = ev.withColumn("rn", row_number().over(wld))
-          .where(col("rn") === 1)
-          .select(col("user_id"), col("day"), col("cents"))
+        // Daily last observation via max_by (the w2 min_by idiom, mirrored):
+        // rn=1 under (tus DESC, event_id DESC) is exactly the row with the
+        // lexicographic max (tus, event_id) — unique since event_id is —
+        // and the partial-aggregating groupBy collapses each (user, day)
+        // map-side instead of shuffle-sorting every event row.
+        val daily = ev.groupBy(col("user_id"), col("day"))
+          .agg(max_by(col("cents"),
+            struct(col("tus"), col("event_id"))).as("cents"))
         val spine = daily.groupBy(col("user_id"))
           .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
           .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -1096,13 +1096,20 @@ object TextQueries {
     // Docs with < 2 tokens have no bigrams and drop out (both engines).
     "t18_bigram_logprob" -> GQ(
       (s, d) => {
-        val toks = Tables.load(s, d, "documents")
-          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
-        val wd = Window.partitionBy("doc_id").orderBy("pos")
-        val bg = toks.withColumn("nxt", lead("w", 1).over(wd))
-          .where(col("nxt").isNotNull)
-          .select(col("doc_id"), col("w").as("w1"),
-            concat_ws(" ", col("w"), col("nxt")).as("bg"))
+        // Bigrams assemble INSIDE the token array (zip the array with its
+        // own 1-shifted slice — native expressions, no lambda), so the
+        // per-doc lead() window and its shuffle+sort of the whole exploded
+        // token stream disappear: adjacency is a per-row array property,
+        // not something to rediscover by re-sorting (doc_id, pos) rows.
+        // Docs with < 2 tokens produce an empty zip and drop on explode,
+        // exactly as their lead(NULL) rows did.
+        val t = TextOps.tokens(col("text"))
+        val bg = Tables.load(s, d, "documents")
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("w1"),
+            slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("w2"))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"),
+            concat_ws(" ", col("p.w1"), col("p.w2")).as("bg"))
         val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
         val w1c = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         bg.join(bgc, "bg").join(w1c, "w1")

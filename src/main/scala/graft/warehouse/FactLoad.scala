@@ -58,6 +58,29 @@ object FactLoad {
               " run cannot be re-entered at or after 'fact load' — re-run from" +
               " 'cleanse' (or regenerate the corpus) instead."
           else " Run the cleanse stage first (Pipeline.run fromStage <= 'cleanse')."))
+    // Fail fast on a count-drift compact marker BEFORE the k-slice reload:
+    // the end-of-load compact sweep refuses this state anyway (the backup
+    // is the only adjudicated-good copy), but only after this run has
+    // re-staged and re-appended the whole corpus — wasted full-load work
+    // at the 1B rung. Same refusal (the sweep's own wording names the
+    // marker), surfaced before any staging job runs; the alternative exit
+    // is the same as the sweep's — and since this load is about to rebuild
+    // the table from fresh staging, verifying the rebuilt table and then
+    // clearing marker + backup (README: count-drift recovery) is equally
+    // valid, which the message says.
+    val compactRequested =
+      spark.conf.get("spark.graft.fact.compact", "false").toBoolean && slices > 1
+    if (compactRequested && spark.catalog.tableExists(outputTable)) {
+      val (loc, _, bak, fs) = compactPaths(spark, outputTable)
+      val marker = compactInvalidMarker(loc)
+      require(!(fs.exists(marker) && fs.exists(bak)),
+        s"fact load: $marker marks the live $loc as a count-drifted compact " +
+          s"rewrite and the backup $bak is the only adjudicated-good copy — " +
+          "refusing BEFORE the k-slice reload instead of at the post-load " +
+          s"compact sweep. Either restore $bak over $loc and delete the " +
+          "marker, or verify the current table (this load would rebuild it " +
+          "from fresh staging anyway) and delete marker + backup, then re-run")
+    }
     val stagingRoot = s"${new org.apache.hadoop.fs.Path(lfbCleanPath).getParent}" +
       "/fact-staging.parquet"
     val stagedPaths =

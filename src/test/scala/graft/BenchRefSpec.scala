@@ -136,7 +136,19 @@ class BenchRefSpec extends AnyFunSuite {
     assert(wide.isEmpty,
       s"reference(s) ≥ 5 s undermine the <10 s value-width assumption " +
         s"(2x sentinel headroom): ${wide.mkString(", ")}")
-    val qs = names.map(n => "\"" + keys(n) + "\":9.99")
+    // Values render as "99.9": the compact line's per-query numbers are
+    // adjudicated MEDIANS, and the sentinel bounds MINS — on an
+    // ambient-beyond-cap run an elevated median passes through unclamped,
+    // so the <10 s anchor below (which speaks for healthy-machine
+    // references) does not bound a contended run's rendering. The
+    // width-bounded renderer (Bench.jq: 10 ms precision under 10 s,
+    // 100 ms at 10-100 s) guarantees ≤ 4 chars for every value under
+    // 99.95 s — asserted here so the pin rests on the renderer, not on
+    // machine-state hopes.
+    assert(Bench.jq(9.994).length <= 4 && Bench.jq(9.996) == "10.0" &&
+      Bench.jq(99.94) == "99.9" && Bench.jq(0.254) == "0.25",
+      "jq must render <=4 chars below 99.95 s with 10 ms precision under 10 s")
+    val qs = names.map(n => "\"" + keys(n) + "\":99.9")
       .mkString("{", ",", "}")
     val line = Bench.compactLine(
       adjTotal = 999.999, rawTotal = 999.999, fullTotal = 999.999,
