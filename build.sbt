@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through RAW instead of routing them
+// via sbt's logger: the logger prefixes every stdout line with "[info] ",
+// which breaks any per-line JSON parse of the bench/verify contract lines
+// (every BENCH_r* artifact carries `parsed: null` — the driver has never
+// managed to machine-read a compact line, and the `[info] ` prefix is the
+// one decoration we control). StdoutOutput is sbt's documented pass-through
+// strategy; it changes log decoration only, never timing or JVM options.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -198,12 +198,6 @@ object Bench {
     * Returns (min of ok runs, or -1 if every attempt crashed; attempts
     * taken).
     */
-  /** Shortest unique prefix per name, deterministic from the name set —
-    * the compact line's per-query key scheme (`"keys":"sup"`). */
-  private[graft] def shortKeys(names: Seq[String]): Map[String, String] =
-    names.map(n => n -> (1 to n.length).iterator.map(n.take)
-      .find(p => names.count(_.startsWith(p)) == 1).getOrElse(n)).toMap
-
   private[graft] def j3(d: Double): String =
     BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -227,12 +221,18 @@ object Bench {
     if (d < 9.995) j2(d)
     else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** Compact stdout line. Every query under its shortest unique prefix at
-    * 10 ms precision (full names and full precision live in the `det`
-    * artifact, bench_full.json) — the line must stay under 1,800 chars so
-    * the harness's ~2,000-char tail capture can never truncate it
-    * (BenchRefSpec pins the worst case against the live registry). Key
-    * legend, abbreviated for exactly that budget: raw/fullT = Σ first-run
+  /** Compact stdout line — the driver contract line: ONE JSON object with
+    * `metric`/`value`/`unit`/`queries`/`sf`, where `queries` maps FULL
+    * query names to adjudicated median seconds. Full names are the
+    * contract (r21 PERF came back with `n_common: 0` — the driver could
+    * not match the r12–r21 shortest-unique-prefix keys back to query
+    * names, which blinded its per-query and scaling comparison; restored
+    * r22). At nq=132 the line runs ~3.6k chars, past the harness's
+    * ~2,000-char stdout TAIL window — deliberate: the tail keeps the END
+    * of the line (diagnostics), while the driver's parser reads the full
+    * stdout stream, where the line is complete and, with the raw
+    * outputStrategy in build.sbt, un-prefixed. Key legend, abbreviated
+    * (values still 10 ms precision via [[jq]]): raw/fullT = Σ first-run
     * medians + materialize / Σ full-materialization passes; can = CPU
     * canary seconds (drift/ioDrift/shDrift = the three ambient axes vs
     * bench_reference.json, omitted when no reference); mat = materialize
@@ -254,7 +254,7 @@ object Bench {
       shuffleDrift.map(d => s""""shDrift":${j3(d)},""").getOrElse("") +
       (if (ambient) s""""ambient":true,""" else "") +
       s""""mat":${j3(materializeSec)},"nq":$nq,""" +
-      s""""keys":"sup","det":"$detail",""" +
+      s""""keys":"full","det":"$detail",""" +
       s""""sent":$sentinel,""" +
       sentinelRuns.map(n => s""""sr":$n,""").getOrElse("") +
       s""""sentF":$sentinelFailed,""" +
@@ -564,12 +564,11 @@ object Bench {
       }
 
     // Compact stdout line (see compactLine's scaladoc for the key legend
-    // and the 1,800-char budget). Compact `queries` carries the
+    // and the full-name driver contract). Compact `queries` carries the
     // ADJUDICATED median (cleared re-runs substituted) — the number the
     // round stands on; first-run evidence lives in the full artifact.
-    val shortKey = shortKeys(results.map(_._1))
     val qs = results.map { case (k, _, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + jq(adjMedians(k)) }
+      "\"" + k + "\":" + jq(adjMedians(k)) }
       .mkString("{", ",", "}")
     val line = compactLine(
       adjTotal = adjTotal, rawTotal = total, fullTotal = fullTotal,
@@ -583,8 +582,12 @@ object Bench {
       sentinelFailed = sentinelFailed.size,
       unguarded = if (sentinelOn) unguarded.size else -1,
       failedJson = failedJson, sfDir = sfDir, qs = qs)
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: compact line ${line.length} chars — over the 1800-char budget for a 2000-char tail capture")
+    // Sanity bound only: full names put the healthy line at ~3.6k chars
+    // (the driver parses full stdout; the ~2k tail window keeps the line's
+    // end for human diagnostics). 5k would mean runaway registry growth or
+    // a rendering bug — catch it in the run log, BenchRefSpec pins it too.
+    if (line.length > 5000)
+      System.err.println(s"[bench] WARNING: compact line ${line.length} chars — unexpectedly wide (renderer or registry growth bug?)")
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

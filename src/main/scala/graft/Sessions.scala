@@ -31,6 +31,18 @@ object Sessions {
       // Spark otherwise refuses to read — kept so old landings decode as
       // Long nanos and flow through Tables.eventTimeUs's LongType branch.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR scheduling across concurrently submitted jobs (guide §2.6):
+      // matters ONLY when several jobs are in flight — the warm phase's
+      // six chains, where the CC rounds' many small sequential jobs used
+      // to queue behind the other chains' wide stages under FIFO (each
+      // round = one job; a queued round stalls the whole chain). Each
+      // warm chain tags its thread with its own on-demand pool
+      // (spark.scheduler.pool local property; pools share fairly with
+      // default weights, FIFO within a pool). The TIMED per-query phase
+      // runs one job at a time, where FAIR ≡ FIFO — no timing-contract
+      // change. Scale-neutral: the same policy is what a production
+      // cluster runs for concurrent index builds.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

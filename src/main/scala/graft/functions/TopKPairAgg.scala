@@ -25,6 +25,7 @@ case class TopKPairAgg(
     ord: Expression,
     id: Expression,
     k: Int,
+    dedup: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKPairAgg.Heap] {
@@ -38,7 +39,7 @@ case class TopKPairAgg(
       StructField("id", LongType, nullable = false))), containsNull = false)
 
   override def createAggregationBuffer(): TopKPairAgg.Heap =
-    new TopKPairAgg.Heap(k)
+    new TopKPairAgg.Heap(k, dedup)
 
   override def update(buf: TopKPairAgg.Heap, input: InternalRow): TopKPairAgg.Heap = {
     val o = ord.eval(input)
@@ -72,7 +73,7 @@ case class TopKPairAgg(
   override def deserialize(bytes: Array[Byte]): TopKPairAgg.Heap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val h = new TopKPairAgg.Heap(k)
+    val h = new TopKPairAgg.Heap(k, dedup)
     var j = 0
     while (j < n) { h.offer(bb.getLong, bb.getLong); j += 1 }
     h
@@ -93,8 +94,22 @@ object TopKPairAgg {
   /** Bounded max-heap over (ord, id) with lexicographic order: holds the
     * k smallest pairs seen; the root is the current worst, evicted when a
     * better pair arrives.
+    *
+    * `dedup = true` additionally rejects EXACT duplicates of a currently
+    * held pair, making `heap(dedup).topK ≡ input.distinct.topK` when every
+    * duplicate of a pair is bit-identical (the ANN multi-assignment case:
+    * a (probe, vector) pair reached through two shared inverted lists
+    * scores the same ADC/cosine both times). Proof sketch that checking
+    * only CURRENT members suffices: the root (current worst kept) is
+    * non-increasing over a heap's life — a pair is only evicted when a
+    * strictly smaller one replaces it, and insertions never raise the
+    * root — so a duplicate of an EVICTED pair compares ≥ root and is
+    * rejected by the ordinary bar; merge() routes through offer(), which
+    * covers the one-copy-per-partial-buffer case the same way. Membership
+    * is an O(k) scan, paid only by pairs that already cleared the root
+    * bar (k ≤ 100 at every call site).
     */
-  final class Heap(k: Int) {
+  final class Heap(k: Int, dedup: Boolean = false) {
     private val ords = new Array[Long](k)
     private val ids = new Array[Long](k)
     private var n = 0
@@ -102,7 +117,18 @@ object TopKPairAgg {
     @inline private def gt(o1: Long, i1: Long, o2: Long, i2: Long): Boolean =
       o1 > o2 || (o1 == o2 && i1 > i2)
 
+    private def contains(o: Long, i: Long): Boolean = {
+      var j = 0
+      while (j < n) {
+        if (ords(j) == o && ids(j) == i) return true
+        j += 1
+      }
+      false
+    }
+
     def offer(o: Long, i: Long): Unit = {
+      if (dedup && (n == k && !gt(ords(0), ids(0), o, i))) return
+      if (dedup && contains(o, i)) return
       if (n < k) {
         var c = n; ords(c) = o; ids(c) = i; n += 1
         while (c > 0 && gt(ords(c), ids(c), ords((c - 1) / 2), ids((c - 1) / 2))) {
@@ -146,10 +172,12 @@ object TopKPairAgg {
 
   /** Column builder: array of the k smallest (ord, id) structs per group,
     * ascending. Both inputs must be Long; rows with a null in either are
-    * ignored.
+    * ignored. `dedup = true` treats bit-identical (ord, id) pairs as one
+    * candidate (equivalent to `.distinct()` upstream — without the
+    * distinct's full-stream exchange).
     */
-  def topkPairs(ord: Column, id: Column, k: Int): Column =
+  def topkPairs(ord: Column, id: Column, k: Int, dedup: Boolean = false): Column =
     ColumnBridge.toColumn(
-      TopKPairAgg(ColumnBridge.toExpr(ord), ColumnBridge.toExpr(id), k)
+      TopKPairAgg(ColumnBridge.toExpr(ord), ColumnBridge.toExpr(id), k, dedup)
         .toAggregateExpression())
 }

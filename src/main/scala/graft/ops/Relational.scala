@@ -450,19 +450,39 @@ object Relational {
     * order-exact double↔long key codec (graft.functions.SortKeyF) carries
     * the score through the heap and back bit-for-bit, so results equal
     * `topKPerGroup(df, groups, Seq(score.desc, id.asc), k)` projected to
-    * (groups, id, score). Requires a Long id (the heap's tie-break slot);
-    * `scoreCol` must be non-NaN for the descending bijection to be total.
-    * Output: groupCols ++ (idOut, scoreOut).
+    * (groups, id, score). Requires a Long id (the heap's tie-break slot).
+    *
+    * Precondition, ENFORCED (VERDICT r21 item 8): `scoreCol` must be
+    * non-NaN and non-null — the descending bijection is not total for NaN
+    * (a zero-norm embedding's cosine at corpus scale), and a null score
+    * that a desc window would sort last is silently dropped by the heap.
+    * A violating row raises at run time instead of silently diverging
+    * from the window form; the check is one isnan/isnull branch per row
+    * on an already-computed attribute. Output: groupCols ++ (idOut,
+    * scoreOut).
+    *
+    * `dedupIds = true` makes the heap reject bit-identical (score, id)
+    * pairs — the exchange-free equivalent of `.distinct()` on the
+    * candidate stream when every duplicate carries the same score (ANN
+    * multi-assignment: the same (probe, vector) pair reached via two
+    * shared inverted lists scores identically both times).
     */
   def topKByScore(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
                   idCol: Column, k: Int,
-                  idOut: String, scoreOut: String): DataFrame =
+                  idOut: String, scoreOut: String,
+                  dedupIds: Boolean = false): DataFrame = {
+    val guarded = when(isnan(scoreCol) || scoreCol.isNull,
+      raise_error(lit("topKByScore: NaN/null score — SortKeyF's descending " +
+        "bijection is not total for NaN and the bounded heap drops nulls a " +
+        "window would keep (zero-norm embedding upstream?)")))
+      .otherwise(scoreCol)
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopKPairAgg.topkPairs(
-        graft.functions.SortKeyF.descKey(scoreCol), idCol, k).as("__tk"))
+        graft.functions.SortKeyF.descKey(guarded), idCol, k, dedupIds).as("__tk"))
       .select(groupCols.map(col) :+ explode(col("__tk")).as("__p"): _*)
       .select(groupCols.map(col) :+ col("__p.id").as(idOut) :+
         graft.functions.SortKeyF.descKeyInv(col("__p.ord")).as(scoreOut): _*)
+  }
 
   /** Skew-mitigating equi join: salt the skewed (large) side's key with a
     * random-ish residue derived from a stable row attribute, replicate the

@@ -310,15 +310,19 @@ object RelationalQueries {
           .withColumn("o_orderdate", date_format(col("o_orderdate"), "dd/MM/yyyy"))
         val tmp = tmpDir("graft_batch_")
         // ONE pass writes both landing shards: partitionBy on the parity
-        // key scans + date-formats orders once where the old per-shard
+        // key scans + date-formats orders once where the r20 per-shard
         // filter + coalesce(1) form did it twice (two sequential jobs).
-        // No repartition — the scan's natural partitioning feeds the
-        // dynamic-partition writer directly (an exchange here measured
-        // SLOWER than the scan it saved; the tiny-gate file count stays
-        // scan-partition-bounded). Each shard dir stands in for one raw
-        // landing-zone file set; row order within a shard is not part of
-        // batchSplit's count/sum contract.
+        // coalesce(1) BEFORE the partitionBy (narrow — no exchange; a
+        // repartition here measured SLOWER in r21, 2.31 vs 1.76) bounds
+        // the write to ONE file per shard dir, restoring the gate's
+        // one-raw-CSV-per-shard fixture (ADVICE r21: the r21 multi-file
+        // form changed the read-side file profile batchSplit sees). r22
+        // K7Probe, quiet window, interleaved 5 rounds: r21 partitionBy
+        // med 1.34 / r20 two-pass 1.39 / this form 1.32 — the driver's
+        // r21 k7 elevation did not reproduce (write-path ambient). Row
+        // order within a shard is not part of batchSplit's contract.
         orders.withColumn("__par", pmod(col("o_orderkey"), lit(2)))
+          .coalesce(1)
           .write.mode("overwrite").option("header", "true")
           .partitionBy("__par").csv(s"$tmp/in")
         graft.warehouse.Jobs.batchSplit(s, Seq(s"$tmp/in/__par=0", s"$tmp/in/__par=1"),

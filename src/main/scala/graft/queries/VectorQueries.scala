@@ -625,24 +625,36 @@ object VectorQueries {
     // ~4 s late because the old ordering held every branch until the base
     // finished). The probe LUT chains after the codes: e10/e12 read it
     // every run, so it is index state, built here like the rest.
-    val fPq = Future { pqTables(s, d); () }
-    val fLut = fPq.map { _ => pqProbeLut(s, d); () }
+    // Each nested future re-tags its (possibly recycled EC) thread with
+    // the vectors pool: local properties are per-thread, and without the
+    // tag these sub-builds would land in the default pool and compete
+    // with the text chains' pools at default weight anyway — harmless,
+    // but the UI/fairness accounting is truthful this way.
+    def pooled(body: => Unit): Future[Unit] = Future {
+      s.sparkContext.setLocalProperty("spark.scheduler.pool", "vectors")
+      try body
+      finally s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
+    val fPq = pooled { pqTables(s, d); () }
+    val fLut = fPq.flatMap { _ => pooled { pqProbeLut(s, d); () } }
     // The shared base next, alone on this thread (every remaining branch
     // reads it — building it once beats four threads racing to duplicate
     // the write), then the independent branches as concurrent Spark jobs:
     // this chain was the materialize phase's long pole (21.4 s sequential
     // of a ~21.7 s total; the branches overlap to ~the longest one).
     normedBuckets(s, d)
-    val fLabel = Future { labelIvfTables(s, d); () }
-    val fIvf = Future { ivfIndexTables(s, d); () }
-    val fSem = Future { semLabelTable(s, d); () }
+    val fLabel = pooled { labelIvfTables(s, d); () }
+    val fIvf = pooled { ivfIndexTables(s, d); () }
+    val fSem = pooled { semLabelTable(s, d); () }
     // The composed IVFPQ index (e12) reads BOTH the trained lists and the
     // PQ codes, so it chains after those two branches complete (a same-key
     // race in InterStage double-builds) while still overlapping fLabel and
     // fSem. Warmed here since r20: it used to materialize inside e12's
     // first timed run, the one index build warmInterStage didn't cover
     // (VERDICT r19 task 2).
-    val fComposed = for { _ <- fIvf; _ <- fPq } yield { ivfpqIndex(s, d); () }
+    val fComposed =
+      (for { _ <- fIvf; _ <- fPq } yield ()).flatMap(_ =>
+        pooled { ivfpqIndex(s, d); () })
     Seq(fLabel, fIvf, fSem, fPq, fLut, fComposed)
       .foreach(Await.result(_, Duration.Inf))
   }
@@ -1099,12 +1111,16 @@ object VectorQueries {
           .select(col("q_id"), col("vec_id"),
             (graft.functions.QuantizeF.lutSum(col("codes"), col("lut"), PqKs) /
               (col("q_norm") * col("rnorm"))).as("adc"))
-          .distinct() // multi-assigned vectors surface once per shared list
         // ADC pool + final top-5 via the bounded-heap aggregate (e7's pool
         // shape, order-exact SortKeyF codec) — map-side reduction instead
         // of shuffling and sorting the whole candidate stream per window.
+        // Multi-assigned vectors surface once per shared list with a
+        // BIT-IDENTICAL adc (same codes, same LUT, same arithmetic) —
+        // dedupIds folds the old `.distinct()` into the heap itself,
+        // removing the full-candidate-stream exchange + two hash
+        // aggregates the distinct cost (VERDICT r21 item 5).
         val pool = Relational.topKByScore(cand, Seq("q_id"), col("adc"),
-          col("vec_id"), PqRerank, "vec_id", "adc")
+          col("vec_id"), PqRerank, "vec_id", "adc", dedupIds = true)
         val v = normedBuckets(s, d)
           .select(col("vec_id"), col("embedding"), col("norm"))
         val reranked = pool
@@ -1286,11 +1302,14 @@ object VectorQueries {
           .select(col("q_id"), col("vec_id"),
             (VectorOps.dotD(col("q_vec"), col("embedding")) /
               (col("q_norm") * col("norm"))).as("sim"))
-          .distinct()
-        // Bounded-heap top-5 over the deduped candidates (SortKeyF codec)
-        // instead of a full shuffle+sort row_number window.
+        // Bounded-heap top-5 with in-heap dedup (SortKeyF codec) instead
+        // of `.distinct()` + heap: a vector multi-assigned to E6bAssign
+        // lists surfaces once per shared probed list with a BIT-IDENTICAL
+        // sim (same q_vec, embedding, norms), so rejecting exact duplicate
+        // pairs inside the heap equals the distinct — without shuffling
+        // the whole candidate stream through the distinct's exchange.
         Relational.topKByScore(cand, Seq("q_id"), col("sim"),
-          col("vec_id"), 5, "neighbor_id", "sim")
+          col("vec_id"), 5, "neighbor_id", "sim", dedupIds = true)
       },
       {
         val sums = (0 until Dim).map(i => s", sum(embedding[${i + 1}]::DOUBLE) s$i").mkString

@@ -111,21 +111,17 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.normalizedBar(Some(2.5), Some(2.9)) == 3.0)
   }
 
-  test("compact line stays under the 1800-char tail-capture budget, worst case") {
-    // The driver captures a ~2000-char stdout tail; a truncated compact
-    // line loses the round's per-query record. r19 measured 1,916 chars
-    // at nq=132 — this pins the worst case against the live registry:
-    // every optional key present (all three drifts, ambient, sentinel
-    // re-runs) and every per-query value at the widest sub-10 s rendering
-    // ("9.99", 4 chars). The <10 s-per-gate assumption is anchored below
-    // against the committed references (slowest gate ever recorded:
-    // 2.0 s at sf0.1 — a 10 s gate would be a regression in its own
-    // right, flagged by the sentinel long before it widens this line).
-    // Registry growth that blows the budget fails here, in the same
-    // commit, not in the round artifact.
+  test("compact line carries every registry gate under its FULL name") {
+    // Driver contract: ONE JSON line whose `queries` maps FULL query names
+    // to seconds. r12–r21 abbreviated the keys to shortest-unique prefixes
+    // to fit the harness's ~2k stdout tail window — and the driver's
+    // per-query/scaling comparison came back empty every round
+    // (PERF_r21.json: n_common 0, per_query {}). Full names are restored
+    // (r22); the line intentionally exceeds the tail window (the driver
+    // parses full stdout; the tail keeps the line's end for humans). This
+    // pins: full-name keys, JSON parseability with the contract keys, and
+    // a generous 5k-char sanity cap against runaway registry growth.
     val names = SparkEntry.registry.map(_._1)
-    val keys = Bench.shortKeys(names)
-    assert(keys.values.toSet.size == names.size, "prefix collision")
     val refs = new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(java.nio.file.Files.readString(
         java.nio.file.Paths.get("bench_reference.json")),
@@ -148,7 +144,7 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.jq(9.994).length <= 4 && Bench.jq(9.996) == "10.0" &&
       Bench.jq(99.94) == "99.9" && Bench.jq(0.254) == "0.25",
       "jq must render <=4 chars below 99.95 s with 10 ms precision under 10 s")
-    val qs = names.map(n => "\"" + keys(n) + "\":99.9")
+    val qs = names.map(n => "\"" + n + "\":99.9")
       .mkString("{", ",", "}")
     val line = Bench.compactLine(
       adjTotal = 999.999, rawTotal = 999.999, fullTotal = 999.999,
@@ -158,14 +154,18 @@ class BenchRefSpec extends AnyFunSuite {
       detail = "bench_full.json", sentinel = 132, sentinelRuns = Some(396),
       sentinelFailed = 132, unguarded = 132,
       failedJson = "[]", sfDir = "/root/testdata/sf0.1", qs = qs)
-    assert(line.length <= 1800,
-      s"worst-case compact line ${line.length} chars > 1800 budget — " +
-        "shrink a key or the per-query precision before adding gates")
-    // and it must stay machine-parseable JSON with the contract keys
+    assert(line.length <= 5000,
+      s"worst-case compact line ${line.length} chars > 5k sanity cap — " +
+        "registry growth or renderer regression")
+    // and it must stay machine-parseable JSON with the contract keys,
+    // carrying every registered gate under its FULL name
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(line, classOf[java.util.Map[String, Object]])
     for (k <- Seq("metric", "value", "unit", "queries", "sf"))
       assert(parsed.containsKey(k), s"contract key $k missing from compact line")
+    val qmap = parsed.get("queries").asInstanceOf[java.util.Map[String, Object]]
+    val missing = names.filterNot(qmap.containsKey)
+    assert(missing.isEmpty, s"gates missing from compact queries map: $missing")
   }
 
   test("beyond-cap ambient state is named, on any axis") {

@@ -50,6 +50,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!pairs((1L, 4L)))
   }
 
+  test("multi-match-aware windows lose no pair on a dense two-letter corpus") {
+    // The r22 refinement replaces the loose [-tau, tau] probe-shift window
+    // with PassJoin's multi-match-aware interval; a dense small-alphabet
+    // corpus maximizes near pairs across every (length delta, segment,
+    // shift) combination, so any under-selected window shows up as a
+    // missing pair against brute force.
+    val rng = new scala.util.Random(4242)
+    val rows = (1L to 300L).map { id =>
+      val len = 9 + rng.nextInt(6) // 9..14, straddling seg boundaries
+      id -> Array.fill(len)(if (rng.nextBoolean()) 'a' else 'b').mkString
+    }
+    val t = rows.toDF("id", "s")
+    val got = TextOps.editDistanceJoin(t, "id", "s", 2, allowRiskyBlocking = true)
+    val want = brute(t, 2)
+    assert(want.count() > 1000) // dense by construction — discriminative
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // and tau=1 exercises the tightest windows (j ∈ {0,1}, d intervals of
+    // width ≤ 2)
+    val got1 = TextOps.editDistanceJoin(t, "id", "s", 1, allowRiskyBlocking = true)
+    val want1 = brute(t, 1)
+    assert(got1.except(want1).isEmpty && want1.except(got1).isEmpty)
+  }
+
   test("blocking guard enforces the measured selectivity floor") {
     // tau=3 over 30-char prefixes = 7-char segments: EditJoinProbe
     // measured this regime quadratic (736 -> 2,209 cand/row at 3x rows) —

