@@ -384,9 +384,31 @@ object Bench {
     // is the canary's committed idle-machine reference.
     val refs: Map[String, Double] =
       refsAll.filter { case (k, _) => !k.startsWith("_") }
-    val canaryRef: Option[Double] = refsAll.get("_canary").filter(_ > 0)
+    // Every committed reference — per-gate seconds AND all three canaries —
+    // is a reading at a specific core count (`_refCpus`, stamped by the
+    // rebaseline). At a different SPARK_GRAFT_CPUS none of the ratios mean
+    // what their consumers assume: the canaries are themselves parallel
+    // workloads (the 32-slice CPU chain at 8 cores reads ~3-4x with ZERO
+    // ambient load — r21's c8 leg stamped `ambient:true` off exactly that
+    // misread), and per-gate 2x sentinel bars flag genuinely-parallel
+    // gates for scaling, not regressing. So a cpus mismatch turns OFF
+    // drift ratios and the sentinel (raw canary seconds still print;
+    // `ung: -1` = existing sentinel-off semantics); the driver's
+    // lower-core leg exists to measure scaling, and its artifact now says
+    // "no comparable reference" instead of fabricating drift. An absent
+    // stamp (pre-r22 reference files) keeps the old always-on behavior.
+    val cpusMatch: Boolean = refsAll.get("_refCpus").forall(rc =>
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.contains(rc.toInt))
+    if (!cpusMatch) System.err.println(
+      s"[bench] reference was stamped at ${refsAll("_refCpus").toInt} cores " +
+        s"but this run uses ${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")} — " +
+        "drift ratios and the contention sentinel are OFF for this run " +
+        "(they would compare differently-parallel executions)")
+    val canaryRef: Option[Double] =
+      refsAll.get("_canary").filter(_ > 0).filter(_ => cpusMatch)
     val drift: Option[Double] = canaryRef.map(canarySec / _)
-    val ioCanaryRef: Option[Double] = refsAll.get("_ioCanary").filter(_ > 0)
+    val ioCanaryRef: Option[Double] =
+      refsAll.get("_ioCanary").filter(_ > 0).filter(_ => cpusMatch)
     // The I/O canary reference is dataset-dependent (a full lineitem scan
     // of the stamped sfDir); a drift computed under a different sfDir is
     // meaningless, so the stamp gates the ratio.
@@ -399,7 +421,8 @@ object Bench {
     val ioDrift: Option[Double] = for {
       io <- ioCanarySec; ref <- ioCanaryRef if ioRefUsable
     } yield io / ref
-    val shuffleCanaryRef: Option[Double] = refsAll.get("_shuffleCanary").filter(_ > 0)
+    val shuffleCanaryRef: Option[Double] =
+      refsAll.get("_shuffleCanary").filter(_ > 0).filter(_ => cpusMatch)
     val shuffleDrift: Option[Double] = shuffleCanaryRef.map(shuffleCanarySec / _)
     shuffleDrift.foreach { d =>
       if (d > 1.25) System.err.println(
@@ -432,7 +455,7 @@ object Bench {
     // With no reference at all, NOTHING is guarded — report that state as
     // -1/null, never as "unguarded: 0" (which reads as total coverage in
     // exactly the situation where the sentinel is off).
-    val sentinelOn = refs.nonEmpty
+    val sentinelOn = refs.nonEmpty && cpusMatch
     val unguarded: Seq[String] =
       if (!sentinelOn) Seq.empty
       else SparkEntry.registry.map(_._1).filterNot(refs.contains)
@@ -466,7 +489,8 @@ object Bench {
     // stamp a false regression into the round artifact). Early-exits on
     // the first clearing run, so a genuinely-cleared gate still pays one.
     val reruns: Map[String, (Double, Int)] = results.collect {
-      case (name, _, mn, _, true) if refs.get(name).exists(r => mn > sentinelBar * r) =>
+      case (name, _, mn, _, true)
+          if sentinelOn && refs.get(name).exists(r => mn > sentinelBar * r) =>
         System.err.println(f"[bench] sentinel: $name min $mn%.2f s > $sentinelBar%.2fx " +
           f"reference ${refs(name)}%.2f s (2x, canary-normalized) — re-running " +
           "(best of up to 3)")

@@ -55,6 +55,13 @@ class BenchRefSpec extends AnyFunSuite {
     // bar degrades to CPU-only.
     assert(Option(refs.get("_shuffleCanary")).exists(_.isInstanceOf[Number]),
       "bench_reference.json is missing the `_shuffleCanary` reference")
+    // And the core-count stamp (r22): every reference — gates and
+    // canaries — is a reading at a specific SPARK_GRAFT_CPUS; Bench
+    // disables drift ratios and the sentinel on a mismatch (the canaries
+    // are parallel workloads, so a c8 run against c32 stamps fabricates
+    // "ambient" drift, and 2x bars flag parallel gates for scaling).
+    assert(Option(refs.get("_refCpus")).exists(_.isInstanceOf[Number]),
+      "bench_reference.json is missing the `_refCpus` core-count stamp")
   }
 
   test("sentinel re-run is best-of-3: early exit, min adjudication, crash = -1") {
