@@ -190,6 +190,17 @@ object Bench {
   private[graft] def ioRefMatches(stamp: Option[String], sfDir: String): Boolean =
     stamp.forall(_ == sfDir)
 
+  /** Whether reference-derived ratios may be computed at all: the file's
+    * `_refCpus` stamp (absent = pre-r22 file, treated as matching) must
+    * equal this run's SPARK_GRAFT_CPUS. The canaries are parallel
+    * workloads, so a ratio across core counts fabricates "drift" from
+    * the core ratio alone — shared by Bench's main and the dev probes
+    * (QueryProbe/K7Probe print raw canary seconds either way).
+    */
+  private[graft] def refCpusMatches(refPath: String): Boolean =
+    canaryReference(refPath, "_refCpus").forall(rc =>
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.contains(rc.toInt))
+
   /** Sentinel re-run, best-of-N: run `attempt` up to `max` times, stopping
     * early at the first run that clears `bar`; adjudicate on the MIN of
     * the successful runs (for a fixed workload the minimum is the
@@ -201,22 +212,19 @@ object Bench {
   private[graft] def j3(d: Double): String =
     BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** 10 ms precision for the compact line's per-query values — the third
-    * decimal cost 132 chars at nq=132 against the line's 1,800-char
-    * budget, and the full-precision numbers are in bench_full.json. */
+  /** 10 ms precision for the compact line's per-query values — full
+    * precision is always in bench_full.json; the compact line only needs
+    * enough digits to adjudicate (sentinel bars are 2-3x). */
   private[graft] def j2(d: Double): String =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** Width-bounded per-query rendering for the compact line: 10 ms
     * precision below 10 s, 100 ms at 10-100 s — ≤ 4 chars for every value
-    * under 99.95 s, so the line's 1,800-char worst case holds even for the
-    * adjudicated MEDIANS of an ambient-beyond-cap run (the sentinel bounds
-    * mins, not medians — a contended run's medians pass through unclamped,
-    * and the old uniform 2-decimal form could then render 5+ chars per
-    * gate past the tail-capture budget). Full precision is always in
-    * bench_full.json; a genuine ≥100 s median renders wider and simply
-    * spends part of the ~200-char tail headroom — by then the run is
-    * diagnosable from the full artifact anyway. */
+    * under 99.95 s, keeping the full-name line's length a function of the
+    * registry's NAMES alone (BenchRefSpec pins the worst case under the
+    * 5k sanity cap), even for the adjudicated MEDIANS of an
+    * ambient-beyond-cap run (the sentinel bounds mins, not medians — a
+    * contended run's medians pass through unclamped). */
   private[graft] def jq(d: Double): String =
     if (d < 9.995) j2(d)
     else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
@@ -228,10 +236,18 @@ object Bench {
     * not match the r12–r21 shortest-unique-prefix keys back to query
     * names, which blinded its per-query and scaling comparison; restored
     * r22). At nq=132 the line runs ~3.6k chars, past the harness's
-    * ~2,000-char stdout TAIL window — deliberate: the tail keeps the END
-    * of the line (diagnostics), while the driver's parser reads the full
-    * stdout stream, where the line is complete and, with the raw
-    * outputStrategy in build.sbt, un-prefixed. Key legend, abbreviated
+    * ~2,000-char stdout TAIL window — deliberate, and the only winnable
+    * configuration: 132 full names CANNOT fit 2k chars (Σ name lengths
+    * alone is 2.3k), and the artifact record rules out the tail-only
+    * parser anyway — r01–r10 (full names, tail-truncated) AND r12–r21
+    * (short keys, line COMPLETE inside the tail) all came back
+    * `parsed: null`, so a parser that reads only the tail has never
+    * succeeded under either format and cannot succeed with names at all.
+    * The bet is therefore on the full stdout stream, where the line is
+    * complete and, with the raw outputStrategy in build.sbt, un-prefixed
+    * (the `[info] ` decoration was the one constant across every failed
+    * round). The tail still keeps the END of the line as human
+    * diagnostics. Key legend, abbreviated
     * (values still 10 ms precision via [[jq]]): raw/fullT = Σ first-run
     * medians + materialize / Σ full-materialization passes; can = CPU
     * canary seconds (drift/ioDrift/shDrift = the three ambient axes vs
@@ -397,8 +413,7 @@ object Bench {
     // lower-core leg exists to measure scaling, and its artifact now says
     // "no comparable reference" instead of fabricating drift. An absent
     // stamp (pre-r22 reference files) keeps the old always-on behavior.
-    val cpusMatch: Boolean = refsAll.get("_refCpus").forall(rc =>
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.contains(rc.toInt))
+    val cpusMatch: Boolean = refCpusMatches(refPath)
     if (!cpusMatch) System.err.println(
       s"[bench] reference was stamped at ${refsAll("_refCpus").toInt} cores " +
         s"but this run uses ${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")} — " +

@@ -60,12 +60,17 @@ object K7Probe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Same reference path + core-count gate as Bench/QueryProbe: ratios
+    // against stamps from a different core count fabricate "drift".
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    val cpusMatch = Bench.refCpusMatches(refPath)
     val canary = Bench.measureCanary(spark)
-    val canaryRef = Bench.canaryReference("bench_reference.json")
+    val canaryRef = Bench.canaryReference(refPath).filter(_ => cpusMatch)
     println(f"K7PROBE canary $canary%.3f s" + canaryRef.fold("")(r =>
       f" drift ${canary / r}%.2fx"))
     val sh = Bench.measureShuffleCanary(spark)
-    val shRef = Bench.canaryReference("bench_reference.json", "_shuffleCanary")
+    val shRef = Bench.canaryReference(refPath, "_shuffleCanary")
+      .filter(_ => cpusMatch)
     println(f"K7PROBE shuffleCanary $sh%.3f s" + shRef.fold("")(r =>
       f" shDrift ${sh / r}%.2fx"))
     val forms = Seq("A_partitionBy" -> formA, "B_r20_two_pass" -> formB,

@@ -26,8 +26,16 @@ object QueryProbe {
     // lessons: an "idle" probe on a shared box can run 2-3x ambient-slow,
     // and a 1.3x I/O-side band reads FLAT on the CPU canary).
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    // Same core-count gate as Bench (r22): the canaries are parallel
+    // workloads, so a ratio against stamps taken at a different
+    // SPARK_GRAFT_CPUS fabricates "drift" from the core ratio alone.
+    // Raw canary seconds always print.
+    val cpusMatch = Bench.refCpusMatches(refPath)
+    if (!cpusMatch) System.err.println(
+      "QPROBE reference stamped at a different core count — drift " +
+        "ratios suppressed (raw canary seconds still printed)")
     val canary = Bench.measureCanary(spark)
-    val canaryRef = Bench.canaryReference(refPath)
+    val canaryRef = Bench.canaryReference(refPath).filter(_ => cpusMatch)
     println(f"QPROBE canary $canary%.3f s" + canaryRef.fold("")(r =>
       f" = drift ${canary / r}%.2fx vs committed idle reference $r%.3f s"))
     // Shuffle-side drift (generated input, real exchange to scratch disk):
@@ -36,6 +44,7 @@ object QueryProbe {
     // while the CPU and read-side canaries stay flat.
     val shuffleCanary = Bench.measureShuffleCanary(spark)
     val shuffleRef = Bench.canaryReference(refPath, "_shuffleCanary")
+      .filter(_ => cpusMatch)
     println(f"QPROBE shuffleCanary $shuffleCanary%.3f s" + shuffleRef.fold("")(r =>
       f" = shuffleDrift ${shuffleCanary / r}%.2fx vs committed $r%.3f s"))
     if (!nowarm) {
@@ -74,7 +83,7 @@ object QueryProbe {
         s"${ioStamp.getOrElse("?")} but this run reads $sfDir — skipping " +
         "ioDrift (the ratio would compare scans of different data)")
     val ioRef = Bench.canaryReference(refPath, "_ioCanary")
-      .filter(_ => ioRefUsable)
+      .filter(_ => ioRefUsable && cpusMatch)
     ioCanary.foreach(io => println(f"QPROBE ioCanary $io%.3f s" +
       ioRef.fold("")(r => f" = ioDrift ${io / r}%.2fx vs committed $r%.3f s")))
     spark.stop()

@@ -19,6 +19,19 @@ object Sessions {
     * disk/CPU-bound there, not per-task-memory-bound, so the knob exists
     * for cluster parity, not as a local win.
     */
+  /** Run `body` with this thread's jobs tagged into FAIR pool `name`
+    * (created on demand), clearing the tag after — the one wrapper both
+    * the warm-phase chains and their nested vector sub-builds use, so a
+    * change to pool handling happens in exactly one place. Local
+    * properties are per-thread: call this INSIDE the future/thread whose
+    * jobs should carry the tag.
+    */
+  def inPool[A](spark: SparkSession, name: String)(body: => A): A = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+    try body
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
   def local(threads: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")

@@ -39,13 +39,10 @@ object SparkEntry {
       // Per-chain FAIR pool (Sessions sets spark.scheduler.mode=FAIR):
       // created on demand by naming it; pools share slots fairly, so one
       // chain's wide stage can no longer starve another chain's stream of
-      // small jobs (the CC rounds). Set INSIDE the future — local props
-      // are per-thread and the EC may reuse threads across chains — and
-      // cleared after, so a reused pool-thread's next task starts clean.
-      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+      // small jobs (the CC rounds). Tagged INSIDE the future — local
+      // props are per-thread and the EC may reuse threads across chains.
       val t0 = System.nanoTime()
-      try body
-      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      Sessions.inPool(spark, name)(body)
       System.err.println(
         f"[materialize] $name%-10s ${(System.nanoTime() - t0) / 1e9}%5.1f s")
     }

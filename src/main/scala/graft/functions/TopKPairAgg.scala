@@ -106,8 +106,10 @@ object TopKPairAgg {
     * root — so a duplicate of an EVICTED pair compares ≥ root and is
     * rejected by the ordinary bar; merge() routes through offer(), which
     * covers the one-copy-per-partial-buffer case the same way. Membership
-    * is an O(k) scan, paid only by pairs that already cleared the root
-    * bar (k ≤ 100 at every call site).
+    * is an O(k) scan: during the fill phase (n < k) every offered pair
+    * pays it; once full, only pairs that already cleared the root bar do
+    * (k ≤ 100 at every call site, so both phases are cheap next to the
+    * score computation feeding the heap).
     */
   final class Heap(k: Int, dedup: Boolean = false) {
     private val ords = new Array[Long](k)

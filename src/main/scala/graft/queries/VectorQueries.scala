@@ -630,11 +630,8 @@ object VectorQueries {
     // tag these sub-builds would land in the default pool and compete
     // with the text chains' pools at default weight anyway — harmless,
     // but the UI/fairness accounting is truthful this way.
-    def pooled(body: => Unit): Future[Unit] = Future {
-      s.sparkContext.setLocalProperty("spark.scheduler.pool", "vectors")
-      try body
-      finally s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-    }
+    def pooled(body: => Unit): Future[Unit] =
+      Future { graft.Sessions.inPool(s, "vectors")(body) }
     val fPq = pooled { pqTables(s, d); () }
     val fLut = fPq.flatMap { _ => pooled { pqProbeLut(s, d); () } }
     // The shared base next, alone on this thread (every remaining branch
